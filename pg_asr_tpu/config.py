@@ -1,0 +1,161 @@
+"""Configuration dataclasses for the whole framework.
+
+The reference scatters its run parameters between argparse defaults
+(reference main.py:19-26), hardcoded constants (hidden sizes / dropout /
+beam width in reference model.py, CTCdecoder.py) and a saved launch command.
+Here every knob lives in one typed config tree that the CLI surfaces.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any
+
+
+@dataclass(frozen=True)
+class FeatureConfig:
+    """On-device feature frontend (ops/features.py)."""
+
+    kind: str = "logmel"  # "logmel" (north star) | "mfcc" (reference parity, 120-dim)
+    sample_rate: int = 16000
+    n_fft: int = 400
+    win_length: int = 400
+    hop_length: int = 200
+    n_mels: int = 80
+    n_mfcc: int = 40  # per-block coeffs for mfcc mode (x3 with deltas = 120)
+    fmin: float = 0.0
+    fmax: float | None = None  # None -> sample_rate / 2
+    mel_scale: str = "htk"  # "htk" | "slaney"
+    log_floor: float = 1e-10
+    add_deltas: bool = True  # mfcc mode: append delta + delta-delta (120-dim parity)
+    delta_window: int = 2  # ComputeDeltas win_length=5 <-> n=2
+
+    @property
+    def feature_dim(self) -> int:
+        if self.kind == "mfcc":
+            return self.n_mfcc * (3 if self.add_deltas else 1)
+        return self.n_mels
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """BiLSTM-CTC acoustic model (models/bilstm_ctc.py).
+
+    Defaults mirror the reference encoder (reference model.py:34-56):
+    feature norm -> Linear(F->512) -> leaky_relu -> dropout ->
+    3x BiLSTM(hidden 256/dir) -> Linear(512 -> alphabet) -> log_softmax.
+    """
+
+    vocab_size: int = 32  # alphabet incl. blank/pad at index 0
+    input_dim: int = 80
+    input_proj_dim: int = 512
+    hidden_size: int = 256  # per direction
+    num_layers: int = 3
+    dropout: float = 0.3
+    use_pallas_lstm: bool = False  # Pallas fused-gate LSTM scan kernel
+    dtype: str = "float32"  # compute dtype for activations ("bfloat16" on TPU)
+
+
+@dataclass(frozen=True)
+class Seq2SeqConfig:
+    """Attention seq2seq model family (models/seq2seq.py).
+
+    The reference's intended-but-unfinished decoder contract
+    (reference model.py:123-173, dead v1): embed(A,128) -> LSTM(128->512)
+    teacher-forced, dot attention over encoder states, Linear(2*512 -> A),
+    log_softmax, output (T_dec, B, A).
+    """
+
+    vocab_size: int = 32
+    embed_dim: int = 128
+    dec_hidden: int = 512
+    dropout: float = 0.3
+
+
+@dataclass(frozen=True)
+class DecodeConfig:
+    beam_size: int = 16  # reference eval used 5 (reference model.py:324)
+    blank: int = 0
+    max_label_len: int = 256
+
+
+@dataclass(frozen=True)
+class RLConfig:
+    """REINFORCE fine-tune (rl/reinforce.py) — the loop the reference only
+    sketched via its orphaned reward() (reference policy_grad.py:4-16)."""
+
+    num_samples: int = 4  # sampled alignment paths per utterance
+    temperature: float = 1.0
+    baseline: str = "greedy"  # "greedy" | "mean" | "none"
+    entropy_weight: float = 0.01
+    ctc_mix_weight: float = 0.1  # supervised CTC anchor mixed into the PG loss
+    reward: str = "neg_cer"  # "neg_cer" | "neg_wer" | "stepwise_ed" (reference parity)
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    num_epochs: int = 10  # reference default (reference main.py:22)
+    batch_size: int = 32  # reference default (reference main.py:23)
+    learning_rate: float = 5e-4  # reference (commented) Adam lr (reference model.py:207)
+    weight_decay: float = 0.0
+    grad_clip: float = 5.0
+    warmup_steps: int = 500
+    seed: int = 0
+    max_frames: int = 1600  # padded-length cap (frames)
+    max_label_len: int = 256
+    bucket_frame_quantum: int = 128  # pad T up to a multiple -> few jit shapes
+    log_every: int = 10
+    eval_every_epochs: int = 1
+    mesh_shape: tuple[int, ...] = ()  # () -> all devices on 'data'
+    mesh_axes: tuple[str, ...] = ("data",)
+
+
+@dataclass(frozen=True)
+class Config:
+    features: FeatureConfig = field(default_factory=FeatureConfig)
+    model: ModelConfig = field(default_factory=ModelConfig)
+    seq2seq: Seq2SeqConfig = field(default_factory=Seq2SeqConfig)
+    decode: DecodeConfig = field(default_factory=DecodeConfig)
+    rl: RLConfig = field(default_factory=RLConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+
+    def replace(self, **kw: Any) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2, default=str)
+
+    @staticmethod
+    def from_json(s: str) -> "Config":
+        raw = json.loads(s)
+
+        def build(cls, d):
+            kw = {}
+            for f in dataclasses.fields(cls):
+                if f.name not in d:
+                    continue
+                v = d[f.name]
+                if dataclasses.is_dataclass(f.type) if isinstance(f.type, type) else False:
+                    v = build(f.type, v)
+                kw[f.name] = v
+            return cls(**kw)
+
+        sub = {
+            "features": FeatureConfig,
+            "model": ModelConfig,
+            "seq2seq": Seq2SeqConfig,
+            "decode": DecodeConfig,
+            "rl": RLConfig,
+            "train": TrainConfig,
+        }
+        kw = {}
+        for name, cls in sub.items():
+            if name in raw:
+                d = dict(raw[name])
+                for f in dataclasses.fields(cls):
+                    if f.name in d and isinstance(d[f.name], list):
+                        d[f.name] = tuple(d[f.name])
+                kw[name] = cls(**{k: v for k, v in d.items() if k in {f.name for f in dataclasses.fields(cls)}})
+        return Config(**kw)
