@@ -1,0 +1,90 @@
+"""Checkpointing: best/last with params + optimizer state + step/epoch.
+
+The reference saves model weights only, with a save-before-train bug and no
+resume (reference model.py:270-274, SURVEY.md §3.6g). Here checkpoints are a
+single msgpack file holding {params, opt_state, step, epoch, best_val_loss}
+written atomically; `model_best.*`/`model_last.*` naming parity is kept.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+from typing import Any
+
+import jax
+import numpy as np
+from flax import serialization
+
+BEST_NAME = "model_best.ckpt"
+LAST_NAME = "model_last.ckpt"
+
+
+def _to_host(tree):
+    return jax.tree_util.tree_map(lambda x: np.asarray(jax.device_get(x)), tree)
+
+
+def save_checkpoint(path: str, state: dict) -> None:
+    """Atomic write of a pytree state dict to `path`."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    data = serialization.to_bytes(_to_host(state))
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path) or ".", suffix=".tmp")
+    try:
+        with os.fdopen(fd, "wb") as fo:
+            fo.write(data)
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+
+
+def load_checkpoint(path: str, template: dict) -> dict:
+    """Load into the structure of `template` (same pytree shape as saved)."""
+    with open(path, "rb") as fo:
+        data = fo.read()
+    return serialization.from_bytes(template, data)
+
+
+class CheckpointManager:
+    """Best/last checkpoint policy on validation loss (reference semantics:
+    best updated when val improves, last every epoch — minus the reference's
+    stale-snapshot bug)."""
+
+    def __init__(self, model_dir: str):
+        self.model_dir = model_dir
+        os.makedirs(model_dir, exist_ok=True)
+        self.best_val = float("inf")
+
+    @property
+    def best_path(self) -> str:
+        return os.path.join(self.model_dir, BEST_NAME)
+
+    @property
+    def last_path(self) -> str:
+        return os.path.join(self.model_dir, LAST_NAME)
+
+    def save_config(self, config_json: str) -> None:
+        with open(os.path.join(self.model_dir, "config.json"), "w") as fo:
+            fo.write(config_json)
+
+    def save(self, state: dict, val_loss: float | None = None) -> bool:
+        """Save `last`; promote to `best` if val improved. Returns is_best."""
+        is_best = val_loss is not None and val_loss < self.best_val
+        if is_best:
+            self.best_val = float(val_loss)
+            state = dict(state, best_val_loss=self.best_val)
+        save_checkpoint(self.last_path, state)
+        if is_best:
+            save_checkpoint(self.best_path, state)
+        return is_best
+
+    def try_restore(self, template: dict, prefer: str = "last") -> dict | None:
+        path = self.last_path if prefer == "last" else self.best_path
+        if not os.path.exists(path):
+            path = self.best_path if prefer == "last" else self.last_path
+        if not os.path.exists(path):
+            return None
+        state = load_checkpoint(path, template)
+        self.best_val = float(state.get("best_val_loss", float("inf")))
+        return state

@@ -1,0 +1,106 @@
+"""Command-line interface.
+
+Flag parity with the reference CLI (reference main.py:19-26): --mode
+{train,predict,preproc} plus --corpus_path/--model_path/--num_epochs/
+--batch_size/--device, extended with the capabilities the reference left
+unexposed or unfinished: --mode finetune_pg (the policy-gradient loop),
+decoder selection, beam width, feature kind, language.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="TPU-native policy-gradient ASR")
+    p.add_argument("--mode", required=True,
+                   choices=["train", "predict", "preproc", "finetune_pg"],
+                   help="train | predict | preproc | finetune_pg")
+    p.add_argument("--corpus_path", type=str,
+                   help="corpus dir (train/dev/test.tsv, clips/, alphabet.txt)")
+    p.add_argument("--model_path", type=str,
+                   help="dir for checkpoints, logs, loss curves")
+    p.add_argument("--num_epochs", nargs="?", type=int, default=10)
+    p.add_argument("--batch_size", nargs="?", type=int, default=32)
+    p.add_argument("--device", type=int, default=None,
+                   help="accepted for reference-CLI parity; device selection "
+                        "is mesh-driven on TPU")
+    # predict-mode extras (the reference hardcoded or broke these)
+    p.add_argument("--test_path", type=str, default=None,
+                   help="test manifest TSV (default <corpus_path>/test.tsv)")
+    p.add_argument("--aud_path", type=str, default=None,
+                   help="audio dir (default <corpus_path>/clips)")
+    p.add_argument("--alphabet", type=str, default=None,
+                   help="alphabet.txt (default <corpus_path>/alphabet.txt)")
+    p.add_argument("--decoder", type=str, default="greedy",
+                   choices=["greedy", "beam"])
+    p.add_argument("--beam_size", type=int, default=None)
+    p.add_argument("--lang", type=str, default="en")
+    p.add_argument("--features", type=str, default=None,
+                   choices=["logmel", "mfcc"],
+                   help="feature frontend (default from config)")
+    p.add_argument("--learning_rate", type=float, default=None)
+    p.add_argument("--pg_steps", type=int, default=200,
+                   help="finetune_pg: number of REINFORCE steps")
+    return p
+
+
+def _config(args):
+    from .config import Config
+
+    cfg = Config()
+    if args.features:
+        cfg = cfg.replace(features=cfg.features.__class__(
+            **{**cfg.features.__dict__, "kind": args.features}))
+    tr = dict(cfg.train.__dict__)
+    tr["num_epochs"] = args.num_epochs
+    tr["batch_size"] = args.batch_size
+    if args.learning_rate:
+        tr["learning_rate"] = args.learning_rate
+    cfg = cfg.replace(train=cfg.train.__class__(**tr))
+    return cfg
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    if args.mode == "preproc":
+        from .data.text import preproc_text
+
+        preproc_text(args.corpus_path, args.lang)
+        print(f"[preproc] normalized TSVs + alphabet.txt in {args.corpus_path}")
+        return 0
+
+    if args.mode == "train":
+        from .train import train
+
+        train(args.corpus_path, args.model_path, config=_config(args))
+        return 0
+
+    if args.mode == "predict":
+        corpus = args.corpus_path or ""
+        test_path = args.test_path or os.path.join(corpus, "test.tsv")
+        aud_path = args.aud_path or os.path.join(corpus, "clips")
+        alphabet = args.alphabet or os.path.join(corpus, "alphabet.txt")
+        from .predict import predict
+
+        predict(test_path, aud_path, alphabet, args.model_path,
+                batch_size=args.batch_size, decoder=args.decoder,
+                beam_size=args.beam_size)
+        return 0
+
+    if args.mode == "finetune_pg":
+        from .rl.reinforce import finetune_pg
+
+        finetune_pg(args.corpus_path, args.model_path,
+                    num_steps=args.pg_steps, batch_size=args.batch_size,
+                    config=_config(args))
+        return 0
+
+    return 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

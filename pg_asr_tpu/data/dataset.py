@@ -1,0 +1,219 @@
+"""Manifests, length-bucketed batching, and synthetic corpora.
+
+Replaces the reference's torch Dataset + collate (reference data.py:107-133)
+with a TPU-shaped input pipeline:
+  * manifest TSVs (Common Voice style: columns `path`, `sentence`) or a
+    LibriSpeech directory scan;
+  * duration-sorted length bucketing so a jitted step sees only a handful of
+    padded shapes (waveform length and label length each rounded up to a
+    quantum) — no per-batch recompiles, minimal padding waste;
+  * batches carry RAW waveforms; featurization happens on-device
+    (ops/features.py), so raw audio is the only H2D transfer.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Callable, Iterator
+
+import numpy as np
+
+from .audio import load_audio, synth_utterance, write_wav
+from .text import Alphabet, read_tsv
+
+
+@dataclass
+class Utterance:
+    audio_path: str
+    text: str
+    num_samples: int  # -1 if unknown until load
+
+
+@dataclass
+class Batch:
+    """One padded batch of raw audio + encoded transcripts."""
+
+    wave: np.ndarray          # (B, N) float32, zero-padded
+    num_samples: np.ndarray   # (B,) int32
+    labels: np.ndarray        # (B, L) int32, 0-padded
+    label_lens: np.ndarray    # (B,) int32
+    texts: list[str]          # reference transcripts (for eval)
+
+    @property
+    def size(self) -> int:
+        return self.wave.shape[0]
+
+
+def load_manifest(tsv_path: str, audio_dir: str | None = None) -> list[Utterance]:
+    """Common Voice style TSV (columns `path`, `sentence`) -> utterances
+    (reference Data.__init__ contract, reference data.py:118-123)."""
+    _, rows = read_tsv(tsv_path)
+    utts = []
+    for r in rows:
+        p = r["path"]
+        if audio_dir is not None and not os.path.isabs(p):
+            p = os.path.join(audio_dir, p)
+        utts.append(Utterance(audio_path=p, text=r.get("sentence", ""), num_samples=-1))
+    return utts
+
+
+def scan_librispeech(root: str) -> list[Utterance]:
+    """Scan a LibriSpeech split dir (speaker/chapter/*.trans.txt + .flac/.wav)."""
+    utts = []
+    for dirpath, _, files in os.walk(root):
+        for fn in files:
+            if fn.endswith(".trans.txt"):
+                with open(os.path.join(dirpath, fn)) as fo:
+                    for line in fo:
+                        utt_id, _, text = line.strip().partition(" ")
+                        for ext in (".flac", ".wav"):
+                            ap = os.path.join(dirpath, utt_id + ext)
+                            if os.path.exists(ap):
+                                utts.append(Utterance(ap, text.lower(), -1))
+                                break
+    return utts
+
+
+def _round_up(x: int, q: int) -> int:
+    return ((x + q - 1) // q) * q
+
+
+class BatchIterator:
+    """Length-bucketed padded batches of raw audio.
+
+    Utterances are sorted by (cached) sample count, chunked into batches, and
+    each batch padded to (rounded-up) max lengths. Batch order is shuffled
+    per epoch; within-batch composition stays bucketed, which is the standard
+    throughput/static-shape trade.
+    """
+
+    def __init__(self, utterances: list[Utterance], alphabet: Alphabet,
+                 batch_size: int, *, sample_rate: int = 16000,
+                 wave_quantum: int = 16000, label_quantum: int = 32,
+                 max_samples: int | None = None, shuffle: bool = True,
+                 drop_remainder: bool = False, seed: int = 0,
+                 loader: Callable[[str], tuple[np.ndarray, int]] | None = None):
+        self.utts = list(utterances)
+        self.alphabet = alphabet
+        self.batch_size = batch_size
+        self.sample_rate = sample_rate
+        self.wave_quantum = wave_quantum
+        self.label_quantum = label_quantum
+        self.max_samples = max_samples
+        self.shuffle = shuffle
+        self.drop_remainder = drop_remainder
+        self.rng = np.random.default_rng(seed)
+        self.loader = loader or load_audio
+        self._cache: dict[str, np.ndarray] = {}
+        self._epoch = 0
+
+    def _load(self, utt: Utterance) -> np.ndarray:
+        w = self._cache.get(utt.audio_path)
+        if w is None:
+            w, sr = self.loader(utt.audio_path)
+            if sr != self.sample_rate:
+                # lightweight linear resample (host); heavyweight corpora
+                # should be resampled offline
+                n_out = int(round(len(w) * self.sample_rate / sr))
+                w = np.interp(
+                    np.linspace(0.0, len(w) - 1.0, n_out),
+                    np.arange(len(w)), w).astype(np.float32)
+            if self.max_samples:
+                w = w[: self.max_samples]
+            utt.num_samples = len(w)
+        return w
+
+    def __len__(self) -> int:
+        n = len(self.utts)
+        return n // self.batch_size if self.drop_remainder else -(-n // self.batch_size)
+
+    def __iter__(self) -> Iterator[Batch]:
+        # ensure lengths known for bucketing (loads once; cached thereafter
+        # only if caching enabled upstream)
+        order = sorted(range(len(self.utts)),
+                       key=lambda i: (self._ensure_len(i), i))
+        chunks = [order[i : i + self.batch_size]
+                  for i in range(0, len(order), self.batch_size)]
+        if self.drop_remainder and chunks and len(chunks[-1]) < self.batch_size:
+            chunks.pop()
+        if self.shuffle:
+            self.rng.shuffle(chunks)
+        self._epoch += 1
+        for chunk in chunks:
+            yield self._make_batch([self.utts[i] for i in chunk])
+
+    def _ensure_len(self, i: int) -> int:
+        u = self.utts[i]
+        if u.num_samples < 0:
+            self._load(u)
+        return u.num_samples
+
+    def _make_batch(self, utts: list[Utterance]) -> Batch:
+        waves = [self._load(u) for u in utts]
+        lens = np.array([len(w) for w in waves], np.int32)
+        N = _round_up(max(int(lens.max()), 1), self.wave_quantum)
+        wave = np.zeros((len(utts), N), np.float32)
+        for i, w in enumerate(waves):
+            wave[i, : len(w)] = w
+
+        enc = [self.alphabet.encode(u.text) for u in utts]
+        llens = np.array([len(e) for e in enc], np.int32)
+        L = _round_up(max(int(llens.max()), 1), self.label_quantum)
+        labels = np.zeros((len(utts), L), np.int32)
+        for i, e in enumerate(enc):
+            labels[i, : len(e)] = e
+        return Batch(wave, lens, labels, llens, [u.text for u in utts])
+
+
+# ---------------------------------------------------------------------------
+# Synthetic corpus (tests + benchmarks, no external data needed)
+# ---------------------------------------------------------------------------
+
+def make_synthetic_corpus(root: str, n_utts: int = 16, seed: int = 0,
+                          sample_rate: int = 16000,
+                          min_dur: float = 0.3, max_dur: float = 1.2,
+                          words=("abba", "cad", "bad", "cab", "dada")) -> tuple[str, Alphabet]:
+    """Write a tiny on-disk corpus: clips/*.wav + train/dev/test.tsv +
+    alphabet.txt, mirroring the Common Voice layout the reference consumes
+    (reference  server.txt:1). Returns (corpus_path, alphabet)."""
+    rng = np.random.default_rng(seed)
+    clips = os.path.join(root, "clips")
+    os.makedirs(clips, exist_ok=True)
+    rows = []
+    for i in range(n_utts):
+        dur = float(rng.uniform(min_dur, max_dur))
+        wav = synth_utterance(rng, dur, sample_rate)
+        fn = f"utt{i:04d}.wav"
+        write_wav(os.path.join(clips, fn), wav, sample_rate)
+        text = " ".join(rng.choice(words) for _ in range(rng.integers(1, 4)))
+        rows.append({"path": fn, "sentence": text})
+
+    alphabet = Alphabet.from_texts([r["sentence"] for r in rows])
+    alphabet.save(os.path.join(root, "alphabet.txt"))
+
+    from .text import write_tsv
+
+    n_dev = max(1, n_utts // 8)
+    write_tsv(os.path.join(root, "train.tsv"), ["path", "sentence"], rows[: n_utts - 2 * n_dev])
+    write_tsv(os.path.join(root, "dev.tsv"), ["path", "sentence"], rows[n_utts - 2 * n_dev : n_utts - n_dev])
+    write_tsv(os.path.join(root, "test.tsv"), ["path", "sentence"], rows[n_utts - n_dev :])
+    return root, alphabet
+
+
+def synthetic_batch(rng: np.random.Generator, batch_size: int, alphabet: Alphabet,
+                    duration_s: float = 1.0, sample_rate: int = 16000,
+                    text_len: int = 12) -> Batch:
+    """In-memory synthetic batch (benchmarks / graft entry)."""
+    n = int(duration_s * sample_rate)
+    wave = np.stack([synth_utterance(rng, duration_s, sample_rate) for _ in range(batch_size)])
+    lens = np.full(batch_size, n, np.int32)
+    syms = [s for s in alphabet.symbols[1:]]
+    texts = ["".join(rng.choice(syms) for _ in range(text_len)) for _ in range(batch_size)]
+    enc = [alphabet.encode(t) for t in texts]
+    L = _round_up(text_len, 8)
+    labels = np.zeros((batch_size, L), np.int32)
+    for i, e in enumerate(enc):
+        labels[i, : len(e)] = e
+    llens = np.array([len(e) for e in enc], np.int32)
+    return Batch(wave.astype(np.float32), lens, labels, llens, texts)

@@ -23,6 +23,24 @@ def _compact_row(ids: jnp.ndarray, keep: jnp.ndarray, max_len: int):
 
 
 @jax.jit
+def collapse_frame_ids(frame_ids: jnp.ndarray, frame_mask: jnp.ndarray):
+    """CTC-collapse per-frame symbol ids: merge repeats, drop blanks, compact.
+
+    frame_ids: (B, T) int32 raw per-frame symbols (argmax or sampled path).
+    Returns (labels (B, T) 0-padded, lengths (B,)).
+    """
+    best = frame_ids.astype(jnp.int32)
+    valid = frame_mask.astype(bool)
+    prev = jnp.pad(best[:, :-1], ((0, 0), (1, 0)), constant_values=BLANK_ID)
+    # emit where symbol is non-blank and differs from the previous frame's
+    # symbol (repeats merge); frames beyond length dropped
+    keep = (best != BLANK_ID) & (best != prev) & valid
+    T = best.shape[1]
+    labels, lengths = jax.vmap(lambda i, k: _compact_row(i, k, T))(best, keep)
+    return labels, lengths.astype(jnp.int32)
+
+
+@jax.jit
 def greedy_decode(log_probs: jnp.ndarray, frame_mask: jnp.ndarray):
     """Batched greedy CTC decode.
 
@@ -34,14 +52,7 @@ def greedy_decode(log_probs: jnp.ndarray, frame_mask: jnp.ndarray):
       lengths: (B,) int32 decoded lengths.
     """
     best = jnp.argmax(log_probs, axis=-1).astype(jnp.int32)  # (B, T)
-    valid = frame_mask.astype(bool)
-    prev = jnp.pad(best[:, :-1], ((0, 0), (1, 0)), constant_values=BLANK_ID)
-    # CTC collapse: emit where symbol is non-blank and differs from previous
-    # frame's symbol (repeats merge), frames beyond length dropped.
-    keep = (best != BLANK_ID) & (best != prev) & valid
-    T = best.shape[1]
-    labels, lengths = jax.vmap(lambda i, k: _compact_row(i, k, T))(best, keep)
-    return labels, lengths.astype(jnp.int32)
+    return collapse_frame_ids(best, frame_mask)
 
 
 def ids_to_strings(labels, lengths, alphabet) -> list[str]:

@@ -1,0 +1,109 @@
+"""LSTM recurrence as jax.lax.scan, TPU-first.
+
+Design (vs the reference's cuDNN packed-sequence BiLSTM, reference
+model.py:39-44,53-55):
+  * The input projection x@W + b for ALL timesteps is hoisted out of the
+    recurrence into one large (B*T, I) x (I, 4H) matmul — MXU-shaped work.
+  * The scan body is only h@U + fused gate nonlinearities; XLA fuses the
+    elementwise gates into the recurrent matmul.
+  * Variable lengths are handled with masks (carry frozen / outputs zeroed at
+    padded steps), not packing: static shapes keep XLA happy and match
+    pad_packed_sequence semantics (padded outputs are zero).
+  * An optional Pallas fused-gate kernel (ops/pallas_lstm.py) keeps h,c and
+    the recurrent weights resident in VMEM across the whole time loop.
+
+Gate order everywhere: i, f, g, o (sigmoid, sigmoid, tanh, sigmoid).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def init_lstm_params(key, input_dim: int, hidden: int, dtype=jnp.float32) -> dict:
+    """Uniform(-1/sqrt(H), 1/sqrt(H)) init for all LSTM weights (the standard
+    recurrent init; bias starts at 0 except forget gate +1 for stable early
+    training)."""
+    k_w, k_u = jax.random.split(key)
+    bound = 1.0 / math.sqrt(hidden)
+    W = jax.random.uniform(k_w, (input_dim, 4 * hidden), dtype, -bound, bound)
+    U = jax.random.uniform(k_u, (hidden, 4 * hidden), dtype, -bound, bound)
+    b = jnp.zeros((4 * hidden,), dtype).at[hidden : 2 * hidden].set(1.0)
+    return {"W": W, "U": U, "b": b}
+
+
+def _gate_step(h, c, pre, hidden: int):
+    """Fused gate math. pre: (B, 4H) pre-activations (x-proj + h@U + b)."""
+    i = jax.nn.sigmoid(pre[:, :hidden])
+    f = jax.nn.sigmoid(pre[:, hidden : 2 * hidden])
+    g = jnp.tanh(pre[:, 2 * hidden : 3 * hidden])
+    o = jax.nn.sigmoid(pre[:, 3 * hidden :])
+    c_new = f * c + i * g
+    h_new = o * jnp.tanh(c_new)
+    return h_new, c_new
+
+
+@partial(jax.jit, static_argnames=("reverse", "hidden"))
+def lstm_scan(xp: jnp.ndarray, U: jnp.ndarray, mask: jnp.ndarray,
+              hidden: int, reverse: bool = False) -> jnp.ndarray:
+    """Run the recurrence over time.
+
+    Args:
+      xp: (B, T, 4H) precomputed input projections (x@W + b).
+      U: (H, 4H) recurrent weights.
+      mask: (B, T) 1.0 at valid steps.
+      reverse: scan right-to-left (the backward direction of a BiLSTM).
+    Returns: (B, T, H) hidden states, zeroed at padded steps.
+    """
+    B = xp.shape[0]
+    xp_t = jnp.swapaxes(xp, 0, 1)  # (T, B, 4H) time-major for scan
+    mask_t = jnp.swapaxes(mask, 0, 1)[:, :, None]  # (T, B, 1)
+
+    def step(carry, inp):
+        h, c = carry
+        x_t, m_t = inp
+        pre = x_t + jnp.dot(h, U, preferred_element_type=xp.dtype)
+        h_new, c_new = _gate_step(h, c, pre, hidden)
+        # Freeze carry at padded steps (forward: after length; reverse:
+        # before entering the valid region) and zero the emitted output.
+        h = jnp.where(m_t > 0, h_new, h)
+        c = jnp.where(m_t > 0, c_new, c)
+        return (h, c), h_new * m_t
+
+    h0 = jnp.zeros((B, hidden), xp.dtype)
+    c0 = jnp.zeros((B, hidden), xp.dtype)
+    _, ys = jax.lax.scan(step, (h0, c0), (xp_t, mask_t), reverse=reverse)
+    return jnp.swapaxes(ys, 0, 1)  # (B, T, H)
+
+
+def lstm_layer(params: dict, x: jnp.ndarray, mask: jnp.ndarray,
+               reverse: bool = False, use_pallas: bool = False) -> jnp.ndarray:
+    """Single-direction LSTM layer over a padded batch. x: (B, T, I)."""
+    hidden = params["U"].shape[0]
+    xp = jnp.einsum("bti,ih->bth", x, params["W"],
+                    preferred_element_type=x.dtype) + params["b"]
+    if use_pallas:
+        from .pallas_lstm import pallas_lstm_scan
+
+        return pallas_lstm_scan(xp, params["U"], mask, reverse=reverse)
+    return lstm_scan(xp, params["U"], mask, hidden, reverse=reverse)
+
+
+def init_bilstm_params(key, input_dim: int, hidden: int, dtype=jnp.float32) -> dict:
+    kf, kb = jax.random.split(key)
+    return {
+        "fwd": init_lstm_params(kf, input_dim, hidden, dtype),
+        "bwd": init_lstm_params(kb, input_dim, hidden, dtype),
+    }
+
+
+def bilstm_layer(params: dict, x: jnp.ndarray, mask: jnp.ndarray,
+                 use_pallas: bool = False) -> jnp.ndarray:
+    """Bidirectional layer: concat(forward scan, backward scan) -> (B, T, 2H)."""
+    fwd = lstm_layer(params["fwd"], x, mask, reverse=False, use_pallas=use_pallas)
+    bwd = lstm_layer(params["bwd"], x, mask, reverse=True, use_pallas=use_pallas)
+    return jnp.concatenate([fwd, bwd], axis=-1)

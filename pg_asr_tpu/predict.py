@@ -1,0 +1,99 @@
+"""Batch inference + scoring driver.
+
+Covers the reference predict() capability surface (reference
+model.py:277-339): load model_best, decode every test utterance (greedy or
+CTC prefix beam), score CER/WER, dump predicted.txt. TPU-first differences:
+featurization + forward + greedy decode run as one jitted batch; beam search
+is the vectorized on-device kernel (decoding/beam.py) instead of a
+per-utterance Python loop over full posteriors pulled to the host.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+
+import jax
+import numpy as np
+
+from .checkpoint import CheckpointManager, load_checkpoint
+from .config import Config
+from .data.dataset import BatchIterator, load_manifest
+from .data.text import Alphabet
+from .decoding.greedy import greedy_decode, ids_to_strings
+from .metrics import evaluate, evaluate_corpus, save_predictions
+from .models import bilstm_ctc
+from .ops.features import extract_features
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _forward(params, wave, num_samples, cfg: Config):
+    feats, mask, frame_lens = extract_features(wave, num_samples, cfg.features)
+    log_probs = bilstm_ctc.apply(params, feats, mask, cfg.model, train=False)
+    return log_probs, mask, frame_lens
+
+
+def load_model(model_path: str, alphabet: Alphabet, config: Config | None = None,
+               which: str = "best"):
+    """Load params from <model_path>/model_{best,last}.ckpt."""
+    cfg_path = os.path.join(model_path, "config.json")
+    if config is None and os.path.exists(cfg_path):
+        config = Config.from_json(open(cfg_path).read())
+    cfg = config or Config()
+    if cfg.model.vocab_size != alphabet.size or cfg.model.input_dim != cfg.features.feature_dim:
+        cfg = cfg.replace(model=cfg.model.__class__(**{
+            **cfg.model.__dict__,
+            "vocab_size": alphabet.size,
+            "input_dim": cfg.features.feature_dim,
+        }))
+    params = bilstm_ctc.init_params(jax.random.PRNGKey(0), cfg.model)
+    mgr = CheckpointManager(model_path)
+    path = mgr.best_path if which == "best" else mgr.last_path
+    if not os.path.exists(path):
+        raise FileNotFoundError(f"no checkpoint at {path}")
+    tpl = {"params": params}
+    state = load_checkpoint(path, tpl)  # tolerant: loads matching subtree
+    return state["params"], cfg
+
+
+def predict(test_path: str, aud_path: str, alphabet_path: str, model_path: str,
+            batch_size: int = 32, config: Config | None = None,
+            decoder: str = "greedy", beam_size: int | None = None,
+            which_ckpt: str = "best", limit: int | None = None) -> dict:
+    """Decode a test manifest and report CER/WER (+ predicted.txt dump)."""
+    alphabet = Alphabet.load(alphabet_path)
+    params, cfg = load_model(model_path, alphabet, config, which=which_ckpt)
+    beam_size = beam_size or cfg.decode.beam_size
+
+    utts = load_manifest(test_path, aud_path)
+    if limit:
+        utts = utts[:limit]
+    it = BatchIterator(utts, alphabet, batch_size, shuffle=False,
+                       sample_rate=cfg.features.sample_rate)
+
+    targets: list[str] = []
+    predicted: list[str] = []
+    for batch in it:
+        log_probs, mask, frame_lens = _forward(params, batch.wave,
+                                               batch.num_samples, cfg)
+        if decoder == "greedy":
+            labels, lens = greedy_decode(log_probs, mask)
+            hyps = ids_to_strings(labels, lens, alphabet)
+        elif decoder == "beam":
+            from .decoding.beam import beam_decode
+
+            labels, lens, _ = beam_decode(log_probs, frame_lens,
+                                          beam_size=beam_size,
+                                          max_label_len=cfg.decode.max_label_len)
+            hyps = ids_to_strings(labels, lens, alphabet)
+        else:
+            raise ValueError(f"unknown decoder {decoder!r}")
+        targets.extend(batch.texts)
+        predicted.extend(hyps)
+
+    save_predictions(targets, predicted, model_path)
+    stats = evaluate_corpus(targets, predicted)
+    print(f"CER: {stats['cer_mean']:.4f} WER: {stats['wer_mean']:.4f} "
+          f"(corpus: cer={stats['cer']:.4f} wer={stats['wer']:.4f}, "
+          f"{stats['num_utts']} utts)")
+    return stats

@@ -1,0 +1,206 @@
+"""REINFORCE policy-gradient fine-tuning over sampled CTC alignment paths.
+
+This is the training loop the reference only sketched — its reward() is
+never imported anywhere (SURVEY.md §3.5). Full on-chip pipeline per step:
+
+  1. forward: waveform -> features -> BiLSTM -> per-frame log-posteriors
+  2. sample S alignment paths per utterance from the per-frame categorical
+     (temperature-scaled), with jax.random — on chip
+  3. CTC-collapse each path to a label sequence (vectorized, on chip)
+  4. reward: negative CER via the on-chip edit-distance DP, or the
+     reference-style per-step ED-delta reward (rl/reward.py)
+  5. advantage: reward minus a greedy-decode (self-critical) or mean
+     baseline
+  6. REINFORCE gradient on the masked per-frame log-probs of the sampled
+     path, plus entropy regularization and a supervised CTC anchor
+
+Everything inside one jitted, donated train step; no host round-trips.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..checkpoint import CheckpointManager, load_checkpoint
+from ..config import Config
+from ..data.dataset import BatchIterator, load_manifest
+from ..data.text import Alphabet
+from ..decoding.greedy import collapse_frame_ids, greedy_decode
+from ..models import bilstm_ctc
+from ..ops.ctc import ctc_loss_mean
+from ..ops.features import extract_features
+from ..parallel.mesh import make_mesh, replicate, shard_batch_arrays
+from ..utils.logging import StepLogger
+from .reward import sequence_reward, stepwise_reward
+
+
+def _sample_paths(rng, log_probs, num_samples: int, temperature: float):
+    """(S, B, T) alignment paths ~ Categorical(log_probs / temperature)."""
+    logits = log_probs / jnp.maximum(temperature, 1e-6)
+    keys = jax.random.split(rng, num_samples)
+    return jax.vmap(lambda k: jax.random.categorical(k, logits))(keys)
+
+
+def _path_rewards(paths, frame_mask, labels, label_lens, kind: str):
+    """Collapse sampled paths and score them. paths: (S, B, T).
+    Returns (R (S,B), frame_r (S,B,T) or None, hyp_lens (S,B))."""
+    S, B, T = paths.shape
+    flat = paths.reshape(S * B, T)
+    fmask = jnp.tile(frame_mask, (S, 1))
+    hyp, hyp_lens = collapse_frame_ids(flat, fmask)  # (S*B, T), (S*B,)
+    ref = jnp.tile(labels, (S, 1))
+    ref_lens = jnp.tile(label_lens, (S,))
+
+    if kind == "stepwise_ed":
+        r_steps = stepwise_reward(ref, ref_lens, hyp, hyp_lens)  # (S*B, T)
+        # scatter per-emission rewards back onto the frames that emitted them
+        prev = jnp.pad(flat[:, :-1], ((0, 0), (1, 0)))
+        keep = (flat != 0) & (flat != prev) & (fmask > 0)
+        pos = jnp.cumsum(keep, axis=1) - 1
+        frame_r = jnp.take_along_axis(r_steps, jnp.clip(pos, 0, T - 1), axis=1)
+        frame_r = frame_r * keep
+        R = jnp.sum(frame_r, axis=1) / jnp.maximum(ref_lens.astype(jnp.float32), 1.0)
+        return (R.reshape(S, B), frame_r.reshape(S, B, T) /
+                jnp.maximum(ref_lens.astype(jnp.float32), 1.0).reshape(S, B, 1),
+                hyp_lens.reshape(S, B))
+
+    R = sequence_reward(ref, ref_lens, hyp, hyp_lens)  # (S*B,) = -CER
+    return R.reshape(S, B), None, hyp_lens.reshape(S, B)
+
+
+def pg_loss_fn(params, wave, num_samples_arr, labels, label_lens, rng,
+               cfg: Config):
+    """Scalar PG loss + aux metrics dict."""
+    rl = cfg.rl
+    feats, mask, frame_lens = extract_features(wave, num_samples_arr, cfg.features)
+    log_probs = bilstm_ctc.apply(params, feats, mask, cfg.model, train=False)
+    B, T, A = log_probs.shape
+
+    paths = _sample_paths(rng, jax.lax.stop_gradient(log_probs),
+                          rl.num_samples, rl.temperature)  # (S, B, T)
+    R, frame_r, _ = _path_rewards(paths, mask, labels, label_lens, rl.reward)
+    R = jax.lax.stop_gradient(R)
+
+    # baseline
+    if rl.baseline == "greedy":
+        greedy_ids, greedy_lens = greedy_decode(log_probs, mask)
+        base = sequence_reward(labels, label_lens, greedy_ids, greedy_lens)  # (B,)
+        base = jax.lax.stop_gradient(base)[None, :]
+    elif rl.baseline == "mean":
+        base = jnp.mean(R, axis=0, keepdims=True)
+    else:
+        base = jnp.zeros((1, 1), log_probs.dtype)
+
+    # log-prob of each sampled path, per frame
+    lp_path = jnp.take_along_axis(
+        log_probs[None], paths[..., None], axis=-1)[..., 0]  # (S, B, T)
+    lp_path = lp_path * mask[None, :, :]
+
+    if rl.reward == "stepwise_ed" and frame_r is not None:
+        # per-step credit: advantage localized to emitting frames (the
+        # remaining frames carry the sequence-level advantage via R - base)
+        adv = jax.lax.stop_gradient(frame_r - (base / jnp.maximum(
+            jnp.sum(mask, 1), 1.0)[None, :, None]))
+        pg = -jnp.sum(adv * lp_path) / jnp.maximum(jnp.sum(mask) * rl.num_samples, 1.0)
+    else:
+        adv = (R - base)  # (S, B)
+        seq_lp = jnp.sum(lp_path, axis=2) / jnp.maximum(jnp.sum(mask, 1)[None], 1.0)
+        pg = -jnp.mean(adv * seq_lp)
+
+    # entropy bonus over valid frames (keeps the policy from collapsing)
+    ent = -jnp.sum(jnp.exp(log_probs) * log_probs, axis=-1)  # (B, T)
+    ent = jnp.sum(ent * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+
+    loss = pg - rl.entropy_weight * ent
+    if rl.ctc_mix_weight > 0:
+        loss = loss + rl.ctc_mix_weight * ctc_loss_mean(
+            log_probs, frame_lens, labels, label_lens)
+
+    metrics = {
+        "reward_mean": jnp.mean(R),
+        "baseline_mean": jnp.mean(base),
+        "advantage_mean": jnp.mean(R - base),
+        "entropy": ent,
+    }
+    return loss, metrics
+
+
+def make_pg_step(cfg: Config, optimizer) -> Callable:
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def pg_step(params, opt_state, rng, wave, ns, labels, label_lens):
+        rng, sample_rng = jax.random.split(rng)
+        (loss, metrics), grads = jax.value_and_grad(pg_loss_fn, has_aux=True)(
+            params, wave, ns, labels, label_lens, sample_rng, cfg)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, rng, loss, metrics
+
+    return pg_step
+
+
+def finetune_pg(corpus_path: str, model_path: str, num_steps: int = 200,
+                batch_size: int | None = None, config: Config | None = None,
+                eval_every: int = 50) -> dict:
+    """Policy-gradient fine-tune from the supervised checkpoint in
+    <model_path> (BASELINE config 3)."""
+    from ..predict import load_model  # late import to avoid cycles
+
+    cfg = config or Config()
+    if batch_size:
+        cfg = cfg.replace(train=cfg.train.__class__(
+            **{**cfg.train.__dict__, "batch_size": batch_size}))
+
+    alphabet = Alphabet.load(os.path.join(corpus_path, "alphabet.txt"))
+    params, cfg = load_model(model_path, alphabet, cfg, which="best")
+
+    aud = os.path.join(corpus_path, "clips")
+    it = BatchIterator(load_manifest(os.path.join(corpus_path, "train.tsv"), aud),
+                       alphabet, cfg.train.batch_size,
+                       sample_rate=cfg.features.sample_rate, seed=cfg.train.seed)
+
+    mesh = make_mesh(cfg.train.mesh_shape, cfg.train.mesh_axes)
+    optimizer = optax.chain(
+        optax.clip_by_global_norm(cfg.train.grad_clip),
+        optax.adamw(cfg.train.learning_rate * 0.1),  # gentler than supervised
+    )
+    opt_state = optimizer.init(params)
+    params = replicate(params, mesh)
+    opt_state = replicate(opt_state, mesh)
+    pg_step = make_pg_step(cfg, optimizer)
+    ckpt = CheckpointManager(model_path)
+    logger = StepLogger(model_path)
+    rng = jax.random.PRNGKey(cfg.train.seed + 17)
+
+    rewards = []
+    step = 0
+    t0 = time.time()
+    while step < num_steps:
+        for batch in it:
+            arrays = shard_batch_arrays(
+                (batch.wave, batch.num_samples, batch.labels, batch.label_lens), mesh)
+            params, opt_state, rng, loss, metrics = pg_step(
+                params, opt_state, rng, *arrays)
+            step += 1
+            rewards.append(float(metrics["reward_mean"]))
+            if step % 10 == 0:
+                logger.log(step=step, pg_loss=float(loss),
+                           reward=float(metrics["reward_mean"]),
+                           entropy=float(metrics["entropy"]))
+            if step >= num_steps:
+                break
+
+    np.save(os.path.join(model_path, "pg_rewards.npy"), np.array(rewards))
+    ckpt.save({"params": params, "opt_state": opt_state, "step": step,
+               "epoch": -1, "best_val_loss": ckpt.best_val},
+              val_loss=-float(np.mean(rewards[-10:])))
+    print(f"[pg] {step} steps, final reward {np.mean(rewards[-10:]):.4f} "
+          f"({time.time()-t0:.1f}s)")
+    return {"rewards": rewards, "params": params, "config": cfg}

@@ -1,0 +1,205 @@
+"""Supervised CTC training driver.
+
+Covers the reference train() capability surface (reference model.py:186-274)
+— epoch loop, per-epoch validation, best/last checkpointing, train_loss.npy /
+val_losses.npy artifacts — re-designed TPU-first:
+  * the ENTIRE step (featurization -> model -> CTC loss -> grads -> Adam
+    update) is one jitted, donated function; raw audio is the only H2D
+    transfer and the scalar loss the only D2H;
+  * batches are length-bucketed to a few static shapes (no per-batch
+    recompiles);
+  * SPMD data parallelism comes from sharding the batch over the mesh
+    ('data' axis); XLA inserts the psum for grads over ICI
+    (parallel/mesh.py) — the TPU-native replacement for nn.DataParallel
+    (reference model.py:201).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from .checkpoint import CheckpointManager
+from .config import Config
+from .data.dataset import Batch, BatchIterator, load_manifest
+from .data.text import Alphabet
+from .models import bilstm_ctc
+from .ops.ctc import ctc_loss_mean
+from .ops.features import extract_features
+from .parallel.mesh import make_mesh, shard_batch_arrays, replicate
+from .utils.logging import StepLogger
+
+
+def make_optimizer(cfg: Config) -> optax.GradientTransformation:
+    t = cfg.train
+    if t.warmup_steps > 0:
+        schedule = optax.linear_schedule(0.0, t.learning_rate, t.warmup_steps)
+    else:
+        schedule = t.learning_rate
+    return optax.chain(
+        optax.clip_by_global_norm(t.grad_clip),
+        optax.adamw(schedule, weight_decay=t.weight_decay),
+    )
+
+
+def compute_loss(params, wave, num_samples, labels, label_lens, cfg: Config,
+                 train: bool, dropout_rng=None):
+    feats, mask, frame_lens = extract_features(wave, num_samples, cfg.features)
+    log_probs = bilstm_ctc.apply(params, feats, mask, cfg.model,
+                                 train=train, dropout_rng=dropout_rng)
+    return ctc_loss_mean(log_probs, frame_lens, labels, label_lens)
+
+
+def make_train_step(cfg: Config, optimizer) -> Callable:
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def train_step(params, opt_state, rng, wave, num_samples, labels, label_lens):
+        rng, dropout_rng = jax.random.split(rng)
+
+        def loss_fn(p):
+            return compute_loss(p, wave, num_samples, labels, label_lens,
+                                cfg, train=True, dropout_rng=dropout_rng)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, rng, loss
+
+    return train_step
+
+
+def make_eval_step(cfg: Config) -> Callable:
+    @jax.jit
+    def eval_step(params, wave, num_samples, labels, label_lens):
+        return compute_loss(params, wave, num_samples, labels, label_lens,
+                            cfg, train=False)
+
+    return eval_step
+
+
+def _batch_arrays(batch: Batch):
+    return (batch.wave, batch.num_samples, batch.labels, batch.label_lens)
+
+
+def train(corpus_path: str, model_path: str, num_epochs: int | None = None,
+          batch_size: int | None = None, device=None, config: Config | None = None,
+          resume: bool = True, max_steps_per_epoch: int | None = None) -> dict:
+    """Train a BiLSTM-CTC model on a corpus directory (train.tsv / dev.tsv /
+    clips/ / alphabet.txt — the layout the reference consumes).
+
+    Returns a summary dict with loss curves and checkpoint paths.
+    """
+    cfg = config or Config()
+    if num_epochs is not None:
+        cfg = cfg.replace(train=cfg.train.__class__(**{**cfg.train.__dict__, "num_epochs": num_epochs}))
+    if batch_size is not None:
+        cfg = cfg.replace(train=cfg.train.__class__(**{**cfg.train.__dict__, "batch_size": batch_size}))
+
+    alphabet = Alphabet.load(os.path.join(corpus_path, "alphabet.txt"))
+    if cfg.model.vocab_size != alphabet.size or cfg.model.input_dim != cfg.features.feature_dim:
+        cfg = cfg.replace(model=cfg.model.__class__(**{
+            **cfg.model.__dict__,
+            "vocab_size": alphabet.size,
+            "input_dim": cfg.features.feature_dim,
+        }))
+
+    aud_path = os.path.join(corpus_path, "clips")
+    train_it = BatchIterator(
+        load_manifest(os.path.join(corpus_path, "train.tsv"), aud_path),
+        alphabet, cfg.train.batch_size, sample_rate=cfg.features.sample_rate,
+        seed=cfg.train.seed)
+    dev_tsv = os.path.join(corpus_path, "dev.tsv")
+    dev_it = None
+    if os.path.exists(dev_tsv):
+        dev_it = BatchIterator(load_manifest(dev_tsv, aud_path), alphabet,
+                               cfg.train.batch_size, shuffle=False,
+                               sample_rate=cfg.features.sample_rate)
+
+    mesh = make_mesh(cfg.train.mesh_shape, cfg.train.mesh_axes)
+    rng = jax.random.PRNGKey(cfg.train.seed)
+    rng, init_rng = jax.random.split(rng)
+    params = bilstm_ctc.init_params(init_rng, cfg.model)
+    optimizer = make_optimizer(cfg)
+    opt_state = optimizer.init(params)
+
+    ckpt = CheckpointManager(model_path)
+    ckpt.save_config(cfg.to_json())
+    start_epoch = 1
+    state_tpl = {"params": params, "opt_state": opt_state, "step": 0,
+                 "epoch": 0, "best_val_loss": float("inf")}
+    if resume:
+        restored = ckpt.try_restore(state_tpl)
+        if restored is not None:
+            params, opt_state = restored["params"], restored["opt_state"]
+            start_epoch = int(restored["epoch"]) + 1
+            print(f"[train] resumed from epoch {restored['epoch']} "
+                  f"(best val {ckpt.best_val:.4f})")
+
+    params = replicate(params, mesh)
+    opt_state = replicate(opt_state, mesh)
+    train_step = make_train_step(cfg, optimizer)
+    eval_step = make_eval_step(cfg)
+    logger = StepLogger(model_path)
+
+    train_losses: list[float] = []
+    val_losses: list[float] = []
+    step = 0
+    for epoch in range(start_epoch, cfg.train.num_epochs + 1):
+        epoch_loss, n_batches = 0.0, 0
+        t0 = time.time()
+        for batch in train_it:
+            arrays = shard_batch_arrays(_batch_arrays(batch), mesh)
+            params, opt_state, rng, loss = train_step(params, opt_state, rng, *arrays)
+            step += 1
+            n_batches += 1
+            loss_val = float(loss)
+            epoch_loss += loss_val
+            if step % cfg.train.log_every == 0:
+                logger.log(step=step, epoch=epoch, loss=loss_val,
+                           utts_per_sec=batch.size * n_batches / (time.time() - t0))
+            if max_steps_per_epoch and n_batches >= max_steps_per_epoch:
+                break
+        mean_train = epoch_loss / max(n_batches, 1)
+        train_losses.append(mean_train)
+        np.save(os.path.join(model_path, "train_loss.npy"), np.array(train_losses))
+
+        cur_val = None
+        if dev_it is not None and epoch % cfg.train.eval_every_epochs == 0:
+            tot, n = 0.0, 0
+            for batch in dev_it:
+                arrays = shard_batch_arrays(_batch_arrays(batch), mesh)
+                tot += float(eval_step(params, *arrays))
+                n += 1
+            cur_val = tot / max(n, 1)
+            val_losses.append(cur_val)
+            np.save(os.path.join(model_path, "val_losses.npy"), np.array(val_losses))
+
+        dt = time.time() - t0
+        print(f"[train] epoch {epoch}/{cfg.train.num_epochs} "
+              f"train_loss={mean_train:.4f}"
+              + (f" val_loss={cur_val:.4f}" if cur_val is not None else "")
+              + f" ({dt:.1f}s, {n_batches} steps)")
+
+        is_best = ckpt.save(
+            {"params": params, "opt_state": opt_state, "step": step,
+             "epoch": epoch, "best_val_loss": ckpt.best_val},
+            val_loss=cur_val if cur_val is not None else mean_train)
+        if is_best:
+            print(f"[train] new best checkpoint (val {ckpt.best_val:.4f})")
+
+    return {
+        "train_losses": train_losses,
+        "val_losses": val_losses,
+        "steps": step,
+        "best_path": ckpt.best_path,
+        "last_path": ckpt.last_path,
+        "config": cfg,
+        "alphabet": alphabet,
+        "params": params,
+    }
