@@ -1,0 +1,180 @@
+"""Benchmark: supervised CTC training throughput (utterances/sec) on the
+default device (TPU under the driver; CPU in dev), compared against a
+PyTorch-CPU reference model of the same architecture — the BASELINE.md
+comparison floor ("≥10x utterances/sec over the PyTorch CPU reference").
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "utts/sec", "vs_baseline": ratio, ...}
+
+The torch-CPU baseline is measured once and cached in BASELINE_MEASURED.json
+(committed) so repeat runs don't pay the torch cost; pass --remeasure to
+refresh it. Extra fields beyond the required four are informational.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+CACHE = os.path.join(REPO, "BASELINE_MEASURED.json")
+
+# Benchmark workload: LibriSpeech-ish supervised CTC training step.
+BATCH = 16
+AUDIO_SECONDS = 5.0
+SAMPLE_RATE = 16000
+LABEL_LEN = 64
+VOCAB = 32
+WARMUP_STEPS = 2
+TIMED_STEPS = 8
+
+
+def _workload(rng):
+    n = int(AUDIO_SECONDS * SAMPLE_RATE)
+    wave = (rng.standard_normal((BATCH, n)) * 0.1).astype(np.float32)
+    ns = np.full((BATCH,), n, np.int32)
+    labels = rng.integers(1, VOCAB, (BATCH, LABEL_LEN)).astype(np.int32)
+    label_lens = np.full((BATCH,), LABEL_LEN, np.int32)
+    return wave, ns, labels, label_lens
+
+
+def bench_ours() -> dict:
+    import jax
+
+    from pg_asr_tpu.config import Config, FeatureConfig, ModelConfig, TrainConfig
+    from pg_asr_tpu.models import bilstm_ctc
+    from pg_asr_tpu.parallel.mesh import make_mesh, replicate, shard_batch_arrays
+    from pg_asr_tpu.train import make_optimizer, make_train_step
+
+    cfg = Config(
+        features=FeatureConfig(kind="logmel", n_mels=80),
+        model=ModelConfig(vocab_size=VOCAB, input_dim=80, input_proj_dim=512,
+                          hidden_size=256, num_layers=3, dropout=0.1),
+        train=TrainConfig(batch_size=BATCH, warmup_steps=0),
+    )
+    rng_np = np.random.default_rng(0)
+    wave, ns, labels, label_lens = _workload(rng_np)
+
+    mesh = make_mesh()
+    params = bilstm_ctc.init_params(jax.random.PRNGKey(0), cfg.model)
+    opt = make_optimizer(cfg)
+    opt_state = opt.init(params)
+    params = replicate(params, mesh)
+    opt_state = replicate(opt_state, mesh)
+    step = make_train_step(cfg, opt)
+    arrays = shard_batch_arrays((wave, ns, labels, label_lens), mesh)
+    rng = jax.random.PRNGKey(0)
+
+    t_compile0 = time.time()
+    for _ in range(WARMUP_STEPS):
+        params, opt_state, rng, loss = step(params, opt_state, rng, *arrays)
+    jax.block_until_ready(loss)
+    compile_s = time.time() - t_compile0
+
+    t0 = time.time()
+    for _ in range(TIMED_STEPS):
+        params, opt_state, rng, loss = step(params, opt_state, rng, *arrays)
+    jax.block_until_ready(loss)
+    dt = time.time() - t0
+    utts_per_sec = BATCH * TIMED_STEPS / dt
+    return {
+        "utts_per_sec": utts_per_sec,
+        "step_ms": 1000.0 * dt / TIMED_STEPS,
+        "compile_s": compile_s,
+        "loss": float(loss),
+        "backend": jax.default_backend(),
+        "device": str(jax.devices()[0]),
+    }
+
+
+def bench_torch_cpu(timed_steps: int = 2) -> dict:
+    """Equivalent-architecture PyTorch model on CPU: log-mel frontend proxy
+    (precomputed features — generous to torch), 3x BiLSTM(256) + CTC."""
+    import torch
+
+    torch.set_num_threads(os.cpu_count() or 1)
+    T = int(AUDIO_SECONDS * SAMPLE_RATE) // 200 + 1  # hop 200 -> frames
+    F = 80
+
+    class Model(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.proj = torch.nn.Linear(F, 512)
+            self.lstm = torch.nn.LSTM(512, 256, num_layers=3, batch_first=True,
+                                      bidirectional=True, dropout=0.1)
+            self.head = torch.nn.Linear(512, VOCAB)
+
+        def forward(self, x):
+            x = torch.nn.functional.leaky_relu(self.proj(x))
+            x, _ = self.lstm(x)
+            return torch.nn.functional.log_softmax(self.head(x), dim=-1)
+
+    model = Model()
+    optim = torch.optim.AdamW(model.parameters(), lr=5e-4)
+    rng = np.random.default_rng(0)
+    feats = torch.tensor(rng.standard_normal((BATCH, T, F)).astype(np.float32))
+    labels = torch.tensor(rng.integers(1, VOCAB, (BATCH, LABEL_LEN)).astype(np.int64))
+    in_lens = torch.full((BATCH,), T, dtype=torch.long)
+    lab_lens = torch.full((BATCH,), LABEL_LEN, dtype=torch.long)
+
+    def one_step():
+        optim.zero_grad()
+        lp = model(feats).permute(1, 0, 2)
+        loss = torch.nn.functional.ctc_loss(lp, labels, in_lens, lab_lens, blank=0)
+        loss.backward()
+        optim.step()
+        return float(loss)
+
+    one_step()  # warmup
+    t0 = time.time()
+    for _ in range(timed_steps):
+        one_step()
+    dt = time.time() - t0
+    return {
+        "utts_per_sec": BATCH * timed_steps / dt,
+        "step_ms": 1000.0 * dt / timed_steps,
+        "threads": torch.get_num_threads(),
+    }
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--remeasure", action="store_true",
+                    help="re-run the torch CPU baseline")
+    args = ap.parse_args()
+
+    baseline = None
+    if not args.remeasure and os.path.exists(CACHE):
+        with open(CACHE) as fo:
+            baseline = json.load(fo)
+    if baseline is None:
+        baseline = bench_torch_cpu()
+        baseline["workload"] = {
+            "batch": BATCH, "audio_s": AUDIO_SECONDS, "label_len": LABEL_LEN,
+            "vocab": VOCAB, "arch": "3xBiLSTM256+CTC",
+        }
+        with open(CACHE, "w") as fo:
+            json.dump(baseline, fo, indent=2)
+
+    ours = bench_ours()
+    result = {
+        "metric": "train_throughput_bilstm_ctc",
+        "value": round(ours["utts_per_sec"], 3),
+        "unit": "utts/sec",
+        "vs_baseline": round(ours["utts_per_sec"] / baseline["utts_per_sec"], 3),
+        "step_ms": round(ours["step_ms"], 2),
+        "baseline_utts_per_sec": round(baseline["utts_per_sec"], 3),
+        "backend": ours["backend"],
+    }
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,173 @@
+"""Vectorized on-device CTC prefix beam search.
+
+The reference decodes per utterance on the host: a Python dict-of-prefixes
+triple loop over (time x vocab x beam) on numpy posteriors pulled off-device
+(reference model.py:317-324, CTCdecoder.py:63-113). Here the whole search is
+a fixed-shape lax.scan over frames, vmapped over the batch, running on TPU:
+
+  state per utterance: K prefixes as (K, Lmax) id rows + lengths, with
+  (log p ending-in-blank, log p ending-in-non-blank) per beam slot.
+
+  per frame:
+    * "stay" candidates: same prefix — blank emission moves total mass into
+      p_b; repeating the final symbol moves p_nb mass into p_nb;
+    * "extend" candidates: prefix + s for every non-blank s — from total
+      mass if s differs from the last symbol, else only from the blank-
+      terminated mass (CTC repeat-merge rule);
+    * MERGE: an extend candidate (k, s) that reproduces an existing beam
+      prefix j (prefix_j == prefix_k + s) must fold its mass into j rather
+      than duplicate it. Because beam prefixes are distinct, extend
+      candidates can only collide with *stay* candidates, and the collision
+      pattern is the (K, K) "j extends k by one symbol" matrix computed with
+      masked equality over the prefix buffer — all VPU work;
+    * top-K by logaddexp(p_b, p_nb) via lax.top_k (the oracle's sort key,
+      reference CTCdecoder.py:110-113).
+
+Semantics match decoding/host_beam.py (and the reference oracle) exactly on
+non-degenerate inputs; parity is tested against both.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+NEG = -1.0e30
+
+
+def _lae(a, b):
+    return jnp.logaddexp(a, b)
+
+
+def _step(state, lp, *, K: int, A: int, Lmax: int, blank: int):
+    """One frame update for one utterance.
+
+    state: (prefixes (K, Lmax) i32, lens (K,) i32, p_b (K,), p_nb (K,))
+    lp: (A,) log-probs at this frame.
+    """
+    prefixes, lens, p_b, p_nb = state
+    total = _lae(p_b, p_nb)  # (K,)
+    valid = total > NEG / 2
+
+    last = jnp.where(
+        lens > 0,
+        jnp.take_along_axis(prefixes, jnp.maximum(lens - 1, 0)[:, None],
+                            axis=1)[:, 0],
+        -1,
+    )  # (K,) last symbol or -1 for empty prefix
+
+    # ---- stay candidates -------------------------------------------------
+    stay_pb = total + lp[blank]                                   # blank case
+    stay_pnb = jnp.where(last >= 0, p_nb + lp[last], NEG)         # repeat-merge
+    stay_pb = jnp.where(valid, stay_pb, NEG)
+    stay_pnb = jnp.where(valid, stay_pnb, NEG)
+
+    # ---- extend candidates (K, A) ----------------------------------------
+    syms = jnp.arange(A)
+    is_last = syms[None, :] == last[:, None]                      # (K, A)
+    src = jnp.where(is_last, p_b[:, None], total[:, None])        # repeat rule
+    ext_pnb = src + lp[None, :]                                   # (K, A)
+    ext_pnb = jnp.where(syms[None, :] == blank, NEG, ext_pnb)
+    ext_pnb = jnp.where(valid[:, None], ext_pnb, NEG)
+    ext_pnb = jnp.where((lens >= Lmax)[:, None], NEG, ext_pnb)    # cap length
+
+    # ---- merge extend->stay collisions ------------------------------------
+    # E[j, k] = prefix_j == prefix_k + (last_j,)
+    pos = jnp.arange(Lmax)[None, None, :]
+    eq = prefixes[:, None, :] == prefixes[None, :, :]             # (K, K, L)
+    keep = pos < lens[None, :, None]                              # k's length
+    shares_stem = jnp.all(eq | ~keep, axis=2)                     # (K, K)
+    E = (
+        (lens[:, None] == lens[None, :] + 1)
+        & shares_stem
+        & valid[:, None] & valid[None, :]
+        & (last[:, None] >= 0)
+    )
+    # mass flowing from extend (k, last_j) into stay j
+    C = jnp.where(E, ext_pnb[:, jnp.maximum(last, 0)].T, NEG)     # (j, k)
+    merged_in = jax.nn.logsumexp(C, axis=1, where=None)           # may be -inf
+    merged_in = jnp.where(jnp.any(E, axis=1), merged_in, NEG)
+    stay_pnb = _lae(stay_pnb, jnp.maximum(merged_in, NEG))
+
+    # kill merged extend candidates: kill[k, s] = exists j with E[j,k], last_j==s
+    onehot_last = jax.nn.one_hot(jnp.maximum(last, 0), A, dtype=jnp.float32)
+    onehot_last = onehot_last * (last >= 0)[:, None]
+    kill = (E.astype(jnp.float32).T @ onehot_last) > 0            # (K, A)
+    ext_pnb = jnp.where(kill, NEG, ext_pnb)
+
+    # ---- top-K over K stay + K*A extend candidates ------------------------
+    cand_pb = jnp.concatenate([stay_pb, jnp.full((K * A,), NEG)])
+    cand_pnb = jnp.concatenate([stay_pnb, ext_pnb.reshape(-1)])
+    scores = _lae(cand_pb, cand_pnb)
+    top_scores, top_idx = jax.lax.top_k(scores, K)
+
+    is_stay = top_idx < K
+    parent = jnp.where(is_stay, top_idx, (top_idx - K) // A)      # (K,)
+    sym = jnp.where(is_stay, 0, (top_idx - K) % A)
+
+    new_prefixes = prefixes[parent]                               # (K, Lmax)
+    new_lens = lens[parent]
+    write_pos = jnp.arange(Lmax)[None, :] == new_lens[:, None]
+    ext_mask = (~is_stay)[:, None] & write_pos
+    new_prefixes = jnp.where(ext_mask, sym[:, None], new_prefixes)
+    new_lens = new_lens + (~is_stay).astype(new_lens.dtype)
+
+    new_pb = cand_pb[top_idx]
+    new_pnb = cand_pnb[top_idx]
+    # dead slots stay dead
+    dead = top_scores <= NEG / 2
+    new_pb = jnp.where(dead, NEG, new_pb)
+    new_pnb = jnp.where(dead, NEG, new_pnb)
+    new_lens = jnp.where(dead, 0, new_lens)
+    new_prefixes = jnp.where(dead[:, None], 0, new_prefixes)
+    return (new_prefixes, new_lens, new_pb, new_pnb)
+
+
+def _decode_one(log_probs, frame_len, *, K: int, A: int, Lmax: int, blank: int):
+    """(T, A) log-probs -> (best prefix (Lmax,), len, nll, beam state)."""
+    T = log_probs.shape[0]
+    prefixes = jnp.zeros((K, Lmax), jnp.int32)
+    lens = jnp.zeros((K,), jnp.int32)
+    p_b = jnp.full((K,), NEG).at[0].set(0.0)
+    p_nb = jnp.full((K,), NEG)
+
+    def body(state, inp):
+        lp, t = inp
+        new_state = _step(state, lp, K=K, A=A, Lmax=Lmax, blank=blank)
+        state = jax.tree_util.tree_map(
+            lambda n, o: jnp.where(t < frame_len, n, o), new_state, state)
+        return state, None
+
+    ts = jnp.arange(T)
+    (prefixes, lens, p_b, p_nb), _ = jax.lax.scan(
+        body, (prefixes, lens, p_b, p_nb), (log_probs, ts))
+
+    scores = _lae(p_b, p_nb)
+    best = jnp.argmax(scores)
+    return prefixes[best], lens[best], -scores[best], (prefixes, lens, scores)
+
+
+@partial(jax.jit, static_argnames=("beam_size", "max_label_len", "blank"))
+def beam_decode(log_probs: jnp.ndarray, frame_lens: jnp.ndarray,
+                beam_size: int = 16, max_label_len: int = 256,
+                blank: int = 0):
+    """Batched CTC prefix beam search on device.
+
+    Args:
+      log_probs: (B, T, A) per-frame log-posteriors.
+      frame_lens: (B,) valid frame counts.
+    Returns:
+      labels: (B, max_label_len) int32 best prefixes (0-padded),
+      lens: (B,) int32,
+      nll: (B,) float32 negative log-likelihood of the best prefix.
+    """
+    B, T, A = log_probs.shape
+    Lmax = min(max_label_len, T)
+    fn = partial(_decode_one, K=beam_size, A=A, Lmax=Lmax, blank=blank)
+    labels, lens, nll, _ = jax.vmap(fn)(log_probs.astype(jnp.float32),
+                                        frame_lens.astype(jnp.int32))
+    if Lmax < max_label_len:
+        labels = jnp.pad(labels, ((0, 0), (0, max_label_len - Lmax)))
+    return labels, lens, nll

@@ -1,0 +1,122 @@
+"""Attention seq2seq (LAS-style) model family.
+
+The reference's *intended* second model: its active decoder is unfinished
+(returns None, reference model.py:117) and the complete variant lives in a
+commented-out block whose contract is embed(A,128) -> LSTM(128->H) teacher-
+forced, dot-product attention over encoder states, Linear(2H -> A),
+log_softmax, producing (B, T_dec, A) log-probs (reference model.py:123-173,
+SURVEY.md #9). This is a working TPU-first realization of that contract:
+
+  * teacher-forced decoding runs the decoder LSTM over ALL steps with one
+    lax.scan, then computes attention for every step as ONE batched matmul
+    (B, Td, H) x (B, H, Te) on the MXU + masked softmax — not a per-step
+    Python loop over encoder positions (the reference's worst hot loop,
+    reference model.py:68-91);
+  * inputs are shift-right teacher forcing (BOS = pad id 0), fixing the
+    reference's same-position identity-copy degeneracy;
+  * step-wise greedy inference is a lax.scan over decode steps carrying the
+    LSTM state.
+
+Encoder: the same BiLSTM stack as the flagship CTC model.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ModelConfig, Seq2SeqConfig
+from ..ops.lstm import _gate_step, init_lstm_params, lstm_scan
+from .bilstm_ctc import init_linear, linear, normalize_features, init_params as init_encoder_params
+from ..ops.lstm import bilstm_layer
+
+
+def init_params(key, enc_cfg: ModelConfig, dec_cfg: Seq2SeqConfig) -> dict:
+    k_enc, k_emb, k_lstm, k_out = jax.random.split(key, 4)
+    enc = init_encoder_params(k_enc, enc_cffg := enc_cfg)  # noqa: F841
+    enc.pop("ctc_head")  # encoder-only here
+    embed = jax.random.normal(k_emb, (dec_cfg.vocab_size, dec_cfg.embed_dim)) * 0.1
+    return {
+        "encoder": enc,
+        "embed": embed,
+        "dec_lstm": init_lstm_params(k_lstm, dec_cfg.embed_dim, dec_cfg.dec_hidden),
+        "output": init_linear(k_out, dec_cfg.dec_hidden + 2 * enc_cfg.hidden_size,
+                              dec_cfg.vocab_size),
+    }
+
+
+def encode(params: dict, feats: jnp.ndarray, frame_mask: jnp.ndarray,
+           cfg: ModelConfig) -> jnp.ndarray:
+    """(B, T, F) -> (B, T, 2H) encoder states (same stack as the CTC model)."""
+    dtype = jnp.dtype(cfg.dtype)
+    mask = frame_mask.astype(dtype)
+    x = normalize_features(feats.astype(dtype), mask)
+    x = jax.nn.leaky_relu(linear(params["input_proj"], x))
+    for layer in params["lstm"]:
+        x = bilstm_layer(layer, x, mask)
+    return x
+
+
+def _attend(dec_states: jnp.ndarray, enc_out: jnp.ndarray,
+            frame_mask: jnp.ndarray) -> jnp.ndarray:
+    """Batched dot-product attention: (B,Td,H),(B,Te,E) -> context (B,Td,E)."""
+    scores = jnp.einsum("bdh,beh->bde", dec_states, enc_out,
+                        preferred_element_type=jnp.float32)
+    scores = jnp.where(frame_mask[:, None, :] > 0, scores, -1e30)
+    attn = jax.nn.softmax(scores, axis=-1)
+    return jnp.einsum("bde,beh->bdh", attn, enc_out,
+                      preferred_element_type=dec_states.dtype)
+
+
+@partial(jax.jit, static_argnames=("enc_cfg", "dec_cfg"))
+def apply_teacher_forced(params: dict, feats: jnp.ndarray, frame_mask: jnp.ndarray,
+                         targets: jnp.ndarray, enc_cfg: ModelConfig,
+                         dec_cfg: Seq2SeqConfig) -> jnp.ndarray:
+    """Teacher-forced forward: (B,T,F) audio features + (B,Td) targets ->
+    (B,Td,A) log-probs (positions predict targets[:, t])."""
+    enc_out = encode(params["encoder"], feats, frame_mask, enc_cfg)
+
+    # shift-right teacher forcing, BOS = 0
+    dec_in = jnp.pad(targets[:, :-1], ((0, 0), (1, 0)))
+    x = params["embed"][dec_in]  # (B, Td, E)
+    dec_mask = jnp.ones(dec_in.shape, x.dtype)
+    dec_states = lstm_scan(
+        jnp.einsum("bti,ih->bth", x, params["dec_lstm"]["W"],
+                   preferred_element_type=x.dtype) + params["dec_lstm"]["b"],
+        params["dec_lstm"]["U"], dec_mask, dec_cfg.dec_hidden)
+
+    ctx = _attend(dec_states, enc_out, frame_mask)
+    logits = linear(params["output"], jnp.concatenate([dec_states, ctx], -1))
+    return jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+
+
+@partial(jax.jit, static_argnames=("enc_cfg", "dec_cfg", "max_steps"))
+def greedy_generate(params: dict, feats: jnp.ndarray, frame_mask: jnp.ndarray,
+                    enc_cfg: ModelConfig, dec_cfg: Seq2SeqConfig,
+                    max_steps: int = 128):
+    """Step-wise greedy decoding via lax.scan carrying the decoder LSTM state.
+    Returns (tokens (B, max_steps), log_probs (B, max_steps, A))."""
+    enc_out = encode(params["encoder"], feats, frame_mask, enc_cfg)
+    B = feats.shape[0]
+    H = dec_cfg.dec_hidden
+    U = params["dec_lstm"]["U"]
+    W = params["dec_lstm"]["W"]
+    b = params["dec_lstm"]["b"]
+
+    def step(carry, _):
+        tok, h, c = carry
+        x = params["embed"][tok]  # (B, E)
+        pre = x @ W + h @ U + b
+        h, c = _gate_step(h, c, pre, H)
+        ctx = _attend(h[:, None, :], enc_out, frame_mask)[:, 0]
+        logits = linear(params["output"], jnp.concatenate([h, ctx], -1))
+        lp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
+        nxt = jnp.argmax(lp, axis=-1).astype(jnp.int32)
+        return (nxt, h, c), (nxt, lp)
+
+    init = (jnp.zeros((B,), jnp.int32),
+            jnp.zeros((B, H), enc_out.dtype), jnp.zeros((B, H), enc_out.dtype))
+    _, (toks, lps) = jax.lax.scan(step, init, None, length=max_steps)
+    return jnp.swapaxes(toks, 0, 1), jnp.swapaxes(lps, 0, 1)

@@ -4,7 +4,10 @@ tests exercise real meshes without TPU hardware (SURVEY.md §4)."""
 import os
 
 # Must run before jax initializes its backend (conftest imports first).
+# NB: this image pins jax_platforms to "axon,cpu", which overrides
+# JAX_PLATFORMS — JAX_PLATFORM_NAME still wins, so set both.
 os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["JAX_PLATFORM_NAME"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()

@@ -1,0 +1,74 @@
+"""On-device vectorized beam search vs the host oracle (and the reference
+decoder) on random posteriors: identical label sequences, close NLL."""
+
+import numpy as np
+import pytest
+
+from pg_asr_tpu.decoding.beam import beam_decode
+from pg_asr_tpu.decoding.host_beam import HostCTCBeamDecoder
+from conftest import import_reference, reference_available
+
+
+def _rand_probs(rng, T, S, sharp=1.0):
+    logits = rng.standard_normal((T, S)) * sharp
+    p = np.exp(logits)
+    return p / p.sum(1, keepdims=True)
+
+
+@pytest.mark.parametrize("T,S,K", [(6, 4, 4), (10, 5, 8), (15, 6, 8)])
+def test_device_beam_matches_host(T, S, K):
+    rng = np.random.default_rng(T * 7 + S)
+    host = HostCTCBeamDecoder()
+    B = 3
+    probs = np.stack([_rand_probs(rng, T, S, sharp=2.0) for _ in range(B)])
+    log_probs = np.log(probs).astype(np.float32)
+    labels, lens, nll = beam_decode(log_probs, np.full(B, T), beam_size=K,
+                                    max_label_len=T)
+    for b in range(B):
+        ref_seq, ref_nll = host.decode(probs[b], beam_size=K)
+        got = tuple(np.asarray(labels[b][: int(lens[b])]).tolist())
+        assert got == tuple(ref_seq), b
+        assert float(nll[b]) == pytest.approx(ref_nll, rel=1e-3, abs=1e-3)
+
+
+@pytest.mark.skipif(not reference_available(), reason="reference not mounted")
+def test_device_beam_matches_reference_oracle():
+    ref_mod = import_reference("CTCdecoder")
+    rng = np.random.default_rng(42)
+    T, S, K = 12, 5, 8
+    probs = _rand_probs(rng, T, S, sharp=2.5)
+    ref_dec = ref_mod.CTCDecoder(alphabet=list("abcde"))
+    ref_seq, ref_nll = ref_dec.decode(probs, beam_size=K, blank=0)
+
+    labels, lens, nll = beam_decode(np.log(probs)[None].astype(np.float32),
+                                    np.array([T]), beam_size=K, max_label_len=T)
+    got = tuple(np.asarray(labels[0][: int(lens[0])]).tolist())
+    assert got == tuple(ref_seq)
+    assert float(nll[0]) == pytest.approx(ref_nll, rel=1e-3, abs=1e-3)
+
+
+def test_device_beam_respects_frame_lens():
+    rng = np.random.default_rng(1)
+    T, S = 12, 4
+    probs = _rand_probs(rng, T, S, sharp=2.0)
+    lp = np.log(probs).astype(np.float32)
+    # utterance truncated at 5 frames must equal decoding the first 5 frames
+    labels_full, lens_full, nll_full = beam_decode(
+        lp[None, :5], np.array([5]), beam_size=4, max_label_len=5)
+    labels_trunc, lens_trunc, nll_trunc = beam_decode(
+        lp[None], np.array([5]), beam_size=4, max_label_len=12)
+    a = np.asarray(labels_full[0][: int(lens_full[0])])
+    b = np.asarray(labels_trunc[0][: int(lens_trunc[0])])
+    np.testing.assert_array_equal(a, b)
+    assert float(nll_full[0]) == pytest.approx(float(nll_trunc[0]), rel=1e-5)
+
+
+def test_device_beam_all_blank():
+    T, S = 5, 3
+    probs = np.full((T, S), 1e-7)
+    probs[:, 0] = 1.0
+    probs = probs / probs.sum(1, keepdims=True)
+    labels, lens, nll = beam_decode(np.log(probs)[None].astype(np.float32),
+                                    np.array([T]), beam_size=4, max_label_len=5)
+    assert int(lens[0]) == 0
+    assert float(nll[0]) == pytest.approx(-T * np.log(probs[0, 0]), abs=1e-3)

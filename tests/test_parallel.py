@@ -1,0 +1,89 @@
+"""SPMD data parallelism on the 8-virtual-device CPU mesh: the sharded train
+step must produce the same loss/params as the single-device step (SURVEY.md
+§4 'distributed without a cluster')."""
+
+import jax
+import numpy as np
+import pytest
+
+from pg_asr_tpu.config import Config, FeatureConfig, ModelConfig, TrainConfig
+from pg_asr_tpu.models import bilstm_ctc
+from pg_asr_tpu.parallel.mesh import (make_mesh, pad_batch_to_multiple,
+                                      replicate, shard_batch_arrays,
+                                      shard_params)
+from pg_asr_tpu.train import make_optimizer, make_train_step
+
+
+def tiny_cfg():
+    return Config(
+        features=FeatureConfig(kind="logmel", n_mels=16, n_fft=128,
+                               win_length=128, hop_length=64),
+        model=ModelConfig(vocab_size=8, input_dim=16, input_proj_dim=32,
+                          hidden_size=16, num_layers=1, dropout=0.0),
+        train=TrainConfig(batch_size=8, warmup_steps=0, learning_rate=1e-3),
+    )
+
+
+def _data(B=8):
+    rng = np.random.default_rng(0)
+    n = 3200
+    wave = (rng.standard_normal((B, n)) * 0.1).astype(np.float32)
+    ns = np.full((B,), n, np.int32)
+    labels = rng.integers(1, 8, (B, 6)).astype(np.int32)
+    label_lens = np.full((B,), 6, np.int32)
+    return wave, ns, labels, label_lens
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8
+
+
+def _run_steps(mesh, cfg, n_steps=2, tp=False):
+    params = bilstm_ctc.init_params(jax.random.PRNGKey(0), cfg.model)
+    opt = make_optimizer(cfg)
+    opt_state = opt.init(params)
+    if tp:
+        params = shard_params(params, mesh)
+        opt_state = replicate(opt_state, mesh)
+    else:
+        params = replicate(params, mesh)
+        opt_state = replicate(opt_state, mesh)
+    step = make_train_step(cfg, opt)
+    arrays = shard_batch_arrays(_data(), mesh)
+    rng = jax.random.PRNGKey(1)
+    losses = []
+    for _ in range(n_steps):
+        params, opt_state, rng, loss = step(params, opt_state, rng, *arrays)
+        losses.append(float(loss))
+    return losses, jax.device_get(params)
+
+
+def test_data_parallel_matches_single_device():
+    cfg = tiny_cfg()
+    mesh1 = make_mesh((1,), ("data",), devices=jax.devices()[:1])
+    mesh8 = make_mesh((8,), ("data",))
+    losses1, params1 = _run_steps(mesh1, cfg)
+    losses8, params8 = _run_steps(mesh8, cfg)
+    np.testing.assert_allclose(losses1, losses8, rtol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(params1),
+                    jax.tree_util.tree_leaves(params8)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_data_plus_model_parallel_runs():
+    cfg = tiny_cfg()
+    mesh = make_mesh((4, 2), ("data", "model"))
+    losses, _ = _run_steps(mesh, cfg, n_steps=1, tp=True)
+    mesh1 = make_mesh((1,), ("data",), devices=jax.devices()[:1])
+    losses1, _ = _run_steps(mesh1, cfg, n_steps=1)
+    np.testing.assert_allclose(losses, losses1, rtol=1e-4)
+
+
+def test_pad_batch_to_multiple():
+    a = np.arange(6).reshape(3, 2)
+    (out,) = pad_batch_to_multiple((a,), 4)
+    assert out.shape == (4, 2)
+    np.testing.assert_array_equal(out[3], a[2])
+    (same,) = pad_batch_to_multiple((a,), 3)
+    assert same.shape == (3, 2)
