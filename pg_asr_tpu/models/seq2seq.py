@@ -35,7 +35,7 @@ from ..ops.lstm import bilstm_layer
 
 def init_params(key, enc_cfg: ModelConfig, dec_cfg: Seq2SeqConfig) -> dict:
     k_enc, k_emb, k_lstm, k_out = jax.random.split(key, 4)
-    enc = init_encoder_params(k_enc, enc_cffg := enc_cfg)  # noqa: F841
+    enc = init_encoder_params(k_enc, enc_cfg)
     enc.pop("ctc_head")  # encoder-only here
     embed = jax.random.normal(k_emb, (dec_cfg.vocab_size, dec_cfg.embed_dim)) * 0.1
     return {

@@ -1,0 +1,50 @@
+"""Pallas fused LSTM kernel vs the jnp lax.scan reference (interpret mode on
+CPU; the same test compiles on real TPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from pg_asr_tpu.ops.lstm import init_lstm_params, lstm_scan
+from pg_asr_tpu.ops.pallas_lstm import pallas_lstm_scan
+
+INTERPRET = jax.default_backend() != "tpu"
+
+
+@pytest.mark.parametrize("reverse", [False, True])
+def test_pallas_matches_jnp(reverse):
+    rng = np.random.default_rng(0)
+    B, T, I, H = 8, 12, 16, 32
+    params = init_lstm_params(jax.random.PRNGKey(0), I, H)
+    x = rng.standard_normal((B, T, I)).astype(np.float32)
+    xp = jnp.einsum("bti,ih->bth", jnp.asarray(x), params["W"]) + params["b"]
+    lens = np.array([12, 7, 12, 3, 12, 1, 9, 12])
+    mask = (np.arange(T)[None] < lens[:, None]).astype(np.float32)
+
+    ref = lstm_scan(xp, params["U"], jnp.asarray(mask), H, reverse=reverse)
+    got = pallas_lstm_scan(xp, params["U"], jnp.asarray(mask),
+                           reverse, INTERPRET)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_grads_match_jnp():
+    rng = np.random.default_rng(1)
+    B, T, H = 4, 6, 16
+    xp = jnp.asarray(rng.standard_normal((B, T, 4 * H)).astype(np.float32)) * 0.3
+    U = jnp.asarray(rng.standard_normal((H, 4 * H)).astype(np.float32)) * 0.1
+    mask = jnp.ones((B, T))
+
+    def f_pallas(xp, U):
+        return jnp.sum(pallas_lstm_scan(xp, U, mask, False, INTERPRET) ** 2)
+
+    def f_ref(xp, U):
+        return jnp.sum(lstm_scan(xp, U, mask, H) ** 2)
+
+    g1 = jax.grad(f_pallas, argnums=(0, 1))(xp, U)
+    g2 = jax.grad(f_ref, argnums=(0, 1))(xp, U)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
