@@ -31,7 +31,7 @@ AUDIO_SECONDS = 5.0
 SAMPLE_RATE = 16000
 LABEL_LEN = 64
 VOCAB = 32
-WARMUP_STEPS = 2
+WARMUP_STEPS = 3
 TIMED_STEPS = 8
 
 
@@ -71,21 +71,27 @@ def bench_ours() -> dict:
     arrays = shard_batch_arrays((wave, ns, labels, label_lens), mesh)
     rng = jax.random.PRNGKey(0)
 
+    # NB: under the axon tunnel, block_until_ready can return before the
+    # computation finishes — a scalar D2H (float(loss)) is the only reliable
+    # per-step barrier, so every timed step syncs on the loss value.
     t_compile0 = time.time()
+    loss = None
     for _ in range(WARMUP_STEPS):
         params, opt_state, rng, loss = step(params, opt_state, rng, *arrays)
-    jax.block_until_ready(loss)
+        _ = float(loss)
     compile_s = time.time() - t_compile0
 
-    t0 = time.time()
+    times = []
     for _ in range(TIMED_STEPS):
+        t0 = time.time()
         params, opt_state, rng, loss = step(params, opt_state, rng, *arrays)
-    jax.block_until_ready(loss)
-    dt = time.time() - t0
-    utts_per_sec = BATCH * TIMED_STEPS / dt
+        _ = float(loss)
+        times.append(time.time() - t0)
+    med = sorted(times)[len(times) // 2]
+    utts_per_sec = BATCH / med
     return {
         "utts_per_sec": utts_per_sec,
-        "step_ms": 1000.0 * dt / TIMED_STEPS,
+        "step_ms": 1000.0 * med,
         "compile_s": compile_s,
         "loss": float(loss),
         "backend": jax.default_backend(),

@@ -79,6 +79,20 @@ def _round_up(x: int, q: int) -> int:
     return ((x + q - 1) // q) * q
 
 
+def default_loader(path: str) -> tuple[np.ndarray, int]:
+    """Audio loader preferring the native C++ decoder (data/native_io.py)
+    for WAV, falling back to the pure-Python readers."""
+    if path.lower().endswith(".wav"):
+        try:
+            from . import native_io
+
+            if native_io.native_available():
+                return native_io.read_wav(path)
+        except Exception:
+            pass
+    return load_audio(path)
+
+
 class BatchIterator:
     """Length-bucketed padded batches of raw audio.
 
@@ -104,7 +118,7 @@ class BatchIterator:
         self.shuffle = shuffle
         self.drop_remainder = drop_remainder
         self.rng = np.random.default_rng(seed)
-        self.loader = loader or load_audio
+        self.loader = loader or default_loader
         self._cache: dict[str, np.ndarray] = {}
         self._epoch = 0
 
