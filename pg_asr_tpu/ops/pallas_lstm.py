@@ -35,7 +35,7 @@ def _kernel(xp_ref, u_ref, mask_ref, out_ref, h_scr, c_scr, *, hidden: int):
     """One grid step = one timestep. Shapes:
     xp_ref: (1, B, 4H) this step's input projections
     u_ref:  (H, 4H) recurrent weights (whole array, VMEM-resident)
-    mask_ref: (1, B) validity of this step
+    mask_ref: (1, B, 1) validity of this step
     out_ref: (1, B, H)
     h_scr/c_scr: (B, H) carries in VMEM scratch
     """
@@ -56,7 +56,7 @@ def _kernel(xp_ref, u_ref, mask_ref, out_ref, h_scr, c_scr, *, hidden: int):
     c_new = f * c + i * g
     h_new = o * jnp.tanh(c_new)
 
-    m = mask_ref[0][:, None]  # (B, 1)
+    m = mask_ref[0]  # (B, 1)
     h_scr[:] = jnp.where(m > 0, h_new, h)
     c_scr[:] = jnp.where(m > 0, c_new, c)
     out_ref[0] = (h_new * m).astype(out_ref.dtype)
@@ -68,11 +68,10 @@ def _pallas_forward(xp: jnp.ndarray, U: jnp.ndarray, mask: jnp.ndarray,
     B, T, H4 = xp.shape
     H = H4 // 4
     xp_t = jnp.swapaxes(xp, 0, 1)  # (T, B, 4H)
-    mask_t = jnp.swapaxes(mask, 0, 1).astype(xp.dtype)  # (T, B)
+    mask_t = jnp.swapaxes(mask, 0, 1).astype(xp.dtype)[:, :, None]  # (T, B, 1)
 
     # reverse scan = run the grid over flipped time and flip the output back
     idx = (lambda t: (T - 1 - t, 0, 0)) if reverse else (lambda t: (t, 0, 0))
-    idx2 = (lambda t: (T - 1 - t, 0)) if reverse else (lambda t: (t, 0))
 
     out = pl.pallas_call(
         functools.partial(_kernel, hidden=H),
@@ -80,7 +79,7 @@ def _pallas_forward(xp: jnp.ndarray, U: jnp.ndarray, mask: jnp.ndarray,
         in_specs=[
             pl.BlockSpec((1, B, H4), idx, memory_space=pltpu.VMEM),
             pl.BlockSpec((H, H4), lambda t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B), idx2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, 1), idx, memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, B, H), idx, memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((T, B, H), xp.dtype),

@@ -1,0 +1,88 @@
+"""Checkpointing: best/last policy, atomic round trip, resume metadata, and
+the predict-side loader (including the beam decode path on a saved model)."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from pg_asr_tpu.checkpoint import CheckpointManager, load_checkpoint, save_checkpoint
+
+
+def _state(seed):
+    k = jax.random.PRNGKey(seed)
+    return {
+        "params": {"w": jax.random.normal(k, (3, 4)), "b": np.zeros(4, np.float32)},
+        "opt_state": {"mu": np.ones((3, 4), np.float32)},
+        "step": seed * 10,
+        "epoch": seed,
+        "best_val_loss": float("inf"),
+    }
+
+
+def test_roundtrip(tmp_path):
+    path = str(tmp_path / "x.ckpt")
+    s = _state(1)
+    save_checkpoint(path, s)
+    loaded = load_checkpoint(path, _state(0))
+    np.testing.assert_allclose(np.asarray(loaded["params"]["w"]),
+                               np.asarray(s["params"]["w"]))
+    assert loaded["step"] == 10 and loaded["epoch"] == 1
+
+
+def test_best_last_policy(tmp_path):
+    mgr = CheckpointManager(str(tmp_path))
+    assert mgr.save(_state(1), val_loss=5.0) is True      # first -> best
+    assert mgr.save(_state(2), val_loss=7.0) is False     # worse -> last only
+    assert mgr.save(_state(3), val_loss=3.0) is True      # better -> best
+    best = load_checkpoint(mgr.best_path, _state(0))
+    last = load_checkpoint(mgr.last_path, _state(0))
+    assert best["epoch"] == 3 and last["epoch"] == 3
+    # the epoch-2 save must not have been promoted to best
+    assert mgr.best_val == 3.0
+
+
+def test_try_restore(tmp_path):
+    mgr = CheckpointManager(str(tmp_path))
+    assert mgr.try_restore(_state(0)) is None
+    mgr.save(_state(4), val_loss=1.0)
+    mgr2 = CheckpointManager(str(tmp_path))
+    restored = mgr2.try_restore(_state(0))
+    assert restored is not None and restored["epoch"] == 4
+    assert mgr2.best_val == 1.0
+
+
+def test_predict_beam_path_from_saved_model(tmp_path):
+    """Full predict() with the on-device beam decoder over a random (but
+    saved/loaded) model on a synthetic corpus."""
+    from pg_asr_tpu.config import Config, FeatureConfig, ModelConfig
+    from pg_asr_tpu.data.dataset import make_synthetic_corpus
+    from pg_asr_tpu.data.text import Alphabet
+    from pg_asr_tpu.models import bilstm_ctc
+    from pg_asr_tpu.predict import predict
+
+    corpus = str(tmp_path / "corpus")
+    os.makedirs(corpus)
+    make_synthetic_corpus(corpus, n_utts=6, seed=2, min_dur=0.15, max_dur=0.3)
+    alphabet = Alphabet.load(os.path.join(corpus, "alphabet.txt"))
+
+    cfg = Config(
+        features=FeatureConfig(kind="logmel", n_mels=16, n_fft=128,
+                               win_length=128, hop_length=64),
+        model=ModelConfig(vocab_size=alphabet.size, input_dim=16,
+                          input_proj_dim=32, hidden_size=16, num_layers=1),
+    )
+    model_dir = str(tmp_path / "model")
+    mgr = CheckpointManager(model_dir)
+    mgr.save_config(cfg.to_json())
+    params = bilstm_ctc.init_params(jax.random.PRNGKey(0), cfg.model)
+    mgr.save({"params": params, "opt_state": {}, "step": 0, "epoch": 1,
+              "best_val_loss": 1.0}, val_loss=1.0)
+
+    stats = predict(os.path.join(corpus, "test.tsv"),
+                    os.path.join(corpus, "clips"),
+                    os.path.join(corpus, "alphabet.txt"),
+                    model_dir, batch_size=3, decoder="beam", beam_size=4)
+    assert os.path.exists(os.path.join(model_dir, "predicted.txt"))
+    assert stats["num_utts"] >= 1

@@ -1,0 +1,89 @@
+"""Data pipeline: manifests, LibriSpeech scan, bucketing + static shape
+quantization, synthetic corpus layout."""
+
+import os
+
+import numpy as np
+
+from pg_asr_tpu.data.audio import write_wav
+from pg_asr_tpu.data.dataset import (BatchIterator, load_manifest,
+                                     make_synthetic_corpus, scan_librispeech,
+                                     synthetic_batch)
+from pg_asr_tpu.data.text import Alphabet
+
+
+def test_synthetic_corpus_layout(tmp_path):
+    root = str(tmp_path)
+    make_synthetic_corpus(root, n_utts=8, seed=0)
+    for f in ["train.tsv", "dev.tsv", "test.tsv", "alphabet.txt"]:
+        assert os.path.exists(os.path.join(root, f)), f
+    utts = load_manifest(os.path.join(root, "train.tsv"),
+                         os.path.join(root, "clips"))
+    assert len(utts) >= 4
+    assert os.path.exists(utts[0].audio_path)
+
+
+def test_batch_iterator_shapes_quantized(tmp_path):
+    root = str(tmp_path)
+    _, alphabet = make_synthetic_corpus(root, n_utts=8, seed=0,
+                                        min_dur=0.1, max_dur=0.7)
+    utts = load_manifest(os.path.join(root, "train.tsv"),
+                         os.path.join(root, "clips"))
+    it = BatchIterator(utts, alphabet, batch_size=3, wave_quantum=8000,
+                       label_quantum=8, shuffle=False)
+    shapes = set()
+    n = 0
+    for batch in it:
+        assert batch.wave.shape[1] % 8000 == 0
+        assert batch.labels.shape[1] % 8 == 0
+        assert batch.wave.dtype == np.float32
+        # padding is zero beyond each utterance's length
+        for i in range(batch.size):
+            assert np.all(batch.wave[i, batch.num_samples[i]:] == 0.0)
+            assert np.all(batch.labels[i, batch.label_lens[i]:] == 0)
+        shapes.add(batch.wave.shape[1])
+        n += batch.size
+    assert n == len(utts)
+    # bucketing keeps the number of distinct padded shapes small
+    assert len(shapes) <= 3
+
+
+def test_batches_are_length_bucketed(tmp_path):
+    root = str(tmp_path)
+    _, alphabet = make_synthetic_corpus(root, n_utts=12, seed=3,
+                                        min_dur=0.1, max_dur=1.0)
+    utts = load_manifest(os.path.join(root, "train.tsv"),
+                         os.path.join(root, "clips"))
+    it = BatchIterator(utts, alphabet, batch_size=4, shuffle=False,
+                       wave_quantum=1600)
+    spans = []
+    for batch in it:
+        lens = batch.num_samples
+        spans.append(int(lens.max()) - int(lens.min()))
+    # bucketed batches group similar lengths: within-batch spread is far
+    # smaller than the corpus spread
+    assert np.median(spans) < 0.5 * (1.0 - 0.1) * 16000
+
+
+def test_scan_librispeech(tmp_path):
+    spk = tmp_path / "19" / "198"
+    os.makedirs(spk)
+    rng = np.random.default_rng(0)
+    for i in range(2):
+        write_wav(str(spk / f"19-198-{i:04d}.wav"),
+                  rng.standard_normal(1600).astype(np.float32) * 0.1, 16000)
+    with open(spk / "19-198.trans.txt", "w") as fo:
+        fo.write("19-198-0000 HELLO WORLD\n19-198-0001 FOO BAR\n")
+    utts = scan_librispeech(str(tmp_path))
+    assert len(utts) == 2
+    texts = sorted(u.text for u in utts)
+    assert texts == ["foo bar", "hello world"]
+
+
+def test_synthetic_batch():
+    alphabet = Alphabet.from_symbols(list("abcd "))
+    rng = np.random.default_rng(0)
+    b = synthetic_batch(rng, 4, alphabet, duration_s=0.25)
+    assert b.wave.shape[0] == 4
+    assert b.labels.max() < alphabet.size
+    assert all(t for t in b.texts)

@@ -1,0 +1,45 @@
+"""finetune_pg driver smoke: runs a few REINFORCE steps from a supervised
+checkpoint on the synthetic corpus, dumps pg_rewards.npy, keeps checkpoints
+loadable."""
+
+import os
+
+import numpy as np
+import pytest
+
+from pg_asr_tpu.config import (Config, FeatureConfig, ModelConfig, RLConfig,
+                               TrainConfig)
+from pg_asr_tpu.data.dataset import make_synthetic_corpus
+
+
+def tiny_config() -> Config:
+    cfg = Config()
+    return cfg.replace(
+        features=FeatureConfig(kind="logmel", n_mels=16, n_fft=128,
+                               win_length=128, hop_length=64),
+        model=ModelConfig(vocab_size=8, input_dim=16, input_proj_dim=32,
+                          hidden_size=16, num_layers=1, dropout=0.0),
+        train=TrainConfig(num_epochs=1, batch_size=4, learning_rate=3e-3,
+                          warmup_steps=0, log_every=1000),
+        rl=RLConfig(num_samples=2, baseline="mean", ctc_mix_weight=0.1),
+    )
+
+
+def test_finetune_pg_end_to_end(tmp_path):
+    from pg_asr_tpu.train import train
+    from pg_asr_tpu.rl.reinforce import finetune_pg
+
+    corpus = str(tmp_path / "corpus")
+    os.makedirs(corpus)
+    make_synthetic_corpus(corpus, n_utts=8, seed=1, min_dur=0.2, max_dur=0.35)
+    model_dir = str(tmp_path / "model")
+
+    train(corpus, model_dir, config=tiny_config(), resume=False)
+    out = finetune_pg(corpus, model_dir, num_steps=4, config=tiny_config())
+
+    assert len(out["rewards"]) == 4
+    assert all(np.isfinite(out["rewards"]))
+    assert os.path.exists(os.path.join(model_dir, "pg_rewards.npy"))
+    # rewards are negative CERs; with a near-random model the sampled paths
+    # are long, so |reward| can reach ~frames/ref_len — just bound sanity
+    assert all(-100.0 <= r <= 0.5 for r in out["rewards"])
