@@ -102,8 +102,62 @@ def init_bilstm_params(key, input_dim: int, hidden: int, dtype=jnp.float32) -> d
 
 
 def bilstm_layer(params: dict, x: jnp.ndarray, mask: jnp.ndarray,
-                 use_pallas: bool = False) -> jnp.ndarray:
-    """Bidirectional layer: concat(forward scan, backward scan) -> (B, T, 2H)."""
-    fwd = lstm_layer(params["fwd"], x, mask, reverse=False, use_pallas=use_pallas)
-    bwd = lstm_layer(params["bwd"], x, mask, reverse=True, use_pallas=use_pallas)
+                 use_pallas: bool = False, fuse_directions: bool = False) -> jnp.ndarray:
+    """Bidirectional layer -> (B, T, 2H).
+
+    With fuse_directions, both directions run in ONE scan over a
+    2B-stacked batch: the backward copy is time-flipped on the way in and
+    out, so a single forward recurrence serves both. Same T sequential
+    steps, but each step's recurrent matmul is (2B, H) x (H, 4H) — double
+    the MXU fill and half the total scan/launch overhead of two separate
+    scans. Flipping a padded row puts its padding at the START, where the
+    zero-initialized carry is frozen by the mask until the valid region —
+    exactly the reverse-scan semantics.
+
+    The fused path requires both directions to share the recurrent U matmul
+    shape; parameters stay separate (block-diagonal batching, not weight
+    tying): xp carries each copy's own x@W+b, and U is selected per-half by
+    stacking into the batch dimension of a block matmul.
+
+    Measured on v5e at B=64/H=256/T=401: fused 83.5 ms vs separate 78.8 ms
+    per train step — XLA already schedules the two scans well and the time
+    flips cost more than the saved overhead, so fused is OFF by default and
+    kept as an option for other shapes.
+    """
+    if use_pallas or not fuse_directions:
+        fwd = lstm_layer(params["fwd"], x, mask, reverse=False, use_pallas=use_pallas)
+        bwd = lstm_layer(params["bwd"], x, mask, reverse=True, use_pallas=use_pallas)
+        return jnp.concatenate([fwd, bwd], axis=-1)
+
+    B = x.shape[0]
+    hidden = params["fwd"]["U"].shape[0]
+    xp_f = jnp.einsum("bti,ih->bth", x, params["fwd"]["W"],
+                      preferred_element_type=x.dtype) + params["fwd"]["b"]
+    xp_b = jnp.einsum("bti,ih->bth", x, params["bwd"]["W"],
+                      preferred_element_type=x.dtype) + params["bwd"]["b"]
+    xp_b = jnp.flip(xp_b, axis=1)
+    mask_b = jnp.flip(mask, axis=1)
+    xp2 = jnp.concatenate([xp_f, xp_b], axis=0)        # (2B, T, 4H)
+    mask2 = jnp.concatenate([mask, mask_b], axis=0)    # (2B, T)
+    U2 = jnp.stack([params["fwd"]["U"], params["bwd"]["U"]])  # (2, H, 4H)
+
+    xp_t = jnp.swapaxes(xp2, 0, 1)                     # (T, 2B, 4H)
+    mask_t = jnp.swapaxes(mask2, 0, 1)[:, :, None]
+
+    def step(carry, inp):
+        h, c = carry                                    # (2B, H)
+        x_t, m_t = inp
+        h3 = h.reshape(2, B, hidden)
+        pre = x_t + jnp.einsum("dbh,dhg->dbg", h3, U2,
+                               preferred_element_type=xp2.dtype).reshape(2 * B, -1)
+        h_new, c_new = _gate_step(h, c, pre, hidden)
+        h = jnp.where(m_t > 0, h_new, h)
+        c = jnp.where(m_t > 0, c_new, c)
+        return (h, c), h_new * m_t
+
+    h0 = jnp.zeros((2 * B, hidden), xp2.dtype)
+    c0 = jnp.zeros((2 * B, hidden), xp2.dtype)
+    _, ys = jax.lax.scan(step, (h0, c0), (xp_t, mask_t))
+    ys = jnp.swapaxes(ys, 0, 1)                        # (2B, T, H)
+    fwd, bwd = ys[:B], jnp.flip(ys[B:], axis=1)
     return jnp.concatenate([fwd, bwd], axis=-1)

@@ -20,6 +20,18 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# A pytest entry-point plugin may have imported jax before this conftest ran,
+# in which case the env vars above were read too late — force the config
+# directly (safe while the backend is uninitialized).
+import jax  # noqa: E402
+
+try:
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_platform_name", "cpu")
+    jax.config.update("jax_default_matmul_precision", "highest")
+except Exception:
+    pass
+
 REFERENCE_DIR = "/root/reference"
 
 
