@@ -38,6 +38,10 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["greedy", "beam"])
     p.add_argument("--beam_size", type=int, default=None)
     p.add_argument("--lang", type=str, default="en")
+    p.add_argument("--model", type=str, default=None,
+                   choices=["ctc", "seq2seq"],
+                   help="model family (default ctc; seq2seq = the attention "
+                        "decoder family the reference left unfinished)")
     p.add_argument("--features", type=str, default=None,
                    choices=["logmel", "mfcc"],
                    help="feature frontend (default from config)")
@@ -51,6 +55,9 @@ def _config(args):
     from .config import Config
 
     cfg = Config()
+    if getattr(args, "model", None):
+        cfg = cfg.replace(model=cfg.model.__class__(
+            **{**cfg.model.__dict__, "family": args.model}))
     if args.features:
         cfg = cfg.replace(features=cfg.features.__class__(
             **{**cfg.features.__dict__, "kind": args.features}))

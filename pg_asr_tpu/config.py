@@ -48,6 +48,7 @@ class ModelConfig:
     3x BiLSTM(hidden 256/dir) -> Linear(512 -> alphabet) -> log_softmax.
     """
 
+    family: str = "ctc"  # "ctc" (flagship) | "seq2seq" (attention decoder family)
     vocab_size: int = 32  # alphabet incl. blank/pad at index 0
     input_dim: int = 80
     input_proj_dim: int = 512

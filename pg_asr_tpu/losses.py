@@ -33,6 +33,29 @@ def summed_nll_loss(log_probs: jnp.ndarray, targets: jnp.ndarray,
     return jnp.sum(per_step)
 
 
+def seq2seq_nll_loss(log_probs: jnp.ndarray, targets: jnp.ndarray,
+                     target_lens: jnp.ndarray, include_eos: bool = True) -> jnp.ndarray:
+    """Training loss for the attention seq2seq family: sum over decoder
+    steps of batch-mean NLL over utterances still active at that step.
+
+    Unlike summed_nll_loss's id-based pad masking, positions are masked by
+    TRUE length — and with include_eos the first pad slot after each target
+    stays in the loss, teaching the model to emit pad(0) as an end-of-
+    sequence symbol so free-running generation terminates (the reference's
+    alphabet has no EOS and its eval teacher-forces instead, reference
+    model.py:314; this is the fixed-up behavior).
+
+    Args: log_probs (B, Td, A); targets (B, Td) 0-padded; target_lens (B,).
+    """
+    nll = -jnp.take_along_axis(log_probs, targets[..., None].astype(jnp.int32),
+                               axis=-1)[..., 0]  # (B, Td)
+    pos = jnp.arange(targets.shape[1])[None, :]
+    lim = target_lens[:, None] + (1 if include_eos else 0)
+    keep = (pos < lim).astype(log_probs.dtype)
+    per_step = jnp.sum(nll * keep, axis=0) / jnp.maximum(jnp.sum(keep, axis=0), 1.0)
+    return jnp.sum(per_step)
+
+
 def masked_mean_nll(log_probs: jnp.ndarray, targets: jnp.ndarray,
                     ignore_index: int = PAD_ID) -> jnp.ndarray:
     """Token-mean NLL over non-pad positions (the standard normalization)."""

@@ -33,6 +33,29 @@ def _forward(params, wave, num_samples, cfg: Config):
     return log_probs, mask, frame_lens
 
 
+@partial(jax.jit, static_argnames=("cfg",))
+def _forward_seq2seq(params, wave, num_samples, cfg: Config):
+    """Free-running greedy generation for the attention family. Returns
+    (tokens (B, S), per-step log-probs (B, S, A)); pad(0) acts as EOS
+    (losses.seq2seq_nll_loss trains the first pad slot)."""
+    from .models import seq2seq
+
+    feats, mask, _ = extract_features(wave, num_samples, cfg.features)
+    return seq2seq.greedy_generate(params, feats, mask, cfg.model, cfg.seq2seq,
+                                   max_steps=cfg.decode.max_label_len)
+
+
+def _cut_at_eos(tokens: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(B, S) generated ids -> 0-padded ids + lengths, cut at the first 0."""
+    B, S = tokens.shape
+    is_eos = tokens == 0
+    lens = np.where(is_eos.any(axis=1), is_eos.argmax(axis=1), S).astype(np.int32)
+    out = tokens.copy()
+    for i in range(B):
+        out[i, lens[i]:] = 0
+    return out, lens
+
+
 def load_model(model_path: str, alphabet: Alphabet, config: Config | None = None,
                which: str = "best"):
     """Load params from <model_path>/model_{best,last}.ckpt."""
@@ -46,7 +69,12 @@ def load_model(model_path: str, alphabet: Alphabet, config: Config | None = None
             "vocab_size": alphabet.size,
             "input_dim": cfg.features.feature_dim,
         }))
-    params = bilstm_ctc.init_params(jax.random.PRNGKey(0), cfg.model)
+    if cfg.seq2seq.vocab_size != alphabet.size:
+        cfg = cfg.replace(seq2seq=cfg.seq2seq.__class__(**{
+            **cfg.seq2seq.__dict__, "vocab_size": alphabet.size}))
+    from .train import init_model_params
+
+    params = init_model_params(jax.random.PRNGKey(0), cfg)
     mgr = CheckpointManager(model_path)
     path = mgr.best_path if which == "best" else mgr.last_path
     if not os.path.exists(path):
@@ -74,6 +102,24 @@ def predict(test_path: str, aud_path: str, alphabet_path: str, model_path: str,
     targets: list[str] = []
     predicted: list[str] = []
     for batch in it:
+        if cfg.model.family == "seq2seq":
+            tokens, lps = _forward_seq2seq(params, batch.wave,
+                                           batch.num_samples, cfg)
+            if decoder == "beam":
+                # reference-eval parity: CTC prefix beam + collapse applied
+                # to the decoder's per-step posteriors (reference
+                # model.py:314-326 runs CTCDecoder on seq2seq outputs)
+                from .decoding.beam import beam_decode
+
+                steps = np.full((lps.shape[0],), lps.shape[1], np.int32)
+                labels, lens, _ = beam_decode(lps, steps, beam_size=beam_size,
+                                              max_label_len=cfg.decode.max_label_len)
+            else:
+                labels, lens = _cut_at_eos(np.asarray(tokens))
+            hyps = ids_to_strings(labels, lens, alphabet)
+            targets.extend(batch.texts)
+            predicted.extend(hyps)
+            continue
         log_probs, mask, frame_lens = _forward(params, batch.wave,
                                                batch.num_samples, cfg)
         if decoder == "greedy":

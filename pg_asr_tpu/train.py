@@ -49,9 +49,25 @@ def make_optimizer(cfg: Config) -> optax.GradientTransformation:
     )
 
 
+def init_model_params(rng, cfg: Config):
+    """Family dispatch: the flagship CTC stack or the attention seq2seq."""
+    if cfg.model.family == "seq2seq":
+        from .models import seq2seq
+
+        return seq2seq.init_params(rng, cfg.model, cfg.seq2seq)
+    return bilstm_ctc.init_params(rng, cfg.model)
+
+
 def compute_loss(params, wave, num_samples, labels, label_lens, cfg: Config,
                  train: bool, dropout_rng=None):
     feats, mask, frame_lens = extract_features(wave, num_samples, cfg.features)
+    if cfg.model.family == "seq2seq":
+        from .losses import seq2seq_nll_loss
+        from .models import seq2seq
+
+        log_probs = seq2seq.apply_teacher_forced(params, feats, mask, labels,
+                                                 cfg.model, cfg.seq2seq)
+        return seq2seq_nll_loss(log_probs, labels, label_lens)
     log_probs = bilstm_ctc.apply(params, feats, mask, cfg.model,
                                  train=train, dropout_rng=dropout_rng)
     return ctc_loss_mean(log_probs, frame_lens, labels, label_lens)
@@ -108,6 +124,9 @@ def train(corpus_path: str, model_path: str, num_epochs: int | None = None,
             "vocab_size": alphabet.size,
             "input_dim": cfg.features.feature_dim,
         }))
+    if cfg.seq2seq.vocab_size != alphabet.size:
+        cfg = cfg.replace(seq2seq=cfg.seq2seq.__class__(**{
+            **cfg.seq2seq.__dict__, "vocab_size": alphabet.size}))
 
     aud_path = os.path.join(corpus_path, "clips")
     train_it = BatchIterator(
@@ -124,7 +143,7 @@ def train(corpus_path: str, model_path: str, num_epochs: int | None = None,
     mesh = make_mesh(cfg.train.mesh_shape, cfg.train.mesh_axes)
     rng = jax.random.PRNGKey(cfg.train.seed)
     rng, init_rng = jax.random.split(rng)
-    params = bilstm_ctc.init_params(init_rng, cfg.model)
+    params = init_model_params(init_rng, cfg)
     optimizer = make_optimizer(cfg)
     opt_state = optimizer.init(params)
 
