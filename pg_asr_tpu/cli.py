@@ -48,6 +48,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--learning_rate", type=float, default=None)
     p.add_argument("--pg_steps", type=int, default=200,
                    help="finetune_pg: number of REINFORCE steps")
+    p.add_argument("--profile_steps", type=int, default=0,
+                   help="train: capture a device trace of N steady-state "
+                        "steps to <model_path>/trace (TensorBoard/xprof)")
+    p.add_argument("--debug_nans", action="store_true",
+                   help="enable jax_debug_nans (fail fast on NaN)")
     return p
 
 
@@ -73,6 +78,11 @@ def _config(args):
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
+    if args.debug_nans:
+        import jax
+
+        jax.config.update("jax_debug_nans", True)
+
     if args.mode == "preproc":
         from .data.text import preproc_text
 
@@ -83,7 +93,8 @@ def main(argv=None) -> int:
     if args.mode == "train":
         from .train import train
 
-        train(args.corpus_path, args.model_path, config=_config(args))
+        train(args.corpus_path, args.model_path, config=_config(args),
+              profile_steps=args.profile_steps)
         return 0
 
     if args.mode == "predict":

@@ -109,6 +109,7 @@ class TrainConfig:
     bucket_frame_quantum: int = 128  # pad T up to a multiple -> few jit shapes
     log_every: int = 10
     eval_every_epochs: int = 1
+    prefetch_depth: int = 2  # host batches built ahead of the device (0 = off)
     mesh_shape: tuple[int, ...] = ()  # () -> all devices on 'data'
     mesh_axes: tuple[str, ...] = ("data",)
 

@@ -180,6 +180,56 @@ class BatchIterator:
         return Batch(wave, lens, labels, llens, [u.text for u in utts])
 
 
+class PrefetchIterator:
+    """Background-thread prefetch over any Batch iterable.
+
+    Overlaps host-side batch construction (WAV decode + padding — the native
+    C++ tier or the Python fallback) with the device step: while the chip
+    runs step N, the host builds batches N+1..N+depth into a bounded queue.
+    The TPU-shaped replacement for the reference's DataLoader worker
+    processes (reference model.py:219) without pickling/fork overhead —
+    decode releases the GIL in the native tier, so one thread suffices.
+
+    Exceptions in the producer are re-raised in the consumer. Each __iter__
+    spawns a fresh producer thread (one epoch).
+    """
+
+    _DONE = object()
+
+    def __init__(self, source, depth: int = 2):
+        self.source = source
+        self.depth = max(1, depth)
+
+    def __len__(self) -> int:
+        return len(self.source)
+
+    def __iter__(self) -> Iterator[Batch]:
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.depth)
+        err: list[BaseException] = []
+
+        def produce():
+            try:
+                for b in self.source:
+                    q.put(b)
+            except BaseException as e:  # noqa: BLE001 — re-raised in consumer
+                err.append(e)
+            finally:
+                q.put(self._DONE)
+
+        t = threading.Thread(target=produce, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is self._DONE:
+                if err:
+                    raise err[0]
+                return
+            yield item
+
+
 # ---------------------------------------------------------------------------
 # Synthetic corpus (tests + benchmarks, no external data needed)
 # ---------------------------------------------------------------------------

@@ -28,7 +28,7 @@ import optax
 
 from .checkpoint import CheckpointManager
 from .config import Config
-from .data.dataset import Batch, BatchIterator, load_manifest
+from .data.dataset import Batch, BatchIterator, PrefetchIterator, load_manifest
 from .data.text import Alphabet
 from .models import bilstm_ctc
 from .ops.ctc import ctc_loss_mean
@@ -105,7 +105,8 @@ def _batch_arrays(batch: Batch):
 
 def train(corpus_path: str, model_path: str, num_epochs: int | None = None,
           batch_size: int | None = None, device=None, config: Config | None = None,
-          resume: bool = True, max_steps_per_epoch: int | None = None) -> dict:
+          resume: bool = True, max_steps_per_epoch: int | None = None,
+          profile_steps: int = 0) -> dict:
     """Train a BiLSTM-CTC model on a corpus directory (train.tsv / dev.tsv /
     clips/ / alphabet.txt — the layout the reference consumes).
 
@@ -133,6 +134,8 @@ def train(corpus_path: str, model_path: str, num_epochs: int | None = None,
         load_manifest(os.path.join(corpus_path, "train.tsv"), aud_path),
         alphabet, cfg.train.batch_size, sample_rate=cfg.features.sample_rate,
         seed=cfg.train.seed)
+    if cfg.train.prefetch_depth > 0:
+        train_it = PrefetchIterator(train_it, depth=cfg.train.prefetch_depth)
     dev_tsv = os.path.join(corpus_path, "dev.tsv")
     dev_it = None
     if os.path.exists(dev_tsv):
@@ -169,12 +172,21 @@ def train(corpus_path: str, model_path: str, num_epochs: int | None = None,
     train_losses: list[float] = []
     val_losses: list[float] = []
     step = 0
+    tracing = False  # --profile_steps: device trace of steady-state steps
     for epoch in range(start_epoch, cfg.train.num_epochs + 1):
         epoch_loss, n_batches = 0.0, 0
         t0 = time.time()
         for batch in train_it:
+            if profile_steps > 0 and step == 2 and not tracing:
+                # skip compile (step 0) + first steady step, then trace
+                jax.profiler.start_trace(os.path.join(model_path, "trace"))
+                tracing = True
             arrays = shard_batch_arrays(_batch_arrays(batch), mesh)
             params, opt_state, rng, loss = train_step(params, opt_state, rng, *arrays)
+            if tracing and step >= 2 + profile_steps:
+                jax.profiler.stop_trace()
+                tracing = False
+                print(f"[train] device trace written to {model_path}/trace")
             step += 1
             n_batches += 1
             loss_val = float(loss)
@@ -184,6 +196,10 @@ def train(corpus_path: str, model_path: str, num_epochs: int | None = None,
                            utts_per_sec=batch.size * n_batches / (time.time() - t0))
             if max_steps_per_epoch and n_batches >= max_steps_per_epoch:
                 break
+        if tracing:  # epoch shorter than the trace window
+            jax.profiler.stop_trace()
+            tracing = False
+            print(f"[train] device trace written to {model_path}/trace")
         mean_train = epoch_loss / max(n_batches, 1)
         train_losses.append(mean_train)
         np.save(os.path.join(model_path, "train_loss.npy"), np.array(train_losses))

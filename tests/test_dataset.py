@@ -87,3 +87,46 @@ def test_synthetic_batch():
     assert b.wave.shape[0] == 4
     assert b.labels.max() < alphabet.size
     assert all(t for t in b.texts)
+
+
+def test_prefetch_iterator_order_len_and_errors():
+    from pg_asr_tpu.data.dataset import PrefetchIterator
+
+    src = list(range(20))
+    pf = PrefetchIterator(src, depth=3)
+    assert len(pf) == 20
+    assert list(pf) == src
+    assert list(pf) == src  # re-iterable (fresh producer thread per epoch)
+
+    class Boom:
+        def __iter__(self):
+            yield 1
+            raise RuntimeError("producer failed")
+
+        def __len__(self):
+            return 2
+
+    import pytest as _pytest
+
+    it = iter(PrefetchIterator(Boom(), depth=1))
+    assert next(it) == 1
+    with _pytest.raises(RuntimeError, match="producer failed"):
+        list(it)
+
+
+def test_prefetch_wraps_batch_iterator(tmp_path):
+    from pg_asr_tpu.data.dataset import (BatchIterator, PrefetchIterator,
+                                         load_manifest, make_synthetic_corpus)
+    from pg_asr_tpu.data.text import Alphabet
+
+    root = str(tmp_path / "c")
+    make_synthetic_corpus(root, n_utts=8, seed=1, min_dur=0.2, max_dur=0.3)
+    alphabet = Alphabet.load(os.path.join(root, "alphabet.txt"))
+    it = BatchIterator(load_manifest(os.path.join(root, "train.tsv"),
+                                     os.path.join(root, "clips")),
+                       alphabet, 2, shuffle=False)
+    direct = [b.labels.copy() for b in it]
+    prefetched = [b.labels.copy() for b in PrefetchIterator(it, depth=2)]
+    assert len(direct) == len(prefetched)
+    for a, b in zip(direct, prefetched):
+        assert np.array_equal(a, b)
