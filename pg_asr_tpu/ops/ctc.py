@@ -11,12 +11,16 @@ Conventions: blank = 0 (= '<pad>', reference parity), labels are 0-padded
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
 import jax.numpy as jnp
 
 NEG = -1.0e30  # finite -inf stand-in: keeps grads NaN-free
+
+# Scan-unroll for the alpha recursion (sweepable: PGASR_CTC_UNROLL=4)
+UNROLL = int(os.environ.get("PGASR_CTC_UNROLL", "8"))
 
 
 def _extend_labels(labels: jnp.ndarray, blank: int) -> jnp.ndarray:
@@ -26,10 +30,10 @@ def _extend_labels(labels: jnp.ndarray, blank: int) -> jnp.ndarray:
     return z.at[:, 1::2].set(labels)
 
 
-@partial(jax.jit, static_argnames=("blank",))
+@partial(jax.jit, static_argnames=("blank", "unroll"))
 def ctc_loss(log_probs: jnp.ndarray, frame_lens: jnp.ndarray,
              labels: jnp.ndarray, label_lens: jnp.ndarray,
-             blank: int = 0) -> jnp.ndarray:
+             blank: int = 0, unroll: int = UNROLL) -> jnp.ndarray:
     """Per-utterance CTC negative log-likelihood.
 
     Args:
@@ -52,21 +56,25 @@ def ctc_loss(log_probs: jnp.ndarray, frame_lens: jnp.ndarray,
     # states beyond the true extended length are dead
     alive = pos < (2 * label_lens[:, None] + 1)
 
-    def emit(t):
-        return jnp.take_along_axis(log_probs[:, t, :], z, axis=1)  # (B, S)
+    # Hoist ALL emission lookups out of the recursion as one one-hot matmul:
+    # em[b,t,s] = log_probs[b,t,z[b,s]]. A per-step gather inside the scan
+    # serializes T slow gathers forward and T scatters backward; the einsum
+    # is one MXU pass each way (0/1 matrix in f32 -> exact).
+    z_onehot = jax.nn.one_hot(z, A, dtype=jnp.float32)  # (B, S, A)
+    em_all = jnp.einsum("bta,bsa->bts", log_probs, z_onehot,
+                        preferred_element_type=jnp.float32)  # (B, T, S)
 
     alpha0 = jnp.full((B, S), NEG)
-    e0 = emit(0)
+    e0 = em_all[:, 0, :]
     alpha0 = alpha0.at[:, 0].set(e0[:, 0])
     has_label = label_lens > 0
     alpha0 = alpha0.at[:, 1].set(jnp.where(has_label, e0[:, 1], NEG))
     alpha0 = jnp.where(alive, alpha0, NEG)
 
-    lp_t = jnp.swapaxes(log_probs, 0, 1)  # (T, B, A)
+    em_t = jnp.swapaxes(em_all, 0, 1)  # (T, B, S)
 
     def step(alpha, inp):
-        lp, t = inp
-        em = jnp.take_along_axis(lp, z, axis=1)  # (B, S)
+        em, t = inp  # em: (B, S) this frame's emissions, already gathered
         a1 = jnp.pad(alpha[:, :-1], ((0, 0), (1, 0)), constant_values=NEG)
         a2 = jnp.pad(alpha[:, :-2], ((0, 0), (2, 0)), constant_values=NEG)
         acc = jnp.logaddexp(alpha, a1)
@@ -77,7 +85,7 @@ def ctc_loss(log_probs: jnp.ndarray, frame_lens: jnp.ndarray,
         return jnp.where(valid_t, new, alpha), None
 
     ts = jnp.arange(1, T)
-    alpha, _ = jax.lax.scan(step, alpha0, (lp_t[1:], ts))
+    alpha, _ = jax.lax.scan(step, alpha0, (em_t[1:], ts), unroll=unroll)
 
     # final states: last blank (2*len) and last label (2*len - 1)
     idx_last = 2 * label_lens[:, None]

@@ -18,10 +18,15 @@ Gate order everywhere: i, f, g, o (sigmoid, sigmoid, tanh, sigmoid).
 from __future__ import annotations
 
 import math
+import os
 from functools import partial
 
 import jax
 import jax.numpy as jnp
+
+# Scan-unroll factor for the recurrence (see lstm_scan). Overridable for
+# perf sweeps without code edits: PGASR_LSTM_UNROLL=4 python bench.py
+UNROLL = int(os.environ.get("PGASR_LSTM_UNROLL", "8"))
 
 
 def init_lstm_params(key, input_dim: int, hidden: int, dtype=jnp.float32) -> dict:
@@ -47,9 +52,9 @@ def _gate_step(h, c, pre, hidden: int):
     return h_new, c_new
 
 
-@partial(jax.jit, static_argnames=("reverse", "hidden"))
+@partial(jax.jit, static_argnames=("reverse", "hidden", "unroll"))
 def lstm_scan(xp: jnp.ndarray, U: jnp.ndarray, mask: jnp.ndarray,
-              hidden: int, reverse: bool = False) -> jnp.ndarray:
+              hidden: int, reverse: bool = False, unroll: int = UNROLL) -> jnp.ndarray:
     """Run the recurrence over time.
 
     Args:
@@ -57,6 +62,9 @@ def lstm_scan(xp: jnp.ndarray, U: jnp.ndarray, mask: jnp.ndarray,
       U: (H, 4H) recurrent weights.
       mask: (B, T) 1.0 at valid steps.
       reverse: scan right-to-left (the backward direction of a BiLSTM).
+      unroll: scan body replication — the recurrence is latency-bound
+        (tiny per-step matmuls, T sequential steps), so amortizing XLA's
+        per-iteration loop overhead over several steps is a direct win.
     Returns: (B, T, H) hidden states, zeroed at padded steps.
     """
     B = xp.shape[0]
@@ -76,7 +84,8 @@ def lstm_scan(xp: jnp.ndarray, U: jnp.ndarray, mask: jnp.ndarray,
 
     h0 = jnp.zeros((B, hidden), xp.dtype)
     c0 = jnp.zeros((B, hidden), xp.dtype)
-    _, ys = jax.lax.scan(step, (h0, c0), (xp_t, mask_t), reverse=reverse)
+    _, ys = jax.lax.scan(step, (h0, c0), (xp_t, mask_t), reverse=reverse,
+                         unroll=unroll)
     return jnp.swapaxes(ys, 0, 1)  # (B, T, H)
 
 

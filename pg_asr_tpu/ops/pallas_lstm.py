@@ -48,7 +48,8 @@ def _kernel(xp_ref, u_ref, mask_ref, out_ref, h_scr, c_scr, *, hidden: int):
 
     h = h_scr[:]
     c = c_scr[:]
-    pre = xp_ref[0] + jnp.dot(h, u_ref[:], preferred_element_type=jnp.float32)
+    pre = xp_ref[0].astype(jnp.float32) + jnp.dot(
+        h, u_ref[:].astype(jnp.float32), preferred_element_type=jnp.float32)
     i = jax.nn.sigmoid(pre[:, :hidden])
     f = jax.nn.sigmoid(pre[:, hidden : 2 * hidden])
     g = jnp.tanh(pre[:, 2 * hidden : 3 * hidden])
@@ -56,9 +57,11 @@ def _kernel(xp_ref, u_ref, mask_ref, out_ref, h_scr, c_scr, *, hidden: int):
     c_new = f * c + i * g
     h_new = o * jnp.tanh(c_new)
 
-    m = mask_ref[0]  # (B, 1)
-    h_scr[:] = jnp.where(m > 0, h_new, h)
-    c_scr[:] = jnp.where(m > 0, c_new, c)
+    # compare in f32: Mosaic (v5e) rejects bf16 vector cmpf
+    m = mask_ref[0].astype(jnp.float32)  # (B, 1)
+    valid = m > 0.0
+    h_scr[:] = jnp.where(valid, h_new, h)
+    c_scr[:] = jnp.where(valid, c_new, c)
     out_ref[0] = (h_new * m).astype(out_ref.dtype)
 
 
