@@ -55,7 +55,11 @@ class ModelConfig:
     hidden_size: int = 256  # per direction
     num_layers: int = 3
     dropout: float = 0.3
-    use_pallas_lstm: bool = False  # Pallas fused-gate LSTM scan kernel
+    # Pallas fused-gate LSTM kernels (fwd + bwd). "auto" = on for
+    # single-device TPU (measured 1.77x over the XLA scan at the bench
+    # shape); multi-device SPMD and CPU use the lax.scan path (pallas_call
+    # needs shard_map integration to partition — future work).
+    use_pallas_lstm: bool | str = "auto"
     dtype: str = "float32"  # compute dtype for activations ("bfloat16" on TPU)
 
 

@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import ModelConfig
-from ..ops.lstm import bilstm_layer, init_bilstm_params
+from ..ops.lstm import bilstm_layer, init_bilstm_params, resolve_use_pallas
 
 
 def init_linear(key, in_dim: int, out_dim: int, dtype=jnp.float32) -> dict:
@@ -84,8 +84,9 @@ def apply(params: dict, feats: jnp.ndarray, frame_mask: jnp.ndarray,
         else [None] * (cfg.num_layers + 1)
     )
     x = _dropout(x, cfg.dropout, rngs[0], train)
+    use_pallas = resolve_use_pallas(cfg.use_pallas_lstm)
     for i, layer in enumerate(params["lstm"]):
-        x = bilstm_layer(layer, x, mask, use_pallas=cfg.use_pallas_lstm)
+        x = bilstm_layer(layer, x, mask, use_pallas=use_pallas)
         if i < len(params["lstm"]) - 1:
             x = _dropout(x, cfg.dropout, rngs[i + 1], train)
     logits = linear(params["ctc_head"], x)

@@ -50,12 +50,15 @@ def init_params(key, enc_cfg: ModelConfig, dec_cfg: Seq2SeqConfig) -> dict:
 def encode(params: dict, feats: jnp.ndarray, frame_mask: jnp.ndarray,
            cfg: ModelConfig) -> jnp.ndarray:
     """(B, T, F) -> (B, T, 2H) encoder states (same stack as the CTC model)."""
+    from ..ops.lstm import resolve_use_pallas
+
     dtype = jnp.dtype(cfg.dtype)
     mask = frame_mask.astype(dtype)
     x = normalize_features(feats.astype(dtype), mask)
     x = jax.nn.leaky_relu(linear(params["input_proj"], x))
+    use_pallas = resolve_use_pallas(cfg.use_pallas_lstm)
     for layer in params["lstm"]:
-        x = bilstm_layer(layer, x, mask)
+        x = bilstm_layer(layer, x, mask, use_pallas=use_pallas)
     return x
 
 

@@ -29,6 +29,17 @@ import jax.numpy as jnp
 UNROLL = int(os.environ.get("PGASR_LSTM_UNROLL", "8"))
 
 
+def resolve_use_pallas(flag) -> bool:
+    """Resolve a ModelConfig.use_pallas_lstm value ("auto" | bool).
+
+    "auto" enables the Pallas kernels only on single-device TPU: they are
+    the measured win there, while CPU lacks Mosaic and multi-device SPMD
+    would need a shard_map wrapping for pallas_call to partition."""
+    if flag == "auto":
+        return jax.default_backend() == "tpu" and jax.device_count() == 1
+    return bool(flag)
+
+
 def init_lstm_params(key, input_dim: int, hidden: int, dtype=jnp.float32) -> dict:
     """Uniform(-1/sqrt(H), 1/sqrt(H)) init for all LSTM weights (the standard
     recurrent init; bias starts at 0 except forget gate +1 for stable early

@@ -48,3 +48,29 @@ def test_pallas_grads_match_jnp():
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("reverse", [False, True])
+def test_pallas_grads_match_jnp_masked(reverse):
+    """Variable lengths exercise the carry-freeze terms of the backward
+    kernel ((1-m) pass-through of dh/dc across padded steps)."""
+    rng = np.random.default_rng(2)
+    B, T, H = 4, 9, 16
+    xp = jnp.asarray(rng.standard_normal((B, T, 4 * H)).astype(np.float32)) * 0.3
+    U = jnp.asarray(rng.standard_normal((H, 4 * H)).astype(np.float32)) * 0.1
+    lens = np.array([9, 4, 1, 7])
+    mask = jnp.asarray((np.arange(T)[None] < lens[:, None]).astype(np.float32))
+    gy = jnp.asarray(rng.standard_normal((B, T, H)).astype(np.float32))
+
+    def f_pallas(xp, U):
+        return jnp.sum(pallas_lstm_scan(xp, U, mask, reverse, INTERPRET) * gy)
+
+    def f_ref(xp, U):
+        return jnp.sum(lstm_scan(xp, U, mask, H, reverse=reverse) * gy)
+
+    v1, g1 = jax.value_and_grad(f_pallas, argnums=(0, 1))(xp, U)
+    v2, g2 = jax.value_and_grad(f_ref, argnums=(0, 1))(xp, U)
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-5)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
