@@ -101,7 +101,8 @@ def lstm_scan(xp: jnp.ndarray, U: jnp.ndarray, mask: jnp.ndarray,
 
 
 def lstm_layer(params: dict, x: jnp.ndarray, mask: jnp.ndarray,
-               reverse: bool = False, use_pallas: bool = False) -> jnp.ndarray:
+               reverse: bool = False, use_pallas: bool = False,
+               interpret: bool = False) -> jnp.ndarray:
     """Single-direction LSTM layer over a padded batch. x: (B, T, I)."""
     hidden = params["U"].shape[0]
     xp = jnp.einsum("bti,ih->bth", x, params["W"],
@@ -109,7 +110,7 @@ def lstm_layer(params: dict, x: jnp.ndarray, mask: jnp.ndarray,
     if use_pallas:
         from .pallas_lstm import pallas_lstm_scan
 
-        return pallas_lstm_scan(xp, params["U"], mask, reverse=reverse)
+        return pallas_lstm_scan(xp, params["U"], mask, reverse, interpret)
     return lstm_scan(xp, params["U"], mask, hidden, reverse=reverse)
 
 
@@ -122,7 +123,8 @@ def init_bilstm_params(key, input_dim: int, hidden: int, dtype=jnp.float32) -> d
 
 
 def bilstm_layer(params: dict, x: jnp.ndarray, mask: jnp.ndarray,
-                 use_pallas: bool = False, fuse_directions: bool = False) -> jnp.ndarray:
+                 use_pallas: bool = False, fuse_directions: bool = False,
+                 interpret: bool = False) -> jnp.ndarray:
     """Bidirectional layer -> (B, T, 2H).
 
     With fuse_directions, both directions run in ONE scan over a
@@ -144,9 +146,26 @@ def bilstm_layer(params: dict, x: jnp.ndarray, mask: jnp.ndarray,
     flips cost more than the saved overhead, so fused is OFF by default and
     kept as an option for other shapes.
     """
+    if use_pallas and fuse_directions:
+        # Fused-direction Pallas kernel: ONE grid walk serves both
+        # directions (forward time t + backward time T-1-t per step).
+        # Measured on v5e at B=64/H=256/T=401: 18.78 ms/step vs 17.83 for
+        # two separate kernels — the separate launches already pipeline
+        # and the fused step doubles the DMA streams, so separate is the
+        # default; the fused kernel may win at smaller B/T.
+        from .pallas_lstm import pallas_bilstm_scan
+
+        xpf = jnp.einsum("bti,ih->bth", x, params["fwd"]["W"],
+                         preferred_element_type=x.dtype) + params["fwd"]["b"]
+        xpb = jnp.einsum("bti,ih->bth", x, params["bwd"]["W"],
+                         preferred_element_type=x.dtype) + params["bwd"]["b"]
+        return pallas_bilstm_scan(xpf, xpb, params["fwd"]["U"],
+                                  params["bwd"]["U"], mask, interpret)
     if use_pallas or not fuse_directions:
-        fwd = lstm_layer(params["fwd"], x, mask, reverse=False, use_pallas=use_pallas)
-        bwd = lstm_layer(params["bwd"], x, mask, reverse=True, use_pallas=use_pallas)
+        fwd = lstm_layer(params["fwd"], x, mask, reverse=False,
+                         use_pallas=use_pallas, interpret=interpret)
+        bwd = lstm_layer(params["bwd"], x, mask, reverse=True,
+                         use_pallas=use_pallas, interpret=interpret)
         return jnp.concatenate([fwd, bwd], axis=-1)
 
     B = x.shape[0]

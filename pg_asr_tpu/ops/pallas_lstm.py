@@ -276,6 +276,283 @@ def _pallas_backward(xp, U, mask, hprev, cprev, gy, reverse, interpret=False):
     return jnp.swapaxes(dxp_t, 0, 1), dU
 
 
+# ---------------------------------------------------------------------------
+# Fused-direction BiLSTM kernels: one grid walk serves BOTH directions.
+# Grid step t processes forward-direction time t and backward-direction time
+# T-1-t (independent work -> the two per-step matmuls pipeline on the MXU),
+# halving the sequential chain vs two single-direction kernel launches.
+# ---------------------------------------------------------------------------
+
+
+def _bi_gates(pre, c, hidden: int):
+    i = jax.nn.sigmoid(pre[:, :hidden])
+    f = jax.nn.sigmoid(pre[:, hidden : 2 * hidden])
+    g = jnp.tanh(pre[:, 2 * hidden : 3 * hidden])
+    o = jax.nn.sigmoid(pre[:, 3 * hidden :])
+    c_new = f * c + i * g
+    h_new = o * jnp.tanh(c_new)
+    return h_new, c_new
+
+
+def _kernel_bi(xpf_ref, xpb_ref, uf_ref, ub_ref, mf_ref, mb_ref,
+               yf_ref, yb_ref, hf_scr, cf_scr, hb_scr, cb_scr,
+               *, hidden: int, train: bool,
+               hpf_ref=None, cpf_ref=None, hpb_ref=None, cpb_ref=None):
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _init():
+        hf_scr[:] = jnp.zeros_like(hf_scr)
+        cf_scr[:] = jnp.zeros_like(cf_scr)
+        hb_scr[:] = jnp.zeros_like(hb_scr)
+        cb_scr[:] = jnp.zeros_like(cb_scr)
+
+    hf, cf = hf_scr[:], cf_scr[:]
+    hb, cb = hb_scr[:], cb_scr[:]
+    if train:
+        hpf_ref[0] = hf.astype(hpf_ref.dtype)
+        cpf_ref[0] = cf.astype(cpf_ref.dtype)
+        hpb_ref[0] = hb.astype(hpb_ref.dtype)
+        cpb_ref[0] = cb.astype(cpb_ref.dtype)
+    pre_f = xpf_ref[0].astype(jnp.float32) + jnp.dot(
+        hf.astype(uf_ref.dtype), uf_ref[:], preferred_element_type=jnp.float32)
+    pre_b = xpb_ref[0].astype(jnp.float32) + jnp.dot(
+        hb.astype(ub_ref.dtype), ub_ref[:], preferred_element_type=jnp.float32)
+    hf_new, cf_new = _bi_gates(pre_f, cf, hidden)
+    hb_new, cb_new = _bi_gates(pre_b, cb, hidden)
+
+    mf = mf_ref[0].astype(jnp.float32)
+    mb = mb_ref[0].astype(jnp.float32)
+    vf = mf > 0.0
+    vb = mb > 0.0
+    hf_scr[:] = jnp.where(vf, hf_new, hf)
+    cf_scr[:] = jnp.where(vf, cf_new, cf)
+    hb_scr[:] = jnp.where(vb, hb_new, hb)
+    cb_scr[:] = jnp.where(vb, cb_new, cb)
+    yf_ref[0] = (hf_new * mf).astype(yf_ref.dtype)
+    yb_ref[0] = (hb_new * mb).astype(yb_ref.dtype)
+
+
+def _kernel_bi_bwd(xpf_ref, xpb_ref, uf_ref, ub_ref, mf_ref, mb_ref,
+                   hpf_ref, cpf_ref, hpb_ref, cpb_ref, gyf_ref, gyb_ref,
+                   dxpf_ref, dxpb_ref, duf_ref, dub_ref,
+                   dhf_scr, dcf_scr, dhb_scr, dcb_scr, duf_acc, dub_acc,
+                   *, hidden: int, T: int):
+    s = pl.program_id(0)
+
+    @pl.when(s == 0)
+    def _init():
+        dhf_scr[:] = jnp.zeros_like(dhf_scr)
+        dcf_scr[:] = jnp.zeros_like(dcf_scr)
+        dhb_scr[:] = jnp.zeros_like(dhb_scr)
+        dcb_scr[:] = jnp.zeros_like(dcb_scr)
+        duf_acc[:] = jnp.zeros_like(duf_acc)
+        dub_acc[:] = jnp.zeros_like(dub_acc)
+
+    def one_dir(xp_ref, u_ref, m_ref, hp_ref, cp_ref, gy_ref, dxp_ref,
+                dh_scr, dc_scr, du_acc):
+        hprev = hp_ref[0]
+        cprev = cp_ref[0].astype(jnp.float32)
+        pre = xp_ref[0].astype(jnp.float32) + jnp.dot(
+            hprev.astype(u_ref.dtype), u_ref[:],
+            preferred_element_type=jnp.float32)
+        i = jax.nn.sigmoid(pre[:, :hidden])
+        f = jax.nn.sigmoid(pre[:, hidden : 2 * hidden])
+        g = jnp.tanh(pre[:, 2 * hidden : 3 * hidden])
+        o = jax.nn.sigmoid(pre[:, 3 * hidden :])
+        c_new = f * cprev + i * g
+        th = jnp.tanh(c_new)
+
+        m = m_ref[0].astype(jnp.float32)
+        dh = dh_scr[:]
+        dc = dc_scr[:]
+        gy = gy_ref[0].astype(jnp.float32)
+        dhn = m * (dh + gy)
+        dct = m * dc + dhn * o * (1.0 - th * th)
+        dpre = jnp.concatenate([
+            dct * g * i * (1.0 - i),
+            dct * cprev * f * (1.0 - f),
+            dct * i * (1.0 - g * g),
+            dhn * th * o * (1.0 - o),
+        ], axis=1)
+        dxp_ref[0] = dpre.astype(dxp_ref.dtype)
+        dpre_mx = dpre.astype(u_ref.dtype)
+        du_acc[:] += jnp.dot(hprev.astype(u_ref.dtype).T, dpre_mx,
+                             preferred_element_type=jnp.float32)
+        dh_scr[:] = (1.0 - m) * dh + jnp.dot(dpre_mx, u_ref[:].T,
+                                             preferred_element_type=jnp.float32)
+        dc_scr[:] = (1.0 - m) * dc + dct * f
+
+    one_dir(xpf_ref, uf_ref, mf_ref, hpf_ref, cpf_ref, gyf_ref, dxpf_ref,
+            dhf_scr, dcf_scr, duf_acc)
+    one_dir(xpb_ref, ub_ref, mb_ref, hpb_ref, cpb_ref, gyb_ref, dxpb_ref,
+            dhb_scr, dcb_scr, dub_acc)
+
+    @pl.when(s == T - 1)
+    def _emit():
+        duf_ref[:] = duf_acc[:].astype(duf_ref.dtype)
+        dub_ref[:] = dub_acc[:].astype(dub_ref.dtype)
+
+
+def _bi_specs(B, T, H, H4, fwd_idx, bwd_idx):
+    """(xpf, xpb, Uf, Ub, mf, mb) input specs shared by both kernels."""
+    return [
+        pl.BlockSpec((1, B, H4), fwd_idx, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, B, H4), bwd_idx, memory_space=pltpu.VMEM),
+        pl.BlockSpec((H, H4), lambda t: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((H, H4), lambda t: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, B, 1), fwd_idx, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, B, 1), bwd_idx, memory_space=pltpu.VMEM),
+    ]
+
+
+def _pallas_bi_forward(xpf, xpb, Uf, Ub, mask, train: bool, interpret=False):
+    """Fused BiLSTM forward. xpf/xpb: (B,T,4H). Returns y (B,T,2H) [+
+    residuals (hpf, cpf, hpb, cpb), each (T,B,H) time-major, when train]."""
+    B, T, H4 = xpf.shape
+    H = H4 // 4
+    xpf_t = jnp.swapaxes(xpf, 0, 1)
+    xpb_t = jnp.swapaxes(xpb, 0, 1)
+    mask_t = jnp.swapaxes(mask, 0, 1).astype(xpf.dtype)[:, :, None]
+    fwd_idx = lambda t: (t, 0, 0)
+    bwd_idx = lambda t: (T - 1 - t, 0, 0)
+
+    out_specs = [
+        pl.BlockSpec((1, B, H), fwd_idx, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, B, H), bwd_idx, memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((T, B, H), xpf.dtype),
+        jax.ShapeDtypeStruct((T, B, H), xpf.dtype),
+    ]
+    if train:
+        out_specs += [
+            pl.BlockSpec((1, B, H), fwd_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, H), fwd_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, H), bwd_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, H), bwd_idx, memory_space=pltpu.VMEM),
+        ]
+        out_shape += [
+            jax.ShapeDtypeStruct((T, B, H), xpf.dtype),
+            jax.ShapeDtypeStruct((T, B, H), jnp.float32),
+            jax.ShapeDtypeStruct((T, B, H), xpf.dtype),
+            jax.ShapeDtypeStruct((T, B, H), jnp.float32),
+        ]
+
+    def kern(*refs):
+        if train:
+            (xpf_r, xpb_r, uf_r, ub_r, mf_r, mb_r, yf_r, yb_r,
+             hpf_r, cpf_r, hpb_r, cpb_r, hf_s, cf_s, hb_s, cb_s) = refs
+            _kernel_bi(xpf_r, xpb_r, uf_r, ub_r, mf_r, mb_r, yf_r, yb_r,
+                       hf_s, cf_s, hb_s, cb_s, hidden=H, train=True,
+                       hpf_ref=hpf_r, cpf_ref=cpf_r, hpb_ref=hpb_r,
+                       cpb_ref=cpb_r)
+        else:
+            (xpf_r, xpb_r, uf_r, ub_r, mf_r, mb_r, yf_r, yb_r,
+             hf_s, cf_s, hb_s, cb_s) = refs
+            _kernel_bi(xpf_r, xpb_r, uf_r, ub_r, mf_r, mb_r, yf_r, yb_r,
+                       hf_s, cf_s, hb_s, cb_s, hidden=H, train=False)
+
+    outs = pl.pallas_call(
+        kern,
+        grid=(T,),
+        in_specs=_bi_specs(B, T, H, H4, fwd_idx, bwd_idx),
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.VMEM((B, H), jnp.float32)] * 4,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * T * B * H * H4 + 20 * T * B * H4,
+            bytes_accessed=(2 * T * B * H4 + 2 * H * H4 + 2 * T * B * H) * 4,
+            transcendentals=8 * T * B * H,
+        ),
+        interpret=interpret,
+    )(xpf_t, xpb_t, Uf, Ub, mask_t, mask_t)
+    yf, yb = outs[0], outs[1]
+    y = jnp.concatenate([jnp.swapaxes(yf, 0, 1), jnp.swapaxes(yb, 0, 1)], -1)
+    if train:
+        return y, outs[2:]
+    return y
+
+
+def _pallas_bi_backward(xpf, xpb, Uf, Ub, mask, res, gy, interpret=False):
+    B, T, H4 = xpf.shape
+    H = H4 // 4
+    hpf, cpf, hpb, cpb = res
+    xpf_t = jnp.swapaxes(xpf, 0, 1)
+    xpb_t = jnp.swapaxes(xpb, 0, 1)
+    mask_t = jnp.swapaxes(mask, 0, 1).astype(xpf.dtype)[:, :, None]
+    gyf_t = jnp.swapaxes(gy[:, :, :H], 0, 1)
+    gyb_t = jnp.swapaxes(gy[:, :, H:], 0, 1)
+    # reverse of the forward walk: dir-f visits T-1..0, dir-b visits 0..T-1
+    f_idx = lambda s: (T - 1 - s, 0, 0)
+    b_idx = lambda s: (s, 0, 0)
+
+    outs = pl.pallas_call(
+        functools.partial(_kernel_bi_bwd, hidden=H, T=T),
+        grid=(T,),
+        in_specs=_bi_specs(B, T, H, H4, f_idx, b_idx) + [
+            pl.BlockSpec((1, B, H), f_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, H), f_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, H), b_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, H), b_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, H), f_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, H), b_idx, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, B, H4), f_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, H4), b_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, H4), lambda s: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, H4), lambda s: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, B, H4), xpf.dtype),
+            jax.ShapeDtypeStruct((T, B, H4), xpb.dtype),
+            jax.ShapeDtypeStruct((H, H4), Uf.dtype),
+            jax.ShapeDtypeStruct((H, H4), Ub.dtype),
+        ],
+        scratch_shapes=[pltpu.VMEM((B, H), jnp.float32)] * 4 +
+                       [pltpu.VMEM((H, H4), jnp.float32)] * 2,
+        cost_estimate=pl.CostEstimate(
+            flops=12 * T * B * H * H4 + 80 * T * B * H4,
+            bytes_accessed=(4 * T * B * H4 + 4 * H * H4 + 8 * T * B * H) * 4,
+            transcendentals=10 * T * B * H,
+        ),
+        interpret=interpret,
+    )(xpf_t, xpb_t, Uf, Ub, mask_t, mask_t,
+      hpf, cpf, hpb, cpb, gyf_t, gyb_t)
+    dxpf, dxpb, dUf, dUb = outs
+    return jnp.swapaxes(dxpf, 0, 1), jnp.swapaxes(dxpb, 0, 1), dUf, dUb
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def pallas_bilstm_scan(xpf: jnp.ndarray, xpb: jnp.ndarray, Uf: jnp.ndarray,
+                       Ub: jnp.ndarray, mask: jnp.ndarray,
+                       interpret: bool = False):
+    """Fused both-direction BiLSTM recurrence.
+
+    Args: xpf/xpb (B,T,4H) per-direction input projections, Uf/Ub (H,4H),
+    mask (B,T). Returns (B,T,2H) = concat(forward, backward) outputs —
+    exactly concat(lstm_scan(xpf,...), lstm_scan(xpb,...,reverse=True))."""
+    return _pallas_bi_forward(xpf, xpb, Uf, Ub, mask, train=False,
+                              interpret=interpret)
+
+
+def _bi_fwd(xpf, xpb, Uf, Ub, mask, interpret):
+    y, res = _pallas_bi_forward(xpf, xpb, Uf, Ub, mask, train=True,
+                                interpret=interpret)
+    return y, (xpf, xpb, Uf, Ub, mask, res)
+
+
+def _bi_bwd(interpret, saved, g):
+    xpf, xpb, Uf, Ub, mask, res = saved
+    dxpf, dxpb, dUf, dUb = _pallas_bi_backward(xpf, xpb, Uf, Ub, mask, res,
+                                               g, interpret)
+    return dxpf, dxpb, dUf, dUb, None
+
+
+pallas_bilstm_scan.defvjp(_bi_fwd, _bi_bwd)
+
+
 def _jnp_reference(xp, U, mask, reverse):
     from .lstm import lstm_scan
 

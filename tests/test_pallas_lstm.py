@@ -74,3 +74,50 @@ def test_pallas_grads_match_jnp_masked(reverse):
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_fused_bilstm_matches_two_scans():
+    """pallas_bilstm_scan == concat(fwd scan, reverse scan), values + grads,
+    variable lengths."""
+    from pg_asr_tpu.ops.pallas_lstm import pallas_bilstm_scan
+
+    rng = np.random.default_rng(3)
+    B, T, H = 4, 9, 16
+    xpf = jnp.asarray(rng.standard_normal((B, T, 4 * H)).astype(np.float32)) * 0.3
+    xpb = jnp.asarray(rng.standard_normal((B, T, 4 * H)).astype(np.float32)) * 0.3
+    Uf = jnp.asarray(rng.standard_normal((H, 4 * H)).astype(np.float32)) * 0.1
+    Ub = jnp.asarray(rng.standard_normal((H, 4 * H)).astype(np.float32)) * 0.1
+    lens = np.array([9, 4, 1, 7])
+    mask = jnp.asarray((np.arange(T)[None] < lens[:, None]).astype(np.float32))
+    gy = jnp.asarray(rng.standard_normal((B, T, 2 * H)).astype(np.float32))
+
+    def f_fused(xpf, xpb, Uf, Ub):
+        return jnp.sum(pallas_bilstm_scan(xpf, xpb, Uf, Ub, mask, INTERPRET) * gy)
+
+    def f_ref(xpf, xpb, Uf, Ub):
+        y = jnp.concatenate([lstm_scan(xpf, Uf, mask, H),
+                             lstm_scan(xpb, Ub, mask, H, reverse=True)], -1)
+        return jnp.sum(y * gy)
+
+    v1, g1 = jax.value_and_grad(f_fused, argnums=(0, 1, 2, 3))(xpf, xpb, Uf, Ub)
+    v2, g2 = jax.value_and_grad(f_ref, argnums=(0, 1, 2, 3))(xpf, xpb, Uf, Ub)
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-5)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_bilstm_layer_pallas_path_matches_scan_path():
+    from pg_asr_tpu.ops.lstm import bilstm_layer, init_bilstm_params
+
+    rng = np.random.default_rng(4)
+    B, T, I, H = 3, 7, 8, 16
+    params = init_bilstm_params(jax.random.PRNGKey(1), I, H)
+    x = jnp.asarray(rng.standard_normal((B, T, I)).astype(np.float32))
+    lens = np.array([7, 3, 5])
+    mask = jnp.asarray((np.arange(T)[None] < lens[:, None]).astype(np.float32))
+
+    ref = bilstm_layer(params, x, mask)
+    got = bilstm_layer(params, x, mask, use_pallas=True, interpret=INTERPRET)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
