@@ -102,7 +102,9 @@ def bench_ours() -> dict:
             one_step, (params, opt_state, rng), None, length=TIMED_STEPS)
         return params, opt_state, losses
 
-    rng = jax.random.PRNGKey(0)
+    from pg_asr_tpu.utils.rand import training_rng
+
+    rng = training_rng(0)
     t_compile0 = time.time()
     params, opt_state, losses = run_chain(params, opt_state, rng)
     _ = float(losses[-1])

@@ -96,6 +96,29 @@ def delta_kernel(n: int = 2) -> np.ndarray:
     return k / np.sum(k * k)
 
 
+def dft_conv_kernel(n_fft: int, win_length: int) -> np.ndarray:
+    """Windowed real-DFT bases as a 1-D conv kernel, shape (2K, 1, n_fft)
+    with K = n_fft//2 + 1: rows 0..K-1 are cos bases, K..2K-1 sin bases,
+    each pre-multiplied by the (padded) Hann window.
+
+    The STFT then becomes ONE strided convolution — an MXU matmul per frame
+    — instead of frame-gather + rFFT: the gather serializes on TPU and XLA's
+    FFT for non-power-of-two lengths (e.g. the standard n_fft=400) is slow,
+    while the conv formulation measured ~4 ms -> sub-ms at the bench shape.
+    """
+    window = hann_window(win_length)
+    if win_length < n_fft:
+        lpad = (n_fft - win_length) // 2
+        window = np.pad(window, (lpad, n_fft - win_length - lpad))
+    K = n_fft // 2 + 1
+    k = np.arange(K, dtype=np.float64)[:, None]
+    n = np.arange(n_fft, dtype=np.float64)[None, :]
+    ang = 2.0 * np.pi * k * n / n_fft
+    cos_b = np.cos(ang) * window[None, :]
+    sin_b = -np.sin(ang) * window[None, :]
+    return np.concatenate([cos_b, sin_b], axis=0).astype(np.float32)[:, None, :]
+
+
 # ---------------------------------------------------------------------------
 # On-device frontend
 # ---------------------------------------------------------------------------
@@ -131,14 +154,20 @@ def _deltas(x: jnp.ndarray, n: int = 2) -> jnp.ndarray:
 @functools.partial(jax.jit, static_argnums=(2,))
 def _frontend(wave: jnp.ndarray, num_samples: jnp.ndarray, cfg: FeatureConfig):
     B, N = wave.shape
-    window = jnp.asarray(hann_window(cfg.win_length))
-    frames = _frame(wave, cfg.n_fft, cfg.hop_length, cfg.win_length)  # (B, F, n_fft)
-    if cfg.win_length < cfg.n_fft:
-        lpad = (cfg.n_fft - cfg.win_length) // 2
-        window = jnp.pad(window, (lpad, cfg.n_fft - cfg.win_length - lpad))
-    frames = frames * window[None, None, :]
-    spec = jnp.fft.rfft(frames, n=cfg.n_fft, axis=-1)
-    power = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2  # (B, F, n_fft//2+1)
+    # STFT as ONE strided conv against windowed DFT bases (see
+    # dft_conv_kernel): centered frames via reflect padding, then an MXU
+    # matmul per frame position. f32 accumulation for DSP-oracle parity.
+    pad = cfg.n_fft // 2
+    x = jnp.pad(wave, ((0, 0), (pad, pad)), mode="reflect")[:, None, :]
+    kern = jnp.asarray(dft_conv_kernel(cfg.n_fft, cfg.win_length))
+    spec = jax.lax.conv_general_dilated(
+        x, kern, window_strides=(cfg.hop_length,), padding="VALID",
+        dimension_numbers=("NCW", "OIW", "NCW"),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)  # (B, 2K, F)
+    K = cfg.n_fft // 2 + 1
+    power = jnp.swapaxes(spec[:, :K, :] ** 2 + spec[:, K:, :] ** 2, 1, 2)
+    # power: (B, F, n_fft//2+1)
 
     n_mels = 128 if cfg.kind == "mfcc" else cfg.n_mels
     fb = jnp.asarray(mel_filterbank(n_mels, cfg.n_fft, cfg.sample_rate,

@@ -177,7 +177,9 @@ def finetune_pg(corpus_path: str, model_path: str, num_steps: int = 200,
     pg_step = make_pg_step(cfg, optimizer)
     ckpt = CheckpointManager(model_path)
     logger = StepLogger(model_path)
-    rng = jax.random.PRNGKey(cfg.train.seed + 17)
+    from ..utils.rand import training_rng
+
+    rng = training_rng(cfg.train.seed + 17)
 
     rewards = []
     step = 0

@@ -144,9 +144,13 @@ def train(corpus_path: str, model_path: str, num_epochs: int | None = None,
                                sample_rate=cfg.features.sample_rate)
 
     mesh = make_mesh(cfg.train.mesh_shape, cfg.train.mesh_axes)
-    rng = jax.random.PRNGKey(cfg.train.seed)
-    rng, init_rng = jax.random.split(rng)
+    # init stays threefry (backend-independent params); the step loop uses
+    # the backend's fastest generator for dropout masks (utils/rand.py)
+    init_rng = jax.random.split(jax.random.PRNGKey(cfg.train.seed))[1]
     params = init_model_params(init_rng, cfg)
+    from .utils.rand import training_rng
+
+    rng = training_rng(cfg.train.seed)
     optimizer = make_optimizer(cfg)
     opt_state = optimizer.init(params)
 
