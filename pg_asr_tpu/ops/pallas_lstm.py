@@ -35,14 +35,42 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(xp_ref, u_ref, mask_ref, out_ref, h_scr, c_scr, *, hidden: int):
-    """One grid step = one timestep. Shapes:
-    xp_ref: (1, B, 4H) this step's input projections
+import os
+
+# Timesteps per grid step. Each grid iteration runs an unrolled CHUNK-long
+# slice of the recurrence on VMEM-resident carries: fewer grid iterations
+# amortize per-step sequencing overhead and batch the xp/out DMAs (the
+# recurrence is latency-bound, ~1.5us/step at 1-step blocks). Time is padded
+# to a CHUNK multiple with mask=0 steps (carry frozen, outputs zeroed, zero
+# grads), which preserves semantics exactly. Sweepable: PGASR_LSTM_CHUNK=4.
+CHUNK = int(os.environ.get("PGASR_LSTM_CHUNK", "8"))
+
+
+def _cell(pre, c, hidden: int):
+    i = jax.nn.sigmoid(pre[:, :hidden])
+    f = jax.nn.sigmoid(pre[:, hidden : 2 * hidden])
+    g = jnp.tanh(pre[:, 2 * hidden : 3 * hidden])
+    o = jax.nn.sigmoid(pre[:, 3 * hidden :])
+    c_new = f * c + i * g
+    h_new = o * jnp.tanh(c_new)
+    return h_new, c_new
+
+
+def _kernel(xp_ref, u_ref, mask_ref, *refs, hidden: int,
+            flip: bool, train: bool = False):
+    """One grid step = CHUNK timesteps. Shapes:
+    xp_ref: (CHUNK, B, 4H) input projections
     u_ref:  (H, 4H) recurrent weights (whole array, VMEM-resident)
-    mask_ref: (1, B, 1) validity of this step
-    out_ref: (1, B, H)
-    h_scr/c_scr: (B, H) carries in VMEM scratch
+    mask_ref: (CHUNK, B, 1) validity
+    refs (positional, outputs then scratch): out (CHUNK, B, H)
+      [+ hprev/cprev (CHUNK, B, H) when train], then h_scr/c_scr (B, H)
+    flip: iterate the chunk's steps in reverse local order (reverse scans)
     """
+    if train:
+        out_ref, hprev_ref, cprev_ref, h_scr, c_scr = refs
+    else:
+        out_ref, h_scr, c_scr = refs
+        hprev_ref = cprev_ref = None
     t = pl.program_id(0)
 
     @pl.when(t == 0)
@@ -52,213 +80,176 @@ def _kernel(xp_ref, u_ref, mask_ref, out_ref, h_scr, c_scr, *, hidden: int):
 
     h = h_scr[:]
     c = c_scr[:]
-    pre = xp_ref[0].astype(jnp.float32) + jnp.dot(
-        h, u_ref[:].astype(jnp.float32), preferred_element_type=jnp.float32)
-    i = jax.nn.sigmoid(pre[:, :hidden])
-    f = jax.nn.sigmoid(pre[:, hidden : 2 * hidden])
-    g = jnp.tanh(pre[:, 2 * hidden : 3 * hidden])
-    o = jax.nn.sigmoid(pre[:, 3 * hidden :])
-    c_new = f * c + i * g
-    h_new = o * jnp.tanh(c_new)
-
-    # compare in f32: Mosaic (v5e) rejects bf16 vector cmpf
-    m = mask_ref[0].astype(jnp.float32)  # (B, 1)
-    valid = m > 0.0
-    h_scr[:] = jnp.where(valid, h_new, h)
-    c_scr[:] = jnp.where(valid, c_new, c)
-    out_ref[0] = (h_new * m).astype(out_ref.dtype)
-
-
-def _pallas_forward(xp: jnp.ndarray, U: jnp.ndarray, mask: jnp.ndarray,
-                    reverse: bool, interpret: bool = False) -> jnp.ndarray:
-    """xp: (B, T, 4H), U: (H, 4H), mask: (B, T) -> (B, T, H)."""
-    B, T, H4 = xp.shape
-    H = H4 // 4
-    xp_t = jnp.swapaxes(xp, 0, 1)  # (T, B, 4H)
-    mask_t = jnp.swapaxes(mask, 0, 1).astype(xp.dtype)[:, :, None]  # (T, B, 1)
-
-    # reverse scan = run the grid over flipped time and flip the output back
-    idx = (lambda t: (T - 1 - t, 0, 0)) if reverse else (lambda t: (t, 0, 0))
-
-    out = pl.pallas_call(
-        functools.partial(_kernel, hidden=H),
-        grid=(T,),
-        in_specs=[
-            pl.BlockSpec((1, B, H4), idx, memory_space=pltpu.VMEM),
-            pl.BlockSpec((H, H4), lambda t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, 1), idx, memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, B, H), idx, memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((T, B, H), xp.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((B, H), jnp.float32),
-            pltpu.VMEM((B, H), jnp.float32),
-        ],
-        cost_estimate=pl.CostEstimate(
-            flops=2 * T * B * H * H4 + 10 * T * B * H4,
-            bytes_accessed=(T * B * H4 + H * H4 + T * B * H) * 4,
-            transcendentals=4 * T * B * H,
-        ),
-        interpret=interpret,
-    )(xp_t, U, mask_t)
-    return jnp.swapaxes(out, 0, 1)  # (B, T, H)
-
-
-def _kernel_train(xp_ref, u_ref, mask_ref, out_ref, hprev_ref, cprev_ref,
-                  h_scr, c_scr, *, hidden: int):
-    """Forward under differentiation: same math as _kernel, additionally
-    streaming out the PRE-step carries (the backward's residuals)."""
-    t = pl.program_id(0)
-
-    @pl.when(t == 0)
-    def _init():
-        h_scr[:] = jnp.zeros_like(h_scr)
-        c_scr[:] = jnp.zeros_like(c_scr)
-
-    h = h_scr[:]
-    c = c_scr[:]
-    hprev_ref[0] = h.astype(hprev_ref.dtype)
-    cprev_ref[0] = c.astype(cprev_ref.dtype)
-    pre = xp_ref[0].astype(jnp.float32) + jnp.dot(
-        h.astype(u_ref.dtype), u_ref[:], preferred_element_type=jnp.float32)
-    i = jax.nn.sigmoid(pre[:, :hidden])
-    f = jax.nn.sigmoid(pre[:, hidden : 2 * hidden])
-    g = jnp.tanh(pre[:, 2 * hidden : 3 * hidden])
-    o = jax.nn.sigmoid(pre[:, 3 * hidden :])
-    c_new = f * c + i * g
-    h_new = o * jnp.tanh(c_new)
-
-    m = mask_ref[0].astype(jnp.float32)  # (B, 1)
-    valid = m > 0.0
-    h_scr[:] = jnp.where(valid, h_new, h)
-    c_scr[:] = jnp.where(valid, c_new, c)
-    out_ref[0] = (h_new * m).astype(out_ref.dtype)
+    steps = range(CHUNK - 1, -1, -1) if flip else range(CHUNK)
+    for s in steps:
+        if train:
+            hprev_ref[s] = h.astype(hprev_ref.dtype)
+            cprev_ref[s] = c.astype(cprev_ref.dtype)
+        pre = xp_ref[s].astype(jnp.float32) + jnp.dot(
+            h.astype(u_ref.dtype), u_ref[:], preferred_element_type=jnp.float32)
+        h_new, c_new = _cell(pre, c, hidden)
+        # compare in f32: Mosaic (v5e) rejects bf16 vector cmpf
+        m = mask_ref[s].astype(jnp.float32)  # (B, 1)
+        valid = m > 0.0
+        h = jnp.where(valid, h_new, h)
+        c = jnp.where(valid, c_new, c)
+        out_ref[s] = (h_new * m).astype(out_ref.dtype)
+    h_scr[:] = h
+    c_scr[:] = c
 
 
 def _kernel_bwd(xp_ref, u_ref, mask_ref, hprev_ref, cprev_ref, gy_ref,
                 dxp_ref, du_ref, dh_scr, dc_scr, du_scr, *, hidden: int,
-                T: int):
-    """One grid step = one timestep, walked in REVERSE time. Carries
+                G: int, flip: bool):
+    """One grid step = CHUNK timesteps walked in REVERSE time. Carries
     (dh, dc) and the dU accumulator live in f32 VMEM scratch; gates are
-    recomputed from (xp_t, h_{t-1}) instead of being streamed from HBM."""
-    s = pl.program_id(0)
+    recomputed from (xp_t, h_{t-1}) instead of being streamed from HBM.
+    flip=False walks local steps CHUNK-1..0 (reverse of a forward scan);
+    flip=True walks 0..CHUNK-1 (reverse of a reverse scan)."""
+    gstep = pl.program_id(0)
 
-    @pl.when(s == 0)
+    @pl.when(gstep == 0)
     def _init():
         dh_scr[:] = jnp.zeros_like(dh_scr)
         dc_scr[:] = jnp.zeros_like(dc_scr)
         du_scr[:] = jnp.zeros_like(du_scr)
 
-    hprev = hprev_ref[0]  # (B, H) bf16/f32 (xp dtype)
-    cprev = cprev_ref[0].astype(jnp.float32)  # (B, H)
-    pre = xp_ref[0].astype(jnp.float32) + jnp.dot(
-        hprev.astype(u_ref.dtype), u_ref[:], preferred_element_type=jnp.float32)
-    i = jax.nn.sigmoid(pre[:, :hidden])
-    f = jax.nn.sigmoid(pre[:, hidden : 2 * hidden])
-    g = jnp.tanh(pre[:, 2 * hidden : 3 * hidden])
-    o = jax.nn.sigmoid(pre[:, 3 * hidden :])
-    c_new = f * cprev + i * g
-    th = jnp.tanh(c_new)
-
-    m = mask_ref[0].astype(jnp.float32)  # (B, 1)
     dh = dh_scr[:]
     dc = dc_scr[:]
-    gy = gy_ref[0].astype(jnp.float32)
-    # y_t = h_new * m; carry h_t = m ? h_new : h_{t-1}  (same for c)
-    dhn = m * (dh + gy)
-    dct = m * dc + dhn * o * (1.0 - th * th)
-    do_ = dhn * th
-    di = dct * g
-    dg = dct * i
-    df = dct * cprev
-    dpre = jnp.concatenate([
-        di * i * (1.0 - i),
-        df * f * (1.0 - f),
-        dg * (1.0 - g * g),
-        do_ * o * (1.0 - o),
-    ], axis=1)  # (B, 4H) f32
-    dxp_ref[0] = dpre.astype(dxp_ref.dtype)
+    du = du_scr[:]
+    steps = range(CHUNK) if flip else range(CHUNK - 1, -1, -1)
+    for s in steps:
+        hprev = hprev_ref[s]  # (B, H) xp dtype
+        cprev = cprev_ref[s].astype(jnp.float32)  # (B, H)
+        pre = xp_ref[s].astype(jnp.float32) + jnp.dot(
+            hprev.astype(u_ref.dtype), u_ref[:],
+            preferred_element_type=jnp.float32)
+        i = jax.nn.sigmoid(pre[:, :hidden])
+        f = jax.nn.sigmoid(pre[:, hidden : 2 * hidden])
+        g = jnp.tanh(pre[:, 2 * hidden : 3 * hidden])
+        o = jax.nn.sigmoid(pre[:, 3 * hidden :])
+        c_new = f * cprev + i * g
+        th = jnp.tanh(c_new)
 
-    dpre_mx = dpre.astype(u_ref.dtype)  # MXU-native inputs, f32 accumulate
-    du_scr[:] += jnp.dot(hprev.astype(u_ref.dtype).T, dpre_mx,
-                         preferred_element_type=jnp.float32)
-    dh_scr[:] = (1.0 - m) * dh + jnp.dot(dpre_mx, u_ref[:].T,
-                                         preferred_element_type=jnp.float32)
-    dc_scr[:] = (1.0 - m) * dc + dct * f
+        m = mask_ref[s].astype(jnp.float32)  # (B, 1)
+        gy = gy_ref[s].astype(jnp.float32)
+        # y_t = h_new * m; carry h_t = m ? h_new : h_{t-1}  (same for c)
+        dhn = m * (dh + gy)
+        dct = m * dc + dhn * o * (1.0 - th * th)
+        dpre = jnp.concatenate([
+            dct * g * i * (1.0 - i),
+            dct * cprev * f * (1.0 - f),
+            dct * i * (1.0 - g * g),
+            dhn * th * o * (1.0 - o),
+        ], axis=1)  # (B, 4H) f32
+        dxp_ref[s] = dpre.astype(dxp_ref.dtype)
 
-    @pl.when(s == T - 1)
+        dpre_mx = dpre.astype(u_ref.dtype)  # MXU-native, f32 accumulate
+        du = du + jnp.dot(hprev.astype(u_ref.dtype).T, dpre_mx,
+                          preferred_element_type=jnp.float32)
+        dh = (1.0 - m) * dh + jnp.dot(dpre_mx, u_ref[:].T,
+                                      preferred_element_type=jnp.float32)
+        dc = (1.0 - m) * dc + dct * f
+    dh_scr[:] = dh
+    dc_scr[:] = dc
+    du_scr[:] = du
+
+    @pl.when(gstep == G - 1)
     def _emit():
         du_ref[:] = du_scr[:].astype(du_ref.dtype)
 
 
-def _pallas_forward_train(xp, U, mask, reverse, interpret=False):
-    """Like _pallas_forward but also returns time-major residuals
-    (hprev (T,B,H) in xp dtype, cprev (T,B,H) f32)."""
+def _pad_chunk(arr_t: jnp.ndarray) -> jnp.ndarray:
+    """Zero-pad a time-major (T, B, ...) array to a CHUNK multiple."""
+    T = arr_t.shape[0]
+    Tp = -(-T // CHUNK) * CHUNK
+    if Tp == T:
+        return arr_t
+    return jnp.pad(arr_t, [(0, Tp - T)] + [(0, 0)] * (arr_t.ndim - 1))
+
+
+def _pallas_forward(xp: jnp.ndarray, U: jnp.ndarray, mask: jnp.ndarray,
+                    reverse: bool, interpret: bool = False,
+                    train: bool = False):
+    """xp: (B, T, 4H), U: (H, 4H), mask: (B, T) -> (B, T, H) [+ residuals
+    hprev/cprev (Tp, B, H) time-major when train]."""
     B, T, H4 = xp.shape
     H = H4 // 4
-    xp_t = jnp.swapaxes(xp, 0, 1)
-    mask_t = jnp.swapaxes(mask, 0, 1).astype(xp.dtype)[:, :, None]
-    idx = (lambda t: (T - 1 - t, 0, 0)) if reverse else (lambda t: (t, 0, 0))
+    xp_t = _pad_chunk(jnp.swapaxes(xp, 0, 1))  # (Tp, B, 4H)
+    mask_t = _pad_chunk(
+        jnp.swapaxes(mask, 0, 1).astype(xp.dtype)[:, :, None])  # (Tp, B, 1)
+    Tp = xp_t.shape[0]
+    G = Tp // CHUNK
 
-    out, hprev, cprev = pl.pallas_call(
-        functools.partial(_kernel_train, hidden=H),
-        grid=(T,),
+    # reverse scan = run the grid over flipped time (block order + local
+    # order inside the chunk) and the padded mask=0 tail freezes the carry
+    idx = (lambda t: (G - 1 - t, 0, 0)) if reverse else (lambda t: (t, 0, 0))
+
+    n_out = 3 if train else 1
+    outs = pl.pallas_call(
+        functools.partial(_kernel, hidden=H, flip=reverse, train=train),
+        grid=(G,),
         in_specs=[
-            pl.BlockSpec((1, B, H4), idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((CHUNK, B, H4), idx, memory_space=pltpu.VMEM),
             pl.BlockSpec((H, H4), lambda t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, 1), idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((CHUNK, B, 1), idx, memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((1, B, H), idx, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, H), idx, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, H), idx, memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((T, B, H), xp.dtype),
-            jax.ShapeDtypeStruct((T, B, H), xp.dtype),
-            jax.ShapeDtypeStruct((T, B, H), jnp.float32),
-        ],
+        out_specs=[pl.BlockSpec((CHUNK, B, H), idx,
+                                memory_space=pltpu.VMEM)] * n_out,
+        out_shape=[jax.ShapeDtypeStruct((Tp, B, H), xp.dtype),
+                   jax.ShapeDtypeStruct((Tp, B, H), xp.dtype),
+                   jax.ShapeDtypeStruct((Tp, B, H), jnp.float32)][:n_out],
         scratch_shapes=[
             pltpu.VMEM((B, H), jnp.float32),
             pltpu.VMEM((B, H), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=2 * T * B * H * H4 + 10 * T * B * H4,
-            bytes_accessed=(T * B * H4 + H * H4 + 3 * T * B * H) * 4,
-            transcendentals=4 * T * B * H,
+            flops=2 * Tp * B * H * H4 + 10 * Tp * B * H4,
+            bytes_accessed=(Tp * B * H4 + H * H4 + n_out * Tp * B * H) * 4,
+            transcendentals=4 * Tp * B * H,
         ),
         interpret=interpret,
     )(xp_t, U, mask_t)
-    return jnp.swapaxes(out, 0, 1), hprev, cprev
+    if train:
+        out, hprev, cprev = outs
+        return jnp.swapaxes(out[:T], 0, 1), hprev, cprev
+    return jnp.swapaxes(outs[0][:T], 0, 1)
+
+
+def _pallas_forward_train(xp, U, mask, reverse, interpret=False):
+    return _pallas_forward(xp, U, mask, reverse, interpret, train=True)
 
 
 def _pallas_backward(xp, U, mask, hprev, cprev, gy, reverse, interpret=False):
-    """Reverse-time grad kernel -> (dxp (B,T,4H), dU (H,4H))."""
+    """Reverse-time grad kernel -> (dxp (B,T,4H), dU (H,4H)). hprev/cprev
+    arrive time-major already CHUNK-padded (forward residuals)."""
     B, T, H4 = xp.shape
     H = H4 // 4
-    xp_t = jnp.swapaxes(xp, 0, 1)
-    mask_t = jnp.swapaxes(mask, 0, 1).astype(xp.dtype)[:, :, None]
-    gy_t = jnp.swapaxes(gy, 0, 1)
+    xp_t = _pad_chunk(jnp.swapaxes(xp, 0, 1))
+    mask_t = _pad_chunk(jnp.swapaxes(mask, 0, 1).astype(xp.dtype)[:, :, None])
+    gy_t = _pad_chunk(jnp.swapaxes(gy, 0, 1))
+    Tp = xp_t.shape[0]
+    G = Tp // CHUNK
     # backward visits time in the opposite order of the forward pass
-    idx = (lambda s: (s, 0, 0)) if reverse else (lambda s: (T - 1 - s, 0, 0))
+    idx = (lambda s: (s, 0, 0)) if reverse else (lambda s: (G - 1 - s, 0, 0))
 
     dxp_t, dU = pl.pallas_call(
-        functools.partial(_kernel_bwd, hidden=H, T=T),
-        grid=(T,),
+        functools.partial(_kernel_bwd, hidden=H, G=G, flip=reverse),
+        grid=(G,),
         in_specs=[
-            pl.BlockSpec((1, B, H4), idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((CHUNK, B, H4), idx, memory_space=pltpu.VMEM),
             pl.BlockSpec((H, H4), lambda s: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, 1), idx, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, H), idx, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, H), idx, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, H), idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((CHUNK, B, 1), idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((CHUNK, B, H), idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((CHUNK, B, H), idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((CHUNK, B, H), idx, memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, B, H4), idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((CHUNK, B, H4), idx, memory_space=pltpu.VMEM),
             pl.BlockSpec((H, H4), lambda s: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((T, B, H4), xp.dtype),
+            jax.ShapeDtypeStruct((Tp, B, H4), xp.dtype),
             jax.ShapeDtypeStruct((H, H4), U.dtype),
         ],
         scratch_shapes=[
@@ -267,13 +258,13 @@ def _pallas_backward(xp, U, mask, hprev, cprev, gy, reverse, interpret=False):
             pltpu.VMEM((H, H4), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=6 * T * B * H * H4 + 40 * T * B * H4,
-            bytes_accessed=(2 * T * B * H4 + 2 * H * H4 + 4 * T * B * H) * 4,
-            transcendentals=5 * T * B * H,
+            flops=6 * Tp * B * H * H4 + 40 * Tp * B * H4,
+            bytes_accessed=(2 * Tp * B * H4 + 2 * H * H4 + 4 * Tp * B * H) * 4,
+            transcendentals=5 * Tp * B * H,
         ),
         interpret=interpret,
     )(xp_t, U, mask_t, hprev, cprev, gy_t)
-    return jnp.swapaxes(dxp_t, 0, 1), dU
+    return jnp.swapaxes(dxp_t[:T], 0, 1), dU
 
 
 # ---------------------------------------------------------------------------
