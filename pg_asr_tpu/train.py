@@ -73,7 +73,73 @@ def compute_loss(params, wave, num_samples, labels, label_lens, cfg: Config,
     return ctc_loss_mean(log_probs, frame_lens, labels, label_lens)
 
 
-def make_train_step(cfg: Config, optimizer) -> Callable:
+def _use_shard_map(cfg: Config, mesh) -> bool:
+    """Data-parallel meshes (>1 device, no live 'model' axis) run the step
+    under shard_map: each shard computes loss/grads on its local batch with
+    explicit psum over ICI — and, critically, Pallas kernels work per-shard
+    (pallas_call cannot be auto-partitioned by the XLA SPMD pass, which is
+    why the pjit path falls back to lax.scan on multi-device). Meshes with
+    a live 'model' axis keep the pjit path (tensor-sharded params)."""
+    return (mesh is not None and mesh.size > 1
+            and mesh.shape.get("model", 1) <= 1)
+
+
+def _shard_cfg(cfg: Config) -> Config:
+    """Inside shard_map each shard sees single-core shapes, so 'auto'
+    Pallas resolution must not look at the global device count: force the
+    flag by backend."""
+    use = jax.default_backend() == "tpu"
+    return cfg.replace(model=cfg.model.__class__(
+        **{**cfg.model.__dict__, "use_pallas_lstm": use}))
+
+
+def _shard_map(f, mesh, in_specs, out_specs):
+    """shard_map across jax versions: jax>=0.8 moved it out of experimental
+    and renamed check_rep -> check_vma (both off: the LSTM scan carries are
+    unvarying zeros that become shard-varying, a benign mismatch)."""
+    try:
+        from jax import shard_map as sm  # jax >= 0.8
+
+        return sm(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                  check_vma=False)
+    except ImportError:
+        from jax.experimental.shard_map import shard_map as sm
+
+        return sm(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                  check_rep=False)
+
+
+def make_train_step(cfg: Config, optimizer, mesh=None) -> Callable:
+    if _use_shard_map(cfg, mesh):
+        from jax.sharding import PartitionSpec as P
+
+        cfg_l = _shard_cfg(cfg)
+
+        def step_local(params, opt_state, rng, wave, num_samples, labels,
+                       label_lens):
+            rng, dropout_rng = jax.random.split(rng)
+            # decorrelate dropout across shards; the carried rng stays
+            # replicated so the step remains deterministic per global step
+            dropout_rng = jax.random.fold_in(
+                dropout_rng, jax.lax.axis_index("data"))
+
+            def loss_fn(p):
+                return compute_loss(p, wave, num_samples, labels, label_lens,
+                                    cfg_l, train=True, dropout_rng=dropout_rng)
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            grads = jax.lax.pmean(grads, "data")  # ICI all-reduce
+            loss = jax.lax.pmean(loss, "data")
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, rng, loss
+
+        sharded = _shard_map(
+            step_local, mesh,
+            in_specs=(P(), P(), P(), P("data"), P("data"), P("data"), P("data")),
+            out_specs=(P(), P(), P(), P()))
+        return jax.jit(sharded, donate_argnums=(0, 1))
+
     @partial(jax.jit, donate_argnums=(0, 1))
     def train_step(params, opt_state, rng, wave, num_samples, labels, label_lens):
         rng, dropout_rng = jax.random.split(rng)
@@ -90,7 +156,22 @@ def make_train_step(cfg: Config, optimizer) -> Callable:
     return train_step
 
 
-def make_eval_step(cfg: Config) -> Callable:
+def make_eval_step(cfg: Config, mesh=None) -> Callable:
+    if _use_shard_map(cfg, mesh):
+        from jax.sharding import PartitionSpec as P
+
+        cfg_l = _shard_cfg(cfg)
+
+        def eval_local(params, wave, num_samples, labels, label_lens):
+            loss = compute_loss(params, wave, num_samples, labels, label_lens,
+                                cfg_l, train=False)
+            return jax.lax.pmean(loss, "data")
+
+        return jax.jit(_shard_map(
+            eval_local, mesh,
+            in_specs=(P(), P("data"), P("data"), P("data"), P("data")),
+            out_specs=P()))
+
     @jax.jit
     def eval_step(params, wave, num_samples, labels, label_lens):
         return compute_loss(params, wave, num_samples, labels, label_lens,
@@ -169,8 +250,8 @@ def train(corpus_path: str, model_path: str, num_epochs: int | None = None,
 
     params = replicate(params, mesh)
     opt_state = replicate(opt_state, mesh)
-    train_step = make_train_step(cfg, optimizer)
-    eval_step = make_eval_step(cfg)
+    train_step = make_train_step(cfg, optimizer, mesh)
+    eval_step = make_eval_step(cfg, mesh)
     logger = StepLogger(model_path)
 
     train_losses: list[float] = []

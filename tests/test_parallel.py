@@ -87,3 +87,34 @@ def test_pad_batch_to_multiple():
     np.testing.assert_array_equal(out[3], a[2])
     (same,) = pad_batch_to_multiple((a,), 3)
     assert same.shape == (3, 2)
+
+
+def test_shard_map_data_parallel_matches_single_device():
+    """The shard_map step (the real multi-chip TPU path; scan fallback on
+    CPU) must reproduce the single-device pjit step bit-for-bit at dropout=0."""
+    cfg = tiny_cfg()
+    mesh1 = make_mesh((1,), ("data",), devices=jax.devices()[:1])
+    mesh8 = make_mesh((8,), ("data",))
+
+    losses1, params1 = _run_steps(mesh1, cfg)
+
+    from pg_asr_tpu.train import make_train_step
+    from pg_asr_tpu.models import bilstm_ctc
+    params = bilstm_ctc.init_params(jax.random.PRNGKey(0), cfg.model)
+    opt = make_optimizer(cfg)
+    opt_state = opt.init(params)
+    params = replicate(params, mesh8)
+    opt_state = replicate(opt_state, mesh8)
+    step = make_train_step(cfg, opt, mesh8)
+    arrays = shard_batch_arrays(_data(), mesh8)
+    rng = jax.random.PRNGKey(1)
+    losses8 = []
+    for _ in range(2):
+        params, opt_state, rng, loss = step(params, opt_state, rng, *arrays)
+        losses8.append(float(loss))
+
+    np.testing.assert_allclose(losses1, losses8, rtol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(params1),
+                    jax.tree_util.tree_leaves(jax.device_get(params))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
