@@ -47,13 +47,22 @@ def seq2seq_nll_loss(log_probs: jnp.ndarray, targets: jnp.ndarray,
 
     Args: log_probs (B, Td, A); targets (B, Td) 0-padded; target_lens (B,).
     """
+    num, den = seq2seq_nll_terms(log_probs, targets, target_lens, include_eos)
+    return jnp.sum(num / jnp.maximum(den, 1.0))
+
+
+def seq2seq_nll_terms(log_probs: jnp.ndarray, targets: jnp.ndarray,
+                      target_lens: jnp.ndarray, include_eos: bool = True):
+    """Per-decoder-step (numerator (Td,), denominator (Td,)) of the
+    seq2seq loss — SPMD shards psum these elementwise so ragged batches
+    reduce to the exact global per-step means (see train._use_shard_map)."""
     nll = -jnp.take_along_axis(log_probs, targets[..., None].astype(jnp.int32),
                                axis=-1)[..., 0]  # (B, Td)
     pos = jnp.arange(targets.shape[1])[None, :]
     lim = target_lens[:, None] + (1 if include_eos else 0)
-    keep = (pos < lim).astype(log_probs.dtype)
-    per_step = jnp.sum(nll * keep, axis=0) / jnp.maximum(jnp.sum(keep, axis=0), 1.0)
-    return jnp.sum(per_step)
+    # zero-length rows are batch padding (pad_batch_to_multiple) — excluded
+    keep = ((pos < lim) & (target_lens[:, None] > 0)).astype(log_probs.dtype)
+    return jnp.sum(nll * keep, axis=0), jnp.sum(keep, axis=0)
 
 
 def masked_mean_nll(log_probs: jnp.ndarray, targets: jnp.ndarray,

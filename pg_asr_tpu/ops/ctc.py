@@ -95,16 +95,28 @@ def ctc_loss(log_probs: jnp.ndarray, frame_lens: jnp.ndarray,
     return -total
 
 
+def ctc_loss_terms(log_probs, frame_lens, labels, label_lens, blank: int = 0,
+                   label_normalize: bool = True):
+    """(numerator, denominator) of the batch-mean CTC loss, both scalars.
+
+    Splitting the mean lets SPMD shards psum num/den separately so ragged
+    (zero-row-padded) batches give exactly the unpadded global mean.
+    Guards: impossible alignments (too few frames) are excluded BEFORE
+    normalization; rows with no labels are batch padding
+    (parallel/mesh.pad_batch_to_multiple) and are excluded too.
+    """
+    nll = ctc_loss(log_probs, frame_lens, labels, label_lens, blank)
+    finite = (nll < 0.5e30) & (label_lens > 0)
+    if label_normalize:
+        nll = nll / jnp.maximum(label_lens.astype(jnp.float32), 1.0)
+    nll = jnp.where(finite, nll, 0.0)
+    return jnp.sum(nll), jnp.sum(finite.astype(jnp.float32))
+
+
 def ctc_loss_mean(log_probs, frame_lens, labels, label_lens, blank: int = 0,
                   label_normalize: bool = True) -> jnp.ndarray:
     """Scalar training loss: mean over the batch of per-utterance NLL,
     optionally normalized by label length (stabilizes mixed-length batches)."""
-    nll = ctc_loss(log_probs, frame_lens, labels, label_lens, blank)
-    # guard impossible alignments (too few frames for the label) from
-    # poisoning the mean — test feasibility BEFORE normalization
-    finite = nll < 0.5e30
-    if label_normalize:
-        nll = nll / jnp.maximum(label_lens.astype(jnp.float32), 1.0)
-    nll = jnp.where(finite, nll, 0.0)
-    denom = jnp.maximum(jnp.sum(finite.astype(jnp.float32)), 1.0)
-    return jnp.sum(nll) / denom
+    num, den = ctc_loss_terms(log_probs, frame_lens, labels, label_lens,
+                              blank, label_normalize)
+    return num / jnp.maximum(den, 1.0)

@@ -41,15 +41,19 @@ def replicate(tree, mesh: Mesh):
 
 
 def pad_batch_to_multiple(arrays: tuple[np.ndarray, ...], multiple: int):
-    """Pad the leading (batch) dim to a multiple by repeating the final row
-    (ragged final batches under data parallelism)."""
+    """Pad the leading (batch) dim to a multiple with ZERO rows (ragged
+    final batches under data parallelism). Zero rows have num_samples=0 and
+    label_lens=0, which the losses exclude (ops/ctc.ctc_loss_mean,
+    losses.seq2seq_nll_loss) — so the padded step computes exactly the
+    unpadded loss/grads, unlike row duplication which up-weights the
+    repeated utterances."""
     b = arrays[0].shape[0]
     rem = (-b) % multiple
     if rem == 0:
         return arrays
     out = []
     for a in arrays:
-        pad = np.repeat(a[-1:], rem, axis=0)
+        pad = np.zeros((rem,) + a.shape[1:], dtype=a.dtype)
         out.append(np.concatenate([a, pad], axis=0))
     return tuple(out)
 

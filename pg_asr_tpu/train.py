@@ -59,17 +59,25 @@ def init_model_params(rng, cfg: Config):
 
 
 def compute_loss(params, wave, num_samples, labels, label_lens, cfg: Config,
-                 train: bool, dropout_rng=None):
+                 train: bool, dropout_rng=None, terms: bool = False):
+    """Scalar loss (terms=False) or (numerator, denominator) arrays
+    (terms=True — same-shaped, for SPMD psum reduction of ragged batches)."""
     feats, mask, frame_lens = extract_features(wave, num_samples, cfg.features)
     if cfg.model.family == "seq2seq":
-        from .losses import seq2seq_nll_loss
+        from .losses import seq2seq_nll_loss, seq2seq_nll_terms
         from .models import seq2seq
 
         log_probs = seq2seq.apply_teacher_forced(params, feats, mask, labels,
                                                  cfg.model, cfg.seq2seq)
+        if terms:
+            return seq2seq_nll_terms(log_probs, labels, label_lens)
         return seq2seq_nll_loss(log_probs, labels, label_lens)
+    from .ops.ctc import ctc_loss_terms
+
     log_probs = bilstm_ctc.apply(params, feats, mask, cfg.model,
                                  train=train, dropout_rng=dropout_rng)
+    if terms:
+        return ctc_loss_terms(log_probs, frame_lens, labels, label_lens)
     return ctc_loss_mean(log_probs, frame_lens, labels, label_lens)
 
 
@@ -124,12 +132,18 @@ def make_train_step(cfg: Config, optimizer, mesh=None) -> Callable:
                 dropout_rng, jax.lax.axis_index("data"))
 
             def loss_fn(p):
-                return compute_loss(p, wave, num_samples, labels, label_lens,
-                                    cfg_l, train=True, dropout_rng=dropout_rng)
+                # local contribution to the GLOBAL mean: numerator over the
+                # psum'd denominator, so ragged zero-padded shards reduce to
+                # exactly the unpadded loss (num/den from compute_loss)
+                num, den = compute_loss(p, wave, num_samples, labels,
+                                        label_lens, cfg_l, train=True,
+                                        dropout_rng=dropout_rng, terms=True)
+                den_g = jax.lax.psum(den, "data")
+                return jnp.sum(num / jnp.maximum(den_g, 1.0))
 
             loss, grads = jax.value_and_grad(loss_fn)(params)
-            grads = jax.lax.pmean(grads, "data")  # ICI all-reduce
-            loss = jax.lax.pmean(loss, "data")
+            grads = jax.lax.psum(grads, "data")  # ICI all-reduce
+            loss = jax.lax.psum(loss, "data")
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return params, opt_state, rng, loss
@@ -163,9 +177,10 @@ def make_eval_step(cfg: Config, mesh=None) -> Callable:
         cfg_l = _shard_cfg(cfg)
 
         def eval_local(params, wave, num_samples, labels, label_lens):
-            loss = compute_loss(params, wave, num_samples, labels, label_lens,
-                                cfg_l, train=False)
-            return jax.lax.pmean(loss, "data")
+            num, den = compute_loss(params, wave, num_samples, labels,
+                                    label_lens, cfg_l, train=False, terms=True)
+            den_g = jax.lax.psum(den, "data")
+            return jax.lax.psum(jnp.sum(num / jnp.maximum(den_g, 1.0)), "data")
 
         return jax.jit(_shard_map(
             eval_local, mesh,

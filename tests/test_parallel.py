@@ -84,9 +84,32 @@ def test_pad_batch_to_multiple():
     a = np.arange(6).reshape(3, 2)
     (out,) = pad_batch_to_multiple((a,), 4)
     assert out.shape == (4, 2)
-    np.testing.assert_array_equal(out[3], a[2])
+    np.testing.assert_array_equal(out[3], np.zeros(2, a.dtype))
     (same,) = pad_batch_to_multiple((a,), 3)
     assert same.shape == (3, 2)
+
+
+def test_ragged_batch_loss_matches_unpadded():
+    """A batch padded with zero rows to fill the mesh must give the SAME
+    loss as the unpadded batch on one device (padding rows excluded from
+    the loss, not duplicated into it)."""
+    from pg_asr_tpu.train import make_eval_step
+    from pg_asr_tpu.models import bilstm_ctc
+
+    cfg = tiny_cfg()
+    params = bilstm_ctc.init_params(jax.random.PRNGKey(0), cfg.model)
+
+    wave, ns, labels, label_lens = _data(B=5)  # ragged for an 8-way mesh
+    mesh1 = make_mesh((1,), ("data",), devices=jax.devices()[:1])
+    mesh8 = make_mesh((8,), ("data",))
+
+    loss1 = float(make_eval_step(cfg, mesh1)(
+        replicate(params, mesh1),
+        *shard_batch_arrays((wave, ns, labels, label_lens), mesh1)))
+    loss8 = float(make_eval_step(cfg, mesh8)(
+        replicate(params, mesh8),
+        *shard_batch_arrays((wave, ns, labels, label_lens), mesh8)))
+    np.testing.assert_allclose(loss1, loss8, rtol=1e-5)
 
 
 def test_shard_map_data_parallel_matches_single_device():
