@@ -76,9 +76,11 @@ def _path_rewards(paths, frame_mask, labels, label_lens, kind: str):
     return R.reshape(S, B), None, hyp_lens.reshape(S, B)
 
 
-def pg_loss_fn(params, wave, num_samples_arr, labels, label_lens, rng,
-               cfg: Config):
-    """Scalar PG loss + aux metrics dict."""
+def pg_loss_terms(params, wave, num_samples_arr, labels, label_lens, rng,
+                  cfg: Config):
+    """PG loss as (numerators, denominators, metrics). Each loss component
+    is num/den so SPMD shards can psum the dens for exact global means
+    (same discipline as train.compute_loss terms mode)."""
     rl = cfg.rl
     feats, mask, frame_lens = extract_features(wave, num_samples_arr, cfg.features)
     log_probs = bilstm_ctc.apply(params, feats, mask, cfg.model, train=False)
@@ -89,7 +91,7 @@ def pg_loss_fn(params, wave, num_samples_arr, labels, label_lens, rng,
     R, frame_r, _ = _path_rewards(paths, mask, labels, label_lens, rl.reward)
     R = jax.lax.stop_gradient(R)
 
-    # baseline
+    # baseline (row-local: greedy self-critic or mean over the S samples)
     if rl.baseline == "greedy":
         greedy_ids, greedy_lens = greedy_decode(log_probs, mask)
         base = sequence_reward(labels, label_lens, greedy_ids, greedy_lens)  # (B,)
@@ -109,31 +111,87 @@ def pg_loss_fn(params, wave, num_samples_arr, labels, label_lens, rng,
         # remaining frames carry the sequence-level advantage via R - base)
         adv = jax.lax.stop_gradient(frame_r - (base / jnp.maximum(
             jnp.sum(mask, 1), 1.0)[None, :, None]))
-        pg = -jnp.sum(adv * lp_path) / jnp.maximum(jnp.sum(mask) * rl.num_samples, 1.0)
+        pg_num = -jnp.sum(adv * lp_path)
+        pg_den = jnp.sum(mask) * rl.num_samples
     else:
         adv = (R - base)  # (S, B)
         seq_lp = jnp.sum(lp_path, axis=2) / jnp.maximum(jnp.sum(mask, 1)[None], 1.0)
-        pg = -jnp.mean(adv * seq_lp)
+        # rows with no frames (ragged zero-padding) have seq_lp = 0
+        pg_num = -jnp.sum(adv * seq_lp)
+        pg_den = jnp.asarray(float(rl.num_samples)) * jnp.sum(
+            (jnp.sum(mask, 1) > 0).astype(jnp.float32))
 
     # entropy bonus over valid frames (keeps the policy from collapsing)
-    ent = -jnp.sum(jnp.exp(log_probs) * log_probs, axis=-1)  # (B, T)
-    ent = jnp.sum(ent * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+    ent_num = jnp.sum(-jnp.sum(jnp.exp(log_probs) * log_probs, -1) * mask)
+    ent_den = jnp.sum(mask)
 
-    loss = pg - rl.entropy_weight * ent
-    if rl.ctc_mix_weight > 0:
-        loss = loss + rl.ctc_mix_weight * ctc_loss_mean(
-            log_probs, frame_lens, labels, label_lens)
+    from ..ops.ctc import ctc_loss_terms
 
+    ctc_num, ctc_den = ctc_loss_terms(log_probs, frame_lens, labels, label_lens)
+
+    nums = {"pg": pg_num, "ent": ent_num, "ctc": ctc_num}
+    dens = {"pg": pg_den, "ent": ent_den, "ctc": ctc_den}
     metrics = {
         "reward_mean": jnp.mean(R),
         "baseline_mean": jnp.mean(base),
         "advantage_mean": jnp.mean(R - base),
-        "entropy": ent,
+        "entropy": ent_num / jnp.maximum(ent_den, 1.0),
     }
-    return loss, metrics
+    return nums, dens, metrics
 
 
-def make_pg_step(cfg: Config, optimizer) -> Callable:
+def _combine_terms(nums, dens, rl):
+    pg = nums["pg"] / jnp.maximum(dens["pg"], 1.0)
+    ent = nums["ent"] / jnp.maximum(dens["ent"], 1.0)
+    loss = pg - rl.entropy_weight * ent
+    if rl.ctc_mix_weight > 0:
+        loss = loss + rl.ctc_mix_weight * nums["ctc"] / jnp.maximum(
+            dens["ctc"], 1.0)
+    return loss
+
+
+def pg_loss_fn(params, wave, num_samples_arr, labels, label_lens, rng,
+               cfg: Config):
+    """Scalar PG loss + aux metrics dict."""
+    nums, dens, metrics = pg_loss_terms(params, wave, num_samples_arr,
+                                        labels, label_lens, rng, cfg)
+    return _combine_terms(nums, dens, cfg.rl), metrics
+
+
+def make_pg_step(cfg: Config, optimizer, mesh=None) -> Callable:
+    from ..train import _shard_cfg, _shard_map, _use_shard_map
+
+    if _use_shard_map(cfg, mesh):
+        from jax.sharding import PartitionSpec as P
+
+        cfg_l = _shard_cfg(cfg)
+
+        def step_local(params, opt_state, rng, wave, ns, labels, label_lens):
+            rng, sample_rng = jax.random.split(rng)
+            sample_rng = jax.random.fold_in(
+                sample_rng, jax.lax.axis_index("data"))
+
+            def loss_fn(p):
+                nums, dens, metrics = pg_loss_terms(
+                    p, wave, ns, labels, label_lens, sample_rng, cfg_l)
+                dens_g = jax.lax.psum(dens, "data")
+                return _combine_terms(nums, dens_g, cfg_l.rl), metrics
+
+            (loss, metrics), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params)
+            grads = jax.lax.psum(grads, "data")
+            loss = jax.lax.psum(loss, "data")
+            metrics = jax.lax.pmean(metrics, "data")
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, rng, loss, metrics
+
+        sharded = _shard_map(
+            step_local, mesh,
+            in_specs=(P(), P(), P(), P("data"), P("data"), P("data"), P("data")),
+            out_specs=(P(), P(), P(), P(), P()))
+        return jax.jit(sharded, donate_argnums=(0, 1))
+
     @partial(jax.jit, donate_argnums=(0, 1))
     def pg_step(params, opt_state, rng, wave, ns, labels, label_lens):
         rng, sample_rng = jax.random.split(rng)
@@ -174,7 +232,7 @@ def finetune_pg(corpus_path: str, model_path: str, num_steps: int = 200,
     opt_state = optimizer.init(params)
     params = replicate(params, mesh)
     opt_state = replicate(opt_state, mesh)
-    pg_step = make_pg_step(cfg, optimizer)
+    pg_step = make_pg_step(cfg, optimizer, mesh)
     ckpt = CheckpointManager(model_path)
     logger = StepLogger(model_path)
     from ..utils.rand import training_rng

@@ -141,3 +141,25 @@ def test_shard_map_data_parallel_matches_single_device():
                     jax.tree_util.tree_leaves(jax.device_get(params))):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_pg_step_shard_map_runs():
+    """The REINFORCE step takes the shard_map path on data-parallel meshes
+    and produces finite loss/metrics with ragged zero-padded rows."""
+    import optax
+    from pg_asr_tpu.models import bilstm_ctc
+    from pg_asr_tpu.rl.reinforce import make_pg_step
+
+    cfg = tiny_cfg()
+    mesh8 = make_mesh((8,), ("data",))
+    params = bilstm_ctc.init_params(jax.random.PRNGKey(0), cfg.model)
+    opt = optax.adam(1e-4)
+    opt_state = opt.init(params)
+    params = replicate(params, mesh8)
+    opt_state = replicate(opt_state, mesh8)
+    step = make_pg_step(cfg, opt, mesh8)
+    arrays = shard_batch_arrays(_data(B=5), mesh8)  # ragged -> 3 zero rows
+    params, opt_state, rng, loss, metrics = step(
+        params, opt_state, jax.random.PRNGKey(2), *arrays)
+    assert np.isfinite(float(loss))
+    assert np.isfinite(float(metrics["entropy"]))
