@@ -78,6 +78,18 @@ def _config(args):
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
+    if os.environ.get("PGASR_DISTRIBUTED") == "1":
+        # multi-host (DCN) training: initialize the process group before
+        # any backend use; no-op overhead for single-host runs
+        from .parallel.mesh import init_distributed
+
+        init_distributed(
+            coordinator_address=os.environ.get("PGASR_COORDINATOR"),
+            num_processes=(int(os.environ["PGASR_NUM_PROCESSES"])
+                           if "PGASR_NUM_PROCESSES" in os.environ else None),
+            process_id=(int(os.environ["PGASR_PROCESS_ID"])
+                        if "PGASR_PROCESS_ID" in os.environ else None))
+
     if args.debug_nans:
         import jax
 

@@ -107,7 +107,13 @@ class BatchIterator:
                  wave_quantum: int = 16000, label_quantum: int = 32,
                  max_samples: int | None = None, shuffle: bool = True,
                  drop_remainder: bool = False, seed: int = 0,
-                 loader: Callable[[str], tuple[np.ndarray, int]] | None = None):
+                 loader: Callable[[str], tuple[np.ndarray, int]] | None = None,
+                 shard_index: int = 0, shard_count: int = 1):
+        # multi-host data parallelism: each process iterates a disjoint
+        # slice of the corpus (train() passes jax.process_index/count)
+        utterances = list(utterances)
+        if shard_count > 1:
+            utterances = utterances[shard_index::shard_count]
         self.utts = list(utterances)
         self.alphabet = alphabet
         self.batch_size = batch_size

@@ -15,9 +15,46 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def init_distributed(coordinator_address: str | None = None,
+                     num_processes: int | None = None,
+                     process_id: int | None = None) -> None:
+    """Initialize jax.distributed for multi-host (DCN) training.
+
+    On TPU pods, bare jax.distributed.initialize() self-configures from the
+    metadata server; explicit args cover GCE-less clusters. Safe to call
+    when already initialized or single-process. The drivers call this when
+    PGASR_DISTRIBUTED=1 (cli.py) so single-host runs pay nothing.
+    """
+    # NB: do NOT touch jax.devices()/process_count() here — any backend
+    # query initializes XLA and makes initialize() fail permanently.
+    try:
+        kwargs = {}
+        if coordinator_address:
+            kwargs = dict(coordinator_address=coordinator_address,
+                          num_processes=num_processes, process_id=process_id)
+        jax.distributed.initialize(**kwargs)
+        print(f"[mesh] jax.distributed initialized "
+              f"(process {jax.process_index()}/{jax.process_count()})")
+    except (RuntimeError, ValueError) as e:  # single-process / re-init
+        print(f"[mesh] jax.distributed.initialize skipped: {e}")
+
+
 def make_mesh(shape: tuple[int, ...] = (), axes: tuple[str, ...] = ("data",),
               devices=None) -> Mesh:
-    """Build a mesh; default: all devices on one 'data' axis."""
+    """Build a mesh; default: all devices on one 'data' axis.
+
+    With an explicit multi-axis shape and no explicit device list, device
+    placement goes through mesh_utils.create_device_mesh so the innermost
+    axes land on ICI neighbours and DCN hops stay on the outermost axis —
+    the 2-level (dcn, ici) layout drops in without code changes.
+    """
+    if devices is None and shape and int(np.prod(shape)) == len(jax.devices()):
+        try:
+            from jax.experimental import mesh_utils
+
+            return Mesh(mesh_utils.create_device_mesh(shape), axes)
+        except Exception:
+            pass  # fall through to the simple row-major layout
     devices = devices if devices is not None else jax.devices()
     if not shape:
         shape = (len(devices),) + (1,) * (len(axes) - 1)
@@ -59,10 +96,22 @@ def pad_batch_to_multiple(arrays: tuple[np.ndarray, ...], multiple: int):
 
 
 def shard_batch_arrays(arrays, mesh: Mesh):
-    """Host numpy batch arrays -> device arrays sharded on 'data'."""
+    """Host numpy batch arrays -> device arrays sharded on 'data'.
+
+    Single-host: one device_put of the global batch. Multi-host: each
+    process passes its PROCESS-LOCAL slice of the batch (feed each host
+    1/process_count of the rows — see dataset.BatchIterator's shard
+    arguments) and the global array is assembled without any cross-host
+    data movement (jax.make_array_from_process_local_data)."""
     n_data = mesh.shape.get("data", 1)
-    arrays = pad_batch_to_multiple(tuple(np.asarray(a) for a in arrays), n_data)
     s = data_sharding(mesh)
+    if jax.process_count() > 1:
+        per_proc = max(1, n_data // jax.process_count())
+        arrays = pad_batch_to_multiple(
+            tuple(np.asarray(a) for a in arrays), per_proc)
+        return tuple(jax.make_array_from_process_local_data(s, a)
+                     for a in arrays)
+    arrays = pad_batch_to_multiple(tuple(np.asarray(a) for a in arrays), n_data)
     return tuple(jax.device_put(a, s) for a in arrays)
 
 

@@ -226,18 +226,46 @@ def train(corpus_path: str, model_path: str, num_epochs: int | None = None,
             **cfg.seq2seq.__dict__, "vocab_size": alphabet.size}))
 
     aud_path = os.path.join(corpus_path, "clips")
+    # multi-host: this process loads only its slice of the corpus and feeds
+    # only its local batch rows (mesh.shard_batch_arrays assembles globals).
+    # Every host MUST execute the same number of (collective) steps per
+    # epoch: the caps below are computed from the GLOBAL manifest sizes —
+    # every host derives the same numbers without communication, hosts with
+    # extra local batches drop them, and a dev set too small for all hosts
+    # (cap 0) skips validation everywhere.
+    proc, nproc = jax.process_index(), jax.process_count()
+    per_host_bs = max(1, cfg.train.batch_size // nproc)
+
+    def _host_cap(n_global: int) -> int | None:
+        if nproc == 1:
+            return None
+        return -(-(n_global // nproc) // per_host_bs)  # ceil(min_local / bs)
+
+    train_manifest = load_manifest(os.path.join(corpus_path, "train.tsv"), aud_path)
+    train_cap = _host_cap(len(train_manifest))
     train_it = BatchIterator(
-        load_manifest(os.path.join(corpus_path, "train.tsv"), aud_path),
-        alphabet, cfg.train.batch_size, sample_rate=cfg.features.sample_rate,
-        seed=cfg.train.seed)
+        train_manifest, alphabet, per_host_bs,
+        sample_rate=cfg.features.sample_rate,
+        seed=cfg.train.seed, shard_index=proc, shard_count=nproc)
     if cfg.train.prefetch_depth > 0:
         train_it = PrefetchIterator(train_it, depth=cfg.train.prefetch_depth)
     dev_tsv = os.path.join(corpus_path, "dev.tsv")
     dev_it = None
+    dev_cap = None
     if os.path.exists(dev_tsv):
-        dev_it = BatchIterator(load_manifest(dev_tsv, aud_path), alphabet,
-                               cfg.train.batch_size, shuffle=False,
-                               sample_rate=cfg.features.sample_rate)
+        dev_manifest = load_manifest(dev_tsv, aud_path)
+        dev_cap = _host_cap(len(dev_manifest))
+        if dev_cap == 0:
+            dev_it = None  # fewer dev rows than hosts: skip val on ALL hosts
+            if proc == 0:
+                print("[train] dev set smaller than host count - skipping "
+                      "validation (multi-host)")
+        else:
+            dev_it = BatchIterator(dev_manifest, alphabet,
+                                   per_host_bs, shuffle=False,
+                                   sample_rate=cfg.features.sample_rate,
+                                   shard_index=proc, shard_count=nproc)
+    is_main = proc == 0
 
     mesh = make_mesh(cfg.train.mesh_shape, cfg.train.mesh_axes)
     # init stays threefry (backend-independent params); the step loop uses
@@ -251,7 +279,8 @@ def train(corpus_path: str, model_path: str, num_epochs: int | None = None,
     opt_state = optimizer.init(params)
 
     ckpt = CheckpointManager(model_path)
-    ckpt.save_config(cfg.to_json())
+    if is_main:
+        ckpt.save_config(cfg.to_json())
     start_epoch = 1
     state_tpl = {"params": params, "opt_state": opt_state, "step": 0,
                  "epoch": 0, "best_val_loss": float("inf")}
@@ -291,18 +320,22 @@ def train(corpus_path: str, model_path: str, num_epochs: int | None = None,
             n_batches += 1
             loss_val = float(loss)
             epoch_loss += loss_val
-            if step % cfg.train.log_every == 0:
+            if is_main and step % cfg.train.log_every == 0:
                 logger.log(step=step, epoch=epoch, loss=loss_val,
                            utts_per_sec=batch.size * n_batches / (time.time() - t0))
             if max_steps_per_epoch and n_batches >= max_steps_per_epoch:
                 break
+            if train_cap is not None and n_batches >= train_cap:
+                break  # keep collective step counts equal across hosts
         if tracing:  # epoch shorter than the trace window
             jax.profiler.stop_trace()
             tracing = False
             print(f"[train] device trace written to {model_path}/trace")
         mean_train = epoch_loss / max(n_batches, 1)
         train_losses.append(mean_train)
-        np.save(os.path.join(model_path, "train_loss.npy"), np.array(train_losses))
+        if is_main:
+            np.save(os.path.join(model_path, "train_loss.npy"),
+                    np.array(train_losses))
 
         cur_val = None
         if dev_it is not None and epoch % cfg.train.eval_every_epochs == 0:
@@ -311,22 +344,30 @@ def train(corpus_path: str, model_path: str, num_epochs: int | None = None,
                 arrays = shard_batch_arrays(_batch_arrays(batch), mesh)
                 tot += float(eval_step(params, *arrays))
                 n += 1
+                if dev_cap is not None and n >= dev_cap:
+                    break  # equal collective counts across hosts
             cur_val = tot / max(n, 1)
             val_losses.append(cur_val)
-            np.save(os.path.join(model_path, "val_losses.npy"), np.array(val_losses))
+            if is_main:
+                np.save(os.path.join(model_path, "val_losses.npy"),
+                        np.array(val_losses))
 
         dt = time.time() - t0
-        print(f"[train] epoch {epoch}/{cfg.train.num_epochs} "
-              f"train_loss={mean_train:.4f}"
-              + (f" val_loss={cur_val:.4f}" if cur_val is not None else "")
-              + f" ({dt:.1f}s, {n_batches} steps)")
+        if is_main:
+            print(f"[train] epoch {epoch}/{cfg.train.num_epochs} "
+                  f"train_loss={mean_train:.4f}"
+                  + (f" val_loss={cur_val:.4f}" if cur_val is not None else "")
+                  + f" ({dt:.1f}s, {n_batches} steps)")
 
-        is_best = ckpt.save(
-            {"params": params, "opt_state": opt_state, "step": step,
-             "epoch": epoch, "best_val_loss": ckpt.best_val},
-            val_loss=cur_val if cur_val is not None else mean_train)
-        if is_best:
-            print(f"[train] new best checkpoint (val {ckpt.best_val:.4f})")
+        # params are replicated, so only the main process writes checkpoints
+        # (shared-FS collisions / duplicate IO on multi-host otherwise)
+        if is_main:
+            is_best = ckpt.save(
+                {"params": params, "opt_state": opt_state, "step": step,
+                 "epoch": epoch, "best_val_loss": ckpt.best_val},
+                val_loss=cur_val if cur_val is not None else mean_train)
+            if is_best:
+                print(f"[train] new best checkpoint (val {ckpt.best_val:.4f})")
 
     return {
         "train_losses": train_losses,

@@ -130,3 +130,16 @@ def test_prefetch_wraps_batch_iterator(tmp_path):
     assert len(direct) == len(prefetched)
     for a, b in zip(direct, prefetched):
         assert np.array_equal(a, b)
+
+
+def test_batch_iterator_host_sharding():
+    from pg_asr_tpu.data.dataset import BatchIterator, Utterance
+
+    utts = [Utterance(f"u{i}.wav", "ab", 100 + i) for i in range(10)]
+    alphabet = Alphabet.from_symbols(list("ab"))
+    shards = [BatchIterator(utts, alphabet, 2, shard_index=i, shard_count=3)
+              for i in range(3)]
+    counts = [len(s.utts) for s in shards]
+    assert sum(counts) == 10
+    paths = sorted(u.audio_path for s in shards for u in s.utts)
+    assert paths == sorted(u.audio_path for u in utts)  # disjoint cover
