@@ -149,15 +149,148 @@ def _decode_one(log_probs, frame_len, *, K: int, A: int, Lmax: int, blank: int):
     return prefixes[best], lens[best], -scores[best], (prefixes, lens, scores)
 
 
-@partial(jax.jit, static_argnames=("beam_size", "max_label_len", "blank"))
+# ---------------------------------------------------------------------------
+# Fast path: rolling-hash prefix identity + backpointer backtracking.
+#
+# The buffer implementation above carries (K, Lmax) prefixes through the
+# scan; its per-frame (K, K, Lmax) stem-equality and (K, Lmax) parent
+# gathers dominate decode time (measured 65 ms/batch at B=64 K=16 T=401).
+# Here the carry is five (K,) vectors: prefixes are identified by a rolling
+# hash h' = h * M + (s + 1) (int32 wraparound), the extend->stay collision
+# matrix compares hashes instead of buffers, and each frame only RECORDS
+# (parent, symbol) backpointers; the best prefix is reconstructed after the
+# scan by one reverse walk. Hash collisions (~K^2*T / 2^32 per utterance)
+# can in principle merge distinct prefixes; parity with the buffer oracle
+# is tested, and the buffer path remains available via impl="buffer".
+# ---------------------------------------------------------------------------
+
+_HASH_M = jnp.int32(1000003)
+
+
+def _step_hash(state, lp, *, K: int, A: int, Lmax: int, blank: int):
+    """One frame update carrying (hash, last, lens, p_b, p_nb), all (K,).
+    Returns (new_state, (parent (K,), sym (K,) [-1 = stay]))."""
+    h, last, lens, p_b, p_nb = state
+    total = _lae(p_b, p_nb)
+    valid = total > NEG / 2
+
+    # ---- stay candidates ---------------------------------------------------
+    stay_pb = jnp.where(valid, total + lp[blank], NEG)
+    stay_pnb = jnp.where(valid & (last >= 0),
+                         p_nb + lp[jnp.maximum(last, 0)], NEG)
+
+    # ---- extend candidates (K, A) -------------------------------------------
+    syms = jnp.arange(A)
+    is_last = syms[None, :] == last[:, None]
+    src = jnp.where(is_last, p_b[:, None], total[:, None])
+    ext_pnb = src + lp[None, :]
+    ext_pnb = jnp.where(syms[None, :] == blank, NEG, ext_pnb)
+    ext_pnb = jnp.where(valid[:, None], ext_pnb, NEG)
+    ext_pnb = jnp.where((lens >= Lmax)[:, None], NEG, ext_pnb)
+
+    # ---- merge extend->stay collisions via hashes ---------------------------
+    # E[j, k] = prefix_j == prefix_k + (last_j,)
+    h_ext = h[None, :] * _HASH_M + (jnp.maximum(last, 0) + 1)[:, None]  # (j, k)
+    E = (
+        (h[:, None] == h_ext)
+        & (lens[:, None] == lens[None, :] + 1)
+        & valid[:, None] & valid[None, :]
+        & (last[:, None] >= 0)
+    )
+    C = jnp.where(E, ext_pnb[:, jnp.maximum(last, 0)].T, NEG)
+    merged_in = jax.nn.logsumexp(C, axis=1)
+    merged_in = jnp.where(jnp.any(E, axis=1), merged_in, NEG)
+    stay_pnb = _lae(stay_pnb, jnp.maximum(merged_in, NEG))
+
+    onehot_last = jax.nn.one_hot(jnp.maximum(last, 0), A, dtype=jnp.float32)
+    onehot_last = onehot_last * (last >= 0)[:, None]
+    kill = (E.astype(jnp.float32).T @ onehot_last) > 0  # (K, A)
+    ext_pnb = jnp.where(kill, NEG, ext_pnb)
+
+    # ---- top-K ---------------------------------------------------------------
+    cand_pb = jnp.concatenate([stay_pb, jnp.full((K * A,), NEG)])
+    cand_pnb = jnp.concatenate([stay_pnb, ext_pnb.reshape(-1)])
+    scores = _lae(cand_pb, cand_pnb)
+    top_scores, top_idx = jax.lax.top_k(scores, K)
+
+    is_stay = top_idx < K
+    parent = jnp.where(is_stay, top_idx, (top_idx - K) // A)
+    sym = jnp.where(is_stay, -1, (top_idx - K) % A)
+
+    new_h = jnp.where(is_stay, h[parent],
+                      h[parent] * _HASH_M + (jnp.maximum(sym, 0) + 1))
+    new_last = jnp.where(is_stay, last[parent], sym)
+    new_lens = lens[parent] + (~is_stay).astype(lens.dtype)
+    new_pb = cand_pb[top_idx]
+    new_pnb = cand_pnb[top_idx]
+    dead = top_scores <= NEG / 2
+    new_pb = jnp.where(dead, NEG, new_pb)
+    new_pnb = jnp.where(dead, NEG, new_pnb)
+    new_lens = jnp.where(dead, 0, new_lens)
+    new_h = jnp.where(dead, 0, new_h)
+    new_last = jnp.where(dead, -1, new_last)
+    return (new_h, new_last, new_lens, new_pb, new_pnb), (parent, sym)
+
+
+def _decode_one_hash(log_probs, frame_len, *, K: int, A: int, Lmax: int,
+                     blank: int):
+    """Backpointer variant of _decode_one. Same return contract."""
+    T = log_probs.shape[0]
+    h = jnp.zeros((K,), jnp.int32)
+    last = jnp.full((K,), -1, jnp.int32)
+    lens = jnp.zeros((K,), jnp.int32)
+    p_b = jnp.full((K,), NEG).at[0].set(0.0)
+    p_nb = jnp.full((K,), NEG)
+    idk = jnp.arange(K)
+
+    def body(state, inp):
+        lp, t = inp
+        new_state, (parent, sym) = _step_hash(state, lp, K=K, A=A, Lmax=Lmax,
+                                              blank=blank)
+        active = t < frame_len
+        state = jax.tree_util.tree_map(
+            lambda n, o: jnp.where(active, n, o), new_state, state)
+        # frozen frames record identity backpointers
+        parent = jnp.where(active, parent, idk)
+        sym = jnp.where(active, sym, -1)
+        return state, (parent, sym)
+
+    ts = jnp.arange(T)
+    (h, last, lens, p_b, p_nb), (parents, syms) = jax.lax.scan(
+        body, (h, last, lens, p_b, p_nb), (log_probs, ts))
+
+    scores = _lae(p_b, p_nb)
+    best = jnp.argmax(scores)
+
+    # backtrack: walk t = T-1..0 from the best slot, emitting extends
+    def back(slot, rec):
+        parent, sym = rec
+        s = sym[slot]
+        nxt = parent[slot]
+        return nxt, s  # s = -1 when this frame was a stay for `slot`
+
+    _, emitted = jax.lax.scan(back, best, (parents, syms), reverse=True)
+    # emitted (T,) in forward-time order; compact the non-(-1) entries
+    is_sym = emitted >= 0
+    pos = jnp.cumsum(is_sym.astype(jnp.int32)) - 1  # target index per emission
+    prefix = jnp.zeros((Lmax,), jnp.int32)
+    onehot = (pos[:, None] == jnp.arange(Lmax)[None, :]) & is_sym[:, None]
+    prefix = jnp.sum(jnp.where(onehot, emitted[:, None], 0), axis=0)
+    return prefix.astype(jnp.int32), lens[best], -scores[best], (None, lens, scores)
+
+
+@partial(jax.jit, static_argnames=("beam_size", "max_label_len", "blank",
+                                   "impl"))
 def beam_decode(log_probs: jnp.ndarray, frame_lens: jnp.ndarray,
                 beam_size: int = 16, max_label_len: int = 256,
-                blank: int = 0):
+                blank: int = 0, impl: str = "hash"):
     """Batched CTC prefix beam search on device.
 
     Args:
       log_probs: (B, T, A) per-frame log-posteriors.
       frame_lens: (B,) valid frame counts.
+      impl: "hash" (rolling-hash + backpointers, the fast default) or
+        "buffer" (carries explicit prefix buffers — the structural oracle).
     Returns:
       labels: (B, max_label_len) int32 best prefixes (0-padded),
       lens: (B,) int32,
@@ -165,7 +298,8 @@ def beam_decode(log_probs: jnp.ndarray, frame_lens: jnp.ndarray,
     """
     B, T, A = log_probs.shape
     Lmax = min(max_label_len, T)
-    fn = partial(_decode_one, K=beam_size, A=A, Lmax=Lmax, blank=blank)
+    one = _decode_one_hash if impl == "hash" else _decode_one
+    fn = partial(one, K=beam_size, A=A, Lmax=Lmax, blank=blank)
     labels, lens, nll, _ = jax.vmap(fn)(log_probs.astype(jnp.float32),
                                         frame_lens.astype(jnp.int32))
     if Lmax < max_label_len:

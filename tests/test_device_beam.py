@@ -72,3 +72,20 @@ def test_device_beam_all_blank():
                                     np.array([T]), beam_size=4, max_label_len=5)
     assert int(lens[0]) == 0
     assert float(nll[0]) == pytest.approx(-T * np.log(probs[0, 0]), abs=1e-3)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_hash_impl_matches_buffer_impl(seed):
+    """The rolling-hash/backpointer fast path must reproduce the explicit
+    prefix-buffer implementation exactly (labels, lens, NLL)."""
+    rng = np.random.default_rng(seed)
+    B, T, S, K = 4, 20, 6, 8
+    probs = np.stack([_rand_probs(rng, T, S, sharp=1.5) for _ in range(B)])
+    lp = np.log(probs).astype(np.float32)
+    flens = np.array([20, 13, 7, 1])
+    out_h = beam_decode(lp, flens, beam_size=K, max_label_len=T, impl="hash")
+    out_b = beam_decode(lp, flens, beam_size=K, max_label_len=T, impl="buffer")
+    np.testing.assert_array_equal(np.asarray(out_h[0]), np.asarray(out_b[0]))
+    np.testing.assert_array_equal(np.asarray(out_h[1]), np.asarray(out_b[1]))
+    np.testing.assert_allclose(np.asarray(out_h[2]), np.asarray(out_b[2]),
+                               rtol=1e-5)
