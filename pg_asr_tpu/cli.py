@@ -38,6 +38,10 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["greedy", "beam"])
     p.add_argument("--beam_size", type=int, default=None)
     p.add_argument("--lang", type=str, default="en")
+    p.add_argument("--librispeech_root", type=str, default=None,
+                   help="preproc: build corpus manifests + alphabet from a "
+                        "LibriSpeech tree (train-*/dev-*/test-* subdirs) "
+                        "into --corpus_path")
     p.add_argument("--model", type=str, default=None,
                    choices=["ctc", "seq2seq"],
                    help="model family (default ctc; seq2seq = the attention "
@@ -96,6 +100,13 @@ def main(argv=None) -> int:
         jax.config.update("jax_debug_nans", True)
 
     if args.mode == "preproc":
+        if args.librispeech_root:
+            from .data.dataset import librispeech_to_corpus
+
+            counts = librispeech_to_corpus(args.librispeech_root,
+                                           args.corpus_path)
+            print(f"[preproc] LibriSpeech -> {args.corpus_path}: {counts}")
+            return 0
         from .data.text import preproc_text
 
         preproc_text(args.corpus_path, args.lang)

@@ -75,6 +75,40 @@ def scan_librispeech(root: str) -> list[Utterance]:
     return utts
 
 
+def librispeech_to_corpus(root: str, out_dir: str) -> dict:
+    """Convert a LibriSpeech directory tree into the corpus layout the
+    drivers consume (train/dev/test.tsv + alphabet.txt; audio referenced by
+    absolute path, so no clips/ copy). Split subdirs are classified by name
+    prefix (train-*, dev-*, test-*); multiple subdirs per split concatenate.
+    Returns {"train": n, "dev": n, "test": n}.
+    """
+    from .text import Alphabet, write_tsv
+
+    splits: dict[str, list[Utterance]] = {"train": [], "dev": [], "test": []}
+    for entry in sorted(os.listdir(root)):
+        full = os.path.join(root, entry)
+        if not os.path.isdir(full):
+            continue
+        for split in splits:
+            if entry.startswith(split):
+                splits[split].extend(scan_librispeech(full))
+                break
+    if not any(splits.values()):  # flat tree: treat root itself as train
+        splits["train"] = scan_librispeech(root)
+
+    os.makedirs(out_dir, exist_ok=True)
+    for split, utts in splits.items():
+        if not utts:
+            continue
+        rows = [{"path": u.audio_path, "sentence": u.text} for u in utts]
+        write_tsv(os.path.join(out_dir, f"{split}.tsv"),
+                  ["path", "sentence"], rows)
+    texts = [u.text for u in splits["train"]] or [
+        u.text for us in splits.values() for u in us]
+    Alphabet.from_texts(texts).save(os.path.join(out_dir, "alphabet.txt"))
+    return {k: len(v) for k, v in splits.items()}
+
+
 def _round_up(x: int, q: int) -> int:
     return ((x + q - 1) // q) * q
 

@@ -143,3 +143,29 @@ def test_batch_iterator_host_sharding():
     assert sum(counts) == 10
     paths = sorted(u.audio_path for s in shards for u in s.utts)
     assert paths == sorted(u.audio_path for u in utts)  # disjoint cover
+
+
+def test_librispeech_to_corpus(tmp_path):
+    from pg_asr_tpu.data.dataset import librispeech_to_corpus, load_manifest
+
+    rng = np.random.default_rng(0)
+    for split, utt_ids in (("train-clean-100", ["19-198-0000", "19-198-0001"]),
+                           ("dev-clean", ["20-100-0000"]),
+                           ("test-clean", ["21-101-0000"])):
+        spk = tmp_path / split / utt_ids[0].split("-")[0] / utt_ids[0].split("-")[1]
+        os.makedirs(spk)
+        with open(spk / f"{'-'.join(utt_ids[0].split('-')[:2])}.trans.txt", "w") as fo:
+            for uid in utt_ids:
+                write_wav(str(spk / f"{uid}.wav"),
+                          rng.standard_normal(800).astype(np.float32) * 0.1, 16000)
+                fo.write(f"{uid} HELLO THERE\n")
+
+    out = str(tmp_path / "corpus")
+    counts = librispeech_to_corpus(str(tmp_path), out)
+    assert counts == {"train": 2, "dev": 1, "test": 1}
+    assert os.path.exists(os.path.join(out, "alphabet.txt"))
+    utts = load_manifest(os.path.join(out, "train.tsv"))
+    assert len(utts) == 2
+    assert all(os.path.isabs(u.audio_path) and os.path.exists(u.audio_path)
+               for u in utts)
+    assert utts[0].text == "hello there"
