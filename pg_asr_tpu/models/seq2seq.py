@@ -48,17 +48,25 @@ def init_params(key, enc_cfg: ModelConfig, dec_cfg: Seq2SeqConfig) -> dict:
 
 
 def encode(params: dict, feats: jnp.ndarray, frame_mask: jnp.ndarray,
-           cfg: ModelConfig) -> jnp.ndarray:
-    """(B, T, F) -> (B, T, 2H) encoder states (same stack as the CTC model)."""
+           cfg: ModelConfig, train: bool = False, dropout_rng=None) -> jnp.ndarray:
+    """(B, T, F) -> (B, T, 2H) encoder states (same stack as the CTC model,
+    incl. the reference's encoder dropout, reference model.py:51,44)."""
     from ..ops.lstm import resolve_use_pallas
+    from .bilstm_ctc import _dropout
 
     dtype = jnp.dtype(cfg.dtype)
     mask = frame_mask.astype(dtype)
     x = normalize_features(feats.astype(dtype), mask)
     x = jax.nn.leaky_relu(linear(params["input_proj"], x))
+    rngs = (jax.random.split(dropout_rng, cfg.num_layers + 1)
+            if (train and dropout_rng is not None)
+            else [None] * (cfg.num_layers + 1))
+    x = _dropout(x, cfg.dropout, rngs[0], train)
     use_pallas = resolve_use_pallas(cfg.use_pallas_lstm)
-    for layer in params["lstm"]:
+    for i, layer in enumerate(params["lstm"]):
         x = bilstm_layer(layer, x, mask, use_pallas=use_pallas)
+        if i < len(params["lstm"]) - 1:
+            x = _dropout(x, cfg.dropout, rngs[i + 1], train)
     return x
 
 
@@ -73,13 +81,15 @@ def _attend(dec_states: jnp.ndarray, enc_out: jnp.ndarray,
                       preferred_element_type=dec_states.dtype)
 
 
-@partial(jax.jit, static_argnames=("enc_cfg", "dec_cfg"))
+@partial(jax.jit, static_argnames=("enc_cfg", "dec_cfg", "train"))
 def apply_teacher_forced(params: dict, feats: jnp.ndarray, frame_mask: jnp.ndarray,
                          targets: jnp.ndarray, enc_cfg: ModelConfig,
-                         dec_cfg: Seq2SeqConfig) -> jnp.ndarray:
+                         dec_cfg: Seq2SeqConfig, train: bool = False,
+                         dropout_rng=None) -> jnp.ndarray:
     """Teacher-forced forward: (B,T,F) audio features + (B,Td) targets ->
     (B,Td,A) log-probs (positions predict targets[:, t])."""
-    enc_out = encode(params["encoder"], feats, frame_mask, enc_cfg)
+    enc_out = encode(params["encoder"], feats, frame_mask, enc_cfg,
+                     train=train, dropout_rng=dropout_rng)
 
     # shift-right teacher forcing, BOS = 0
     dec_in = jnp.pad(targets[:, :-1], ((0, 0), (1, 0)))

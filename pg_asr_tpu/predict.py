@@ -98,6 +98,9 @@ def predict(test_path: str, aud_path: str, alphabet_path: str, model_path: str,
         utts = utts[:limit]
     it = BatchIterator(utts, alphabet, batch_size, shuffle=False,
                        sample_rate=cfg.features.sample_rate)
+    from .data.dataset import PrefetchIterator
+
+    it = PrefetchIterator(it, depth=2)  # overlap WAV decode with decoding
 
     targets: list[str] = []
     predicted: list[str] = []

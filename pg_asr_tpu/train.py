@@ -68,7 +68,9 @@ def compute_loss(params, wave, num_samples, labels, label_lens, cfg: Config,
         from .models import seq2seq
 
         log_probs = seq2seq.apply_teacher_forced(params, feats, mask, labels,
-                                                 cfg.model, cfg.seq2seq)
+                                                 cfg.model, cfg.seq2seq,
+                                                 train=train,
+                                                 dropout_rng=dropout_rng)
         if terms:
             return seq2seq_nll_terms(log_probs, labels, label_lens)
         return seq2seq_nll_loss(log_probs, labels, label_lens)
