@@ -115,11 +115,41 @@ def bench_ours() -> dict:
     loss_val = float(losses[-1])
     dt = time.time() - t0
     utts_per_sec = BATCH * TIMED_STEPS / dt
+
+    # informational: eval/serving throughput (featurize + forward + greedy
+    # decode) on the same model/batch; failures must not break the primary
+    # training metric
+    eval_ups = None
+    try:
+        from pg_asr_tpu.decoding.greedy import greedy_decode
+
+        def eval_one(w):
+            feats, mask, _ = extract_features(w, arrays[1], cfg.features)
+            lp = bilstm_ctc.apply(params, feats, mask, cfg.model, train=False)
+            ids, lens = greedy_decode(lp, mask)
+            return jnp.sum(lens).astype(jnp.float32)
+
+        @jax.jit
+        def eval_chain(w):
+            def body(w, _):
+                out = eval_one(w)
+                return w + 1e-9 * out, out
+            w, outs = jax.lax.scan(body, w, None, length=TIMED_STEPS)
+            return outs[-1]
+
+        _ = float(eval_chain(arrays[0]))  # compile
+        t0 = time.time()
+        _ = float(eval_chain(arrays[0]))
+        eval_ups = BATCH * TIMED_STEPS / (time.time() - t0)
+    except Exception:
+        pass
+
     return {
         "utts_per_sec": utts_per_sec,
         "step_ms": 1000.0 * dt / TIMED_STEPS,
         "compile_s": compile_s,
         "loss": loss_val,
+        "eval_greedy_utts_per_sec": eval_ups,
         "backend": jax.default_backend(),
         "device": str(jax.devices()[0]),
     }
@@ -204,6 +234,9 @@ def main() -> int:
         "baseline_utts_per_sec": round(baseline["utts_per_sec"], 3),
         "backend": ours["backend"],
     }
+    if ours.get("eval_greedy_utts_per_sec"):
+        result["eval_greedy_utts_per_sec"] = round(
+            ours["eval_greedy_utts_per_sec"], 1)
     print(json.dumps(result))
     return 0
 
