@@ -131,9 +131,38 @@ long decode(Riff* w, float* out, long max_samples) {
   return frames;
 }
 
+// Linear resample matching numpy.interp(linspace(0, n_in-1, n_out),
+// arange(n_in), in) — the Python fallback's exact semantics.
+void resample_linear(const float* in, long n_in, float* out, long n_out) {
+  if (n_out <= 0) return;
+  if (n_in <= 1) {
+    for (long i = 0; i < n_out; ++i) out[i] = n_in > 0 ? in[0] : 0.0f;
+    return;
+  }
+  if (n_out == 1) {
+    out[0] = in[0];
+    return;
+  }
+  const double scale = (double)(n_in - 1) / (double)(n_out - 1);
+  for (long i = 0; i < n_out; ++i) {
+    const double x = (double)i * scale;
+    long j = (long)x;
+    if (j >= n_in - 1) j = n_in - 2;
+    const double fr = x - (double)j;
+    out[i] = (float)((double)in[j] + ((double)in[j + 1] - (double)in[j]) * fr);
+  }
+}
+
 }  // namespace
 
 extern "C" {
+
+// Standalone resampler (used by the Python pipeline for rate-mismatched
+// corpora; the threaded batch loader below resamples in its workers).
+void pgasr_resample_linear(const float* in, long n_in, float* out,
+                           long n_out) {
+  resample_linear(in, n_in, out, n_out);
+}
 
 long pgasr_read_wav(const char* path, float* out, long max_samples,
                     int* sample_rate) {
@@ -159,9 +188,12 @@ int pgasr_wav_info(const char* path, int* sample_rate, long* n_samples) {
 
 // Fill a padded (n, stride) float32 batch buffer from n WAV paths in
 // parallel. lens[i] receives the decoded sample count (0 on error), srs[i]
-// the sample rate. Rows are zero-padded to `stride`.
-int pgasr_load_batch(const char** paths, int n, float* out, long stride,
-                     int* lens, int* srs, long max_samples, int n_threads) {
+// the sample rate. Rows are zero-padded to `stride`. With target_rate > 0,
+// rate-mismatched files are linearly resampled in the worker threads and
+// lens[i]/srs[i] report the POST-resample count/rate.
+int pgasr_load_batch_rs(const char** paths, int n, float* out, long stride,
+                        int* lens, int* srs, long max_samples, int n_threads,
+                        int target_rate) {
   if (n <= 0) return 0;
   if (n_threads < 1) n_threads = 1;
   if (n_threads > n) n_threads = n;
@@ -169,6 +201,7 @@ int pgasr_load_batch(const char** paths, int n, float* out, long stride,
   std::atomic<int> next(0);
   std::atomic<int> errors(0);
   auto worker = [&]() {
+    std::vector<float> tmp;
     for (;;) {
       int i = next.fetch_add(1);
       if (i >= n) return;
@@ -176,7 +209,30 @@ int pgasr_load_batch(const char** paths, int n, float* out, long stride,
       memset(row, 0, sizeof(float) * (size_t)stride);
       long cap = stride < max_samples || max_samples <= 0 ? stride : max_samples;
       int sr = 0;
-      long got = pgasr_read_wav(paths[i], row, cap, &sr);
+
+      Riff w;
+      int rc = open_wav(paths[i], &w);
+      long got = rc;
+      if (rc == 0) {
+        sr = (int)w.sample_rate;
+        if (target_rate > 0 && sr != target_rate && sr > 0) {
+          // decode everything, then resample into the row
+          long frames = w.data_bytes / ((w.bits / 8) * w.channels);
+          tmp.resize((size_t)frames);
+          got = decode(&w, tmp.data(), frames);
+          if (got > 0) {
+            long n_out = (long)((double)got * target_rate / sr + 0.5);
+            if (n_out > cap) n_out = cap;
+            resample_linear(tmp.data(), got, row, n_out);
+            got = n_out;
+            sr = target_rate;
+          }
+        } else {
+          got = decode(&w, row, cap);
+        }
+        fclose(w.f);
+      }
+
       if (got < 0) {
         lens[i] = 0;
         srs[i] = 0;
@@ -193,6 +249,13 @@ int pgasr_load_batch(const char** paths, int n, float* out, long stride,
   worker();
   for (auto& th : pool) th.join();
   return -errors.load();
+}
+
+// Back-compat ABI: no resampling.
+int pgasr_load_batch(const char** paths, int n, float* out, long stride,
+                     int* lens, int* srs, long max_samples, int n_threads) {
+  return pgasr_load_batch_rs(paths, n, out, stride, lens, srs, max_samples,
+                             n_threads, 0);
 }
 
 }  // extern "C"

@@ -113,6 +113,18 @@ def _round_up(x: int, q: int) -> int:
     return ((x + q - 1) // q) * q
 
 
+def _resample_linear(w: np.ndarray, n_out: int) -> np.ndarray:
+    try:
+        from . import native_io
+
+        if native_io.native_available():
+            return native_io.resample(w, n_out)
+    except Exception:
+        pass
+    return np.interp(np.linspace(0.0, len(w) - 1.0, n_out),
+                     np.arange(len(w)), w).astype(np.float32)
+
+
 def default_loader(path: str) -> tuple[np.ndarray, int]:
     """Audio loader preferring the native C++ decoder (data/native_io.py)
     for WAV, falling back to the pure-Python readers."""
@@ -167,12 +179,11 @@ class BatchIterator:
         if w is None:
             w, sr = self.loader(utt.audio_path)
             if sr != self.sample_rate:
-                # lightweight linear resample (host); heavyweight corpora
-                # should be resampled offline
+                # linear resample (native C++ when available; np.interp
+                # fallback — identical semantics). Heavy corpora should
+                # still be resampled offline.
                 n_out = int(round(len(w) * self.sample_rate / sr))
-                w = np.interp(
-                    np.linspace(0.0, len(w) - 1.0, n_out),
-                    np.arange(len(w)), w).astype(np.float32)
+                w = _resample_linear(w, n_out)
             if self.max_samples:
                 w = w[: self.max_samples]
             utt.num_samples = len(w)

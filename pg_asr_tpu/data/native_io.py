@@ -67,6 +67,16 @@ def _load():
             ctypes.POINTER(ctypes.c_float), ctypes.c_long,
             ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
             ctypes.c_long, ctypes.c_int]
+        try:
+            lib.pgasr_load_batch_rs.restype = ctypes.c_int
+            lib.pgasr_load_batch_rs.argtypes = \
+                lib.pgasr_load_batch.argtypes + [ctypes.c_int]
+            lib.pgasr_resample_linear.restype = None
+            lib.pgasr_resample_linear.argtypes = [
+                ctypes.POINTER(ctypes.c_float), ctypes.c_long,
+                ctypes.POINTER(ctypes.c_float), ctypes.c_long]
+        except AttributeError:  # stale .so without the resample ABI
+            pass
         _lib = lib
         return _lib
 
@@ -105,10 +115,24 @@ def read_wav(path: str, max_samples: int = 0) -> tuple[np.ndarray, int]:
     return out[:n], sr.value
 
 
+def resample(x: np.ndarray, n_out: int) -> np.ndarray:
+    """Native linear resample to n_out samples (np.interp semantics)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "pgasr_resample_linear"):
+        raise RuntimeError("native resample unavailable")
+    x = np.ascontiguousarray(x, np.float32)
+    out = np.empty(n_out, np.float32)
+    lib.pgasr_resample_linear(
+        x.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), len(x),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n_out)
+    return out
+
+
 def load_batch(paths: list[str], stride: int, max_samples: int = 0,
-               n_threads: int | None = None):
-    """Decode `paths` into a fresh zero-padded (N, stride) float32 buffer.
-    Returns (batch, lens (N,), sample_rates (N,))."""
+               n_threads: int | None = None, target_rate: int = 0):
+    """Decode `paths` into a fresh zero-padded (N, stride) float32 buffer,
+    optionally resampling rate-mismatched files to target_rate in the C++
+    worker threads. Returns (batch, lens (N,), sample_rates (N,))."""
     lib = _load()
     if lib is None:
         raise RuntimeError("native IO unavailable")
@@ -118,11 +142,18 @@ def load_batch(paths: list[str], stride: int, max_samples: int = 0,
     srs = np.zeros(n, np.int32)
     arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
     threads = n_threads or min(8, os.cpu_count() or 1)
-    rc = lib.pgasr_load_batch(
-        arr, n, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-        stride, lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
-        srs.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
-        stride, threads)
+    if target_rate and hasattr(lib, "pgasr_load_batch_rs"):
+        rc = lib.pgasr_load_batch_rs(
+            arr, n, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            stride, lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+            srs.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+            stride, threads, target_rate)
+    else:
+        rc = lib.pgasr_load_batch(
+            arr, n, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            stride, lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+            srs.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+            stride, threads)
     if rc < 0:
         bad = [paths[i] for i in range(n) if lens[i] == 0]
         raise IOError(f"native batch load: {-rc} file(s) failed, e.g. {bad[:3]}")

@@ -57,3 +57,37 @@ def test_load_batch_missing_file(wavs, tmp_path):
     paths, _ = wavs
     with pytest.raises(IOError):
         native_io.load_batch([paths[0], str(tmp_path / "nope.wav")], 1000)
+
+
+@pytest.mark.skipif(not native_io.native_available(), reason="no native lib")
+def test_native_resample_matches_numpy():
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(4801).astype(np.float32)
+    for n_out in (1600, 4801, 9602, 1):
+        got = native_io.resample(x, n_out)
+        ref = np.interp(np.linspace(0.0, len(x) - 1.0, n_out),
+                        np.arange(len(x)), x).astype(np.float32)
+        np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.skipif(not native_io.native_available(), reason="no native lib")
+def test_native_batch_load_with_resample(tmp_path):
+    from pg_asr_tpu.data.audio import write_wav
+
+    rng = np.random.default_rng(1)
+    paths = []
+    for i, sr in enumerate((16000, 8000, 48000)):
+        w = rng.standard_normal(sr // 2).astype(np.float32) * 0.5  # 0.5 s
+        p = str(tmp_path / f"f{i}_{sr}.wav")
+        write_wav(p, w, sr)
+        paths.append(p)
+
+    batch, lens, srs = native_io.load_batch(paths, stride=16000,
+                                            target_rate=16000)
+    assert batch.shape == (3, 16000)
+    assert all(s == 16000 for s in srs)
+    # every file is 0.5 s -> ~8000 samples at 16 kHz after resampling
+    assert all(abs(int(l) - 8000) <= 1 for l in lens), lens
+    # rows zero-padded past their lengths
+    for r, l in zip(batch, lens):
+        assert np.all(r[int(l):] == 0.0)
