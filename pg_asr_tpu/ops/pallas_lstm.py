@@ -45,6 +45,27 @@ import os
 # grads), which preserves semantics exactly. Sweepable: PGASR_LSTM_CHUNK=4.
 CHUNK = int(os.environ.get("PGASR_LSTM_CHUNK", "8"))
 
+# VMEM envelope: the per-grid-step working set (double-buffered streamed
+# blocks across both kernels) is ~8-12 KB x CHUNK x B; CHUNK=8 at B=256
+# measured 16.5 MB against the 16 MB scoped limit. Halve the chunk until
+# CHUNK x B fits (B=128 at chunk 8 is the largest measured-good config).
+_CHUNK_ROWS_BUDGET = int(os.environ.get("PGASR_LSTM_CHUNK_ROWS", "1024"))
+
+
+def _effective_chunk(batch: int, budget: int = _CHUNK_ROWS_BUDGET) -> int:
+    c = CHUNK
+    while c > 1 and c * batch > budget:
+        c //= 2
+    return max(c, 1)
+
+
+def _bwd_chunk(batch: int, pad_c: int) -> int:
+    """The backward streams ~2x the bytes (6 inputs + 2 outputs) and its
+    fixed scratch grows with B. Measured envelope: (B=128, chunk 8) fits,
+    (B=256, chunk 4) does not — so above B=128 the row budget halves."""
+    budget = 1024 if batch <= 128 else 512
+    return min(pad_c, _effective_chunk(batch, budget))
+
 
 def _cell(pre, c, hidden: int):
     i = jax.nn.sigmoid(pre[:, :hidden])
@@ -56,7 +77,7 @@ def _cell(pre, c, hidden: int):
     return h_new, c_new
 
 
-def _kernel(xp_ref, u_ref, mask_ref, *refs, hidden: int,
+def _kernel(xp_ref, u_ref, mask_ref, *refs, hidden: int, chunk: int,
             flip: bool, train: bool = False):
     """One grid step = CHUNK timesteps. Shapes:
     xp_ref: (CHUNK, B, 4H) input projections
@@ -80,7 +101,7 @@ def _kernel(xp_ref, u_ref, mask_ref, *refs, hidden: int,
 
     h = h_scr[:]
     c = c_scr[:]
-    steps = range(CHUNK - 1, -1, -1) if flip else range(CHUNK)
+    steps = range(chunk - 1, -1, -1) if flip else range(chunk)
     for s in steps:
         if train:
             hprev_ref[s] = h.astype(hprev_ref.dtype)
@@ -100,7 +121,7 @@ def _kernel(xp_ref, u_ref, mask_ref, *refs, hidden: int,
 
 def _kernel_bwd(xp_ref, u_ref, mask_ref, hprev_ref, cprev_ref, gy_ref,
                 dxp_ref, du_ref, dh_scr, dc_scr, du_scr, *, hidden: int,
-                G: int, flip: bool):
+                chunk: int, G: int, flip: bool):
     """One grid step = CHUNK timesteps walked in REVERSE time. Carries
     (dh, dc) and the dU accumulator live in f32 VMEM scratch; gates are
     recomputed from (xp_t, h_{t-1}) instead of being streamed from HBM.
@@ -117,7 +138,7 @@ def _kernel_bwd(xp_ref, u_ref, mask_ref, hprev_ref, cprev_ref, gy_ref,
     dh = dh_scr[:]
     dc = dc_scr[:]
     du = du_scr[:]
-    steps = range(CHUNK) if flip else range(CHUNK - 1, -1, -1)
+    steps = range(chunk) if flip else range(chunk - 1, -1, -1)
     for s in steps:
         hprev = hprev_ref[s]  # (B, H) xp dtype
         cprev = cprev_ref[s].astype(jnp.float32)  # (B, H)
@@ -159,10 +180,10 @@ def _kernel_bwd(xp_ref, u_ref, mask_ref, hprev_ref, cprev_ref, gy_ref,
         du_ref[:] = du_scr[:].astype(du_ref.dtype)
 
 
-def _pad_chunk(arr_t: jnp.ndarray) -> jnp.ndarray:
-    """Zero-pad a time-major (T, B, ...) array to a CHUNK multiple."""
+def _pad_chunk(arr_t: jnp.ndarray, chunk: int) -> jnp.ndarray:
+    """Zero-pad a time-major (T, B, ...) array to a chunk multiple."""
     T = arr_t.shape[0]
-    Tp = -(-T // CHUNK) * CHUNK
+    Tp = -(-T // chunk) * chunk
     if Tp == T:
         return arr_t
     return jnp.pad(arr_t, [(0, Tp - T)] + [(0, 0)] * (arr_t.ndim - 1))
@@ -175,11 +196,12 @@ def _pallas_forward(xp: jnp.ndarray, U: jnp.ndarray, mask: jnp.ndarray,
     hprev/cprev (Tp, B, H) time-major when train]."""
     B, T, H4 = xp.shape
     H = H4 // 4
-    xp_t = _pad_chunk(jnp.swapaxes(xp, 0, 1))  # (Tp, B, 4H)
+    chunk = _effective_chunk(B)
+    xp_t = _pad_chunk(jnp.swapaxes(xp, 0, 1), chunk)  # (Tp, B, 4H)
     mask_t = _pad_chunk(
-        jnp.swapaxes(mask, 0, 1).astype(xp.dtype)[:, :, None])  # (Tp, B, 1)
+        jnp.swapaxes(mask, 0, 1).astype(xp.dtype)[:, :, None], chunk)
     Tp = xp_t.shape[0]
-    G = Tp // CHUNK
+    G = Tp // chunk
 
     # reverse scan = run the grid over flipped time (block order + local
     # order inside the chunk) and the padded mask=0 tail freezes the carry
@@ -187,14 +209,15 @@ def _pallas_forward(xp: jnp.ndarray, U: jnp.ndarray, mask: jnp.ndarray,
 
     n_out = 3 if train else 1
     outs = pl.pallas_call(
-        functools.partial(_kernel, hidden=H, flip=reverse, train=train),
+        functools.partial(_kernel, hidden=H, chunk=chunk, flip=reverse,
+                          train=train),
         grid=(G,),
         in_specs=[
-            pl.BlockSpec((CHUNK, B, H4), idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, B, H4), idx, memory_space=pltpu.VMEM),
             pl.BlockSpec((H, H4), lambda t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((CHUNK, B, 1), idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, B, 1), idx, memory_space=pltpu.VMEM),
         ],
-        out_specs=[pl.BlockSpec((CHUNK, B, H), idx,
+        out_specs=[pl.BlockSpec((chunk, B, H), idx,
                                 memory_space=pltpu.VMEM)] * n_out,
         out_shape=[jax.ShapeDtypeStruct((Tp, B, H), xp.dtype),
                    jax.ShapeDtypeStruct((Tp, B, H), xp.dtype),
@@ -225,27 +248,34 @@ def _pallas_backward(xp, U, mask, hprev, cprev, gy, reverse, interpret=False):
     arrive time-major already CHUNK-padded (forward residuals)."""
     B, T, H4 = xp.shape
     H = H4 // 4
-    xp_t = _pad_chunk(jnp.swapaxes(xp, 0, 1))
-    mask_t = _pad_chunk(jnp.swapaxes(mask, 0, 1).astype(xp.dtype)[:, :, None])
-    gy_t = _pad_chunk(jnp.swapaxes(gy, 0, 1))
+    # residuals were padded with the FORWARD chunk; the backward may need a
+    # smaller chunk (more streams) — both are powers of two, so the forward
+    # padding stays divisible by the backward chunk
+    pad_c = _effective_chunk(B)
+    chunk = _bwd_chunk(B, pad_c)
+    xp_t = _pad_chunk(jnp.swapaxes(xp, 0, 1), pad_c)
+    mask_t = _pad_chunk(jnp.swapaxes(mask, 0, 1).astype(xp.dtype)[:, :, None],
+                        pad_c)
+    gy_t = _pad_chunk(jnp.swapaxes(gy, 0, 1), pad_c)
     Tp = xp_t.shape[0]
-    G = Tp // CHUNK
+    G = Tp // chunk
     # backward visits time in the opposite order of the forward pass
     idx = (lambda s: (s, 0, 0)) if reverse else (lambda s: (G - 1 - s, 0, 0))
 
     dxp_t, dU = pl.pallas_call(
-        functools.partial(_kernel_bwd, hidden=H, G=G, flip=reverse),
+        functools.partial(_kernel_bwd, hidden=H, chunk=chunk, G=G,
+                          flip=reverse),
         grid=(G,),
         in_specs=[
-            pl.BlockSpec((CHUNK, B, H4), idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, B, H4), idx, memory_space=pltpu.VMEM),
             pl.BlockSpec((H, H4), lambda s: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((CHUNK, B, 1), idx, memory_space=pltpu.VMEM),
-            pl.BlockSpec((CHUNK, B, H), idx, memory_space=pltpu.VMEM),
-            pl.BlockSpec((CHUNK, B, H), idx, memory_space=pltpu.VMEM),
-            pl.BlockSpec((CHUNK, B, H), idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, B, 1), idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, B, H), idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, B, H), idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, B, H), idx, memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((CHUNK, B, H4), idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, B, H4), idx, memory_space=pltpu.VMEM),
             pl.BlockSpec((H, H4), lambda s: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
