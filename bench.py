@@ -32,7 +32,12 @@ SAMPLE_RATE = 16000
 LABEL_LEN = 64
 VOCAB = 32
 WARMUP_STEPS = 3
-TIMED_STEPS = 8
+# Chain enough steps that the fixed per-call dispatch+readback latency of the
+# TPU tunnel (~30 ms, measured with an empty lax.scan chain) amortizes below
+# the per-step noise: at 8 steps it inflated step_ms by ~3.5 ms (12.6 vs the
+# true ~9.1 ms device time); 64 steps bring the bias under 0.5 ms while the
+# ~0.6 s total run stays well below the shared chip's preemption horizon.
+TIMED_STEPS = 64
 
 
 def _workload(rng):
