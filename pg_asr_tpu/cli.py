@@ -43,8 +43,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "LibriSpeech tree (train-*/dev-*/test-* subdirs) "
                         "into --corpus_path")
     p.add_argument("--model", type=str, default=None,
-                   choices=["ctc", "seq2seq"],
-                   help="model family (default ctc; seq2seq = the attention "
+                   choices=["ctc", "transformer", "seq2seq"],
+                   help="model family (default ctc; transformer = the "
+                        "non-recurrent CTC encoder; seq2seq = the attention "
                         "decoder family the reference left unfinished)")
     p.add_argument("--features", type=str, default=None,
                    choices=["logmel", "mfcc"],

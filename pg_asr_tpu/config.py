@@ -48,7 +48,7 @@ class ModelConfig:
     3x BiLSTM(hidden 256/dir) -> Linear(512 -> alphabet) -> log_softmax.
     """
 
-    family: str = "ctc"  # "ctc" (flagship) | "seq2seq" (attention decoder family)
+    family: str = "ctc"  # "ctc" (flagship) | "transformer" (non-recurrent CTC) | "seq2seq" (attention decoder family)
     vocab_size: int = 32  # alphabet incl. blank/pad at index 0
     input_dim: int = 80
     input_proj_dim: int = 512
@@ -61,6 +61,28 @@ class ModelConfig:
     # needs shard_map integration to partition — future work).
     use_pallas_lstm: bool | str = "auto"
     dtype: str = "float32"  # compute dtype for activations ("bfloat16" on TPU)
+
+
+@dataclass(frozen=True)
+class TransformerConfig:
+    """Transformer-CTC acoustic model (models/transformer_ctc.py).
+
+    A TPU-first alternative encoder family with no recurrence: the BiLSTM's
+    sequential dependency chain is the measured throughput floor of the
+    flagship model (docs/PERF.md), and a self-attention encoder replaces it
+    with pure batched MXU matmuls. Frame-stacking subsampling (reshape +
+    one matmul — no convs/gathers) shrinks T by `subsample` before the
+    blocks. Same CTC head/loss/decoders as the flagship family.
+    """
+
+    num_layers: int = 6
+    d_model: int = 256
+    num_heads: int = 4
+    ffn_dim: int = 1024
+    dropout: float = 0.1
+    # char-level CTC needs T' >= 2*label_len+1; at 12.5ms/frame (hop 200)
+    # subsample=2 keeps ~40 output frames/sec — safe for character targets
+    subsample: int = 2
 
 
 @dataclass(frozen=True)
@@ -122,6 +144,7 @@ class TrainConfig:
 class Config:
     features: FeatureConfig = field(default_factory=FeatureConfig)
     model: ModelConfig = field(default_factory=ModelConfig)
+    transformer: TransformerConfig = field(default_factory=TransformerConfig)
     seq2seq: Seq2SeqConfig = field(default_factory=Seq2SeqConfig)
     decode: DecodeConfig = field(default_factory=DecodeConfig)
     rl: RLConfig = field(default_factory=RLConfig)
@@ -151,6 +174,7 @@ class Config:
         sub = {
             "features": FeatureConfig,
             "model": ModelConfig,
+            "transformer": TransformerConfig,
             "seq2seq": Seq2SeqConfig,
             "decode": DecodeConfig,
             "rl": RLConfig,

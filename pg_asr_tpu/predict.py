@@ -22,15 +22,15 @@ from .data.dataset import BatchIterator, load_manifest
 from .data.text import Alphabet
 from .decoding.greedy import greedy_decode, ids_to_strings
 from .metrics import evaluate, evaluate_corpus, save_predictions
-from .models import bilstm_ctc
 from .ops.features import extract_features
 
 
 @partial(jax.jit, static_argnames=("cfg",))
 def _forward(params, wave, num_samples, cfg: Config):
+    from .models import acoustic_forward
+
     feats, mask, frame_lens = extract_features(wave, num_samples, cfg.features)
-    log_probs = bilstm_ctc.apply(params, feats, mask, cfg.model, train=False)
-    return log_probs, mask, frame_lens
+    return acoustic_forward(params, feats, mask, frame_lens, cfg, train=False)
 
 
 @partial(jax.jit, static_argnames=("cfg",))

@@ -34,7 +34,6 @@ from ..config import Config
 from ..data.dataset import BatchIterator, load_manifest
 from ..data.text import Alphabet
 from ..decoding.greedy import collapse_frame_ids, greedy_decode
-from ..models import bilstm_ctc
 from ..ops.ctc import ctc_loss_mean
 from ..ops.features import extract_features
 from ..parallel.mesh import make_mesh, replicate, shard_batch_arrays
@@ -81,9 +80,14 @@ def pg_loss_terms(params, wave, num_samples_arr, labels, label_lens, rng,
     """PG loss as (numerators, denominators, metrics). Each loss component
     is num/den so SPMD shards can psum the dens for exact global means
     (same discipline as train.compute_loss terms mode)."""
+    from ..models import acoustic_forward
+
     rl = cfg.rl
-    feats, mask, frame_lens = extract_features(wave, num_samples_arr, cfg.features)
-    log_probs = bilstm_ctc.apply(params, feats, mask, cfg.model, train=False)
+    feats, fmask, flens = extract_features(wave, num_samples_arr, cfg.features)
+    # mask/frame_lens below are in the MODEL's output time base (the
+    # transformer family subsamples; BiLSTM passes them through)
+    log_probs, mask, frame_lens = acoustic_forward(params, feats, fmask,
+                                                   flens, cfg, train=False)
     B, T, A = log_probs.shape
 
     paths = _sample_paths(rng, jax.lax.stop_gradient(log_probs),

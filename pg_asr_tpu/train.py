@@ -50,11 +50,15 @@ def make_optimizer(cfg: Config) -> optax.GradientTransformation:
 
 
 def init_model_params(rng, cfg: Config):
-    """Family dispatch: the flagship CTC stack or the attention seq2seq."""
+    """Family dispatch: flagship CTC stack, transformer-CTC, or seq2seq."""
     if cfg.model.family == "seq2seq":
         from .models import seq2seq
 
         return seq2seq.init_params(rng, cfg.model, cfg.seq2seq)
+    if cfg.model.family == "transformer":
+        from .models import transformer_ctc
+
+        return transformer_ctc.init_params(rng, cfg.model, cfg.transformer)
     return bilstm_ctc.init_params(rng, cfg.model)
 
 
@@ -74,13 +78,15 @@ def compute_loss(params, wave, num_samples, labels, label_lens, cfg: Config,
         if terms:
             return seq2seq_nll_terms(log_probs, labels, label_lens)
         return seq2seq_nll_loss(log_probs, labels, label_lens)
+    from .models import acoustic_forward
     from .ops.ctc import ctc_loss_terms
 
-    log_probs = bilstm_ctc.apply(params, feats, mask, cfg.model,
-                                 train=train, dropout_rng=dropout_rng)
+    log_probs, _, out_lens = acoustic_forward(params, feats, mask, frame_lens,
+                                              cfg, train=train,
+                                              dropout_rng=dropout_rng)
     if terms:
-        return ctc_loss_terms(log_probs, frame_lens, labels, label_lens)
-    return ctc_loss_mean(log_probs, frame_lens, labels, label_lens)
+        return ctc_loss_terms(log_probs, out_lens, labels, label_lens)
+    return ctc_loss_mean(log_probs, out_lens, labels, label_lens)
 
 
 def _use_shard_map(cfg: Config, mesh) -> bool:
