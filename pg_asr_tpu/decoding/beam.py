@@ -167,24 +167,36 @@ def _decode_one(log_probs, frame_len, *, K: int, A: int, Lmax: int, blank: int):
 _HASH_M = jnp.int32(1000003)
 
 
-def _step_hash(state, lp, *, K: int, A: int, Lmax: int, blank: int):
+def _step_hash(state, lp, top_lp, top_sym, *, K: int, M: int, Lmax: int,
+               blank: int):
     """One frame update carrying (hash, last, lens, p_b, p_nb), all (K,).
-    Returns (new_state, (parent (K,), sym (K,) [-1 = stay]))."""
+    Returns (new_state, (parent (K,), sym (K,) [-1 = stay])).
+
+    Extend candidates are restricted to the frame's top-M symbols by
+    log-prob (top_lp/top_sym, computed ONCE for all frames outside the
+    scan). With M >= K+2 this is EXACT: a candidate (k, s) with s outside
+    the top-M has, within the same beam k, at least K non-blank symbols s'
+    with lp[s'] >= lp[s] and source mass total_k >= src_k(s) — K dominating
+    candidates. Each such dominator either survives as an extend or merges
+    into a DISTINCT stay (prefix_k + s' differ across s'), whose score is
+    >= the dominator's, so (k, s) can never reach the top-K. The merge
+    matrix below is computed directly from (p_b, total, lp[last]) and is
+    independent of the pruning.
+    """
     h, last, lens, p_b, p_nb = state
     total = _lae(p_b, p_nb)
     valid = total > NEG / 2
+    lp_last = lp[jnp.maximum(last, 0)]  # (K,)
 
     # ---- stay candidates ---------------------------------------------------
     stay_pb = jnp.where(valid, total + lp[blank], NEG)
-    stay_pnb = jnp.where(valid & (last >= 0),
-                         p_nb + lp[jnp.maximum(last, 0)], NEG)
+    stay_pnb = jnp.where(valid & (last >= 0), p_nb + lp_last, NEG)
 
-    # ---- extend candidates (K, A) -------------------------------------------
-    syms = jnp.arange(A)
-    is_last = syms[None, :] == last[:, None]
+    # ---- extend candidates (K, M) over the frame's top-M symbols -----------
+    is_last = top_sym[None, :] == last[:, None]                    # (K, M)
     src = jnp.where(is_last, p_b[:, None], total[:, None])
-    ext_pnb = src + lp[None, :]
-    ext_pnb = jnp.where(syms[None, :] == blank, NEG, ext_pnb)
+    ext_pnb = src + top_lp[None, :]
+    ext_pnb = jnp.where(top_sym[None, :] == blank, NEG, ext_pnb)
     ext_pnb = jnp.where(valid[:, None], ext_pnb, NEG)
     ext_pnb = jnp.where((lens >= Lmax)[:, None], NEG, ext_pnb)
 
@@ -197,32 +209,34 @@ def _step_hash(state, lp, *, K: int, A: int, Lmax: int, blank: int):
         & valid[:, None] & valid[None, :]
         & (last[:, None] >= 0)
     )
-    C = jnp.where(E, ext_pnb[:, jnp.maximum(last, 0)].T, NEG)
+    # mass of extend (k, last_j): src is p_b_k when last_j == last_k
+    C_src = jnp.where(last[:, None] == last[None, :], p_b[None, :],
+                      total[None, :])                               # (j, k)
+    C = jnp.where(E, C_src + lp_last[:, None], NEG)
     merged_in = jax.nn.logsumexp(C, axis=1)
     merged_in = jnp.where(jnp.any(E, axis=1), merged_in, NEG)
     stay_pnb = _lae(stay_pnb, jnp.maximum(merged_in, NEG))
 
-    onehot_last = jax.nn.one_hot(jnp.maximum(last, 0), A, dtype=jnp.float32)
-    onehot_last = onehot_last * (last >= 0)[:, None]
-    kill = (E.astype(jnp.float32).T @ onehot_last) > 0  # (K, A)
+    # kill merged extends: kill[k, r] = exists j: E[j, k] & last_j == sym_r
+    kill = jnp.any(E[:, :, None] & (last[:, None, None] == top_sym[None, None, :]),
+                   axis=0)                                          # (K, M)
     ext_pnb = jnp.where(kill, NEG, ext_pnb)
 
-    # ---- top-K ---------------------------------------------------------------
-    cand_pb = jnp.concatenate([stay_pb, jnp.full((K * A,), NEG)])
-    cand_pnb = jnp.concatenate([stay_pnb, ext_pnb.reshape(-1)])
-    scores = _lae(cand_pb, cand_pnb)
+    # ---- top-K over K stays + K*M extends ------------------------------------
+    scores = jnp.concatenate([_lae(stay_pb, stay_pnb), ext_pnb.reshape(-1)])
     top_scores, top_idx = jax.lax.top_k(scores, K)
 
     is_stay = top_idx < K
-    parent = jnp.where(is_stay, top_idx, (top_idx - K) // A)
-    sym = jnp.where(is_stay, -1, (top_idx - K) % A)
+    parent = jnp.where(is_stay, top_idx, (top_idx - K) // M)
+    sym = jnp.where(is_stay, -1, top_sym[jnp.maximum(top_idx - K, 0) % M])
 
     new_h = jnp.where(is_stay, h[parent],
                       h[parent] * _HASH_M + (jnp.maximum(sym, 0) + 1))
     new_last = jnp.where(is_stay, last[parent], sym)
     new_lens = lens[parent] + (~is_stay).astype(lens.dtype)
-    new_pb = cand_pb[top_idx]
-    new_pnb = cand_pnb[top_idx]
+    # stays need (p_b, p_nb) split; an extend's whole mass is its score in p_nb
+    new_pb = jnp.where(is_stay, stay_pb[parent], NEG)
+    new_pnb = jnp.where(is_stay, stay_pnb[parent], top_scores)
     dead = top_scores <= NEG / 2
     new_pb = jnp.where(dead, NEG, new_pb)
     new_pnb = jnp.where(dead, NEG, new_pnb)
@@ -243,10 +257,16 @@ def _decode_one_hash(log_probs, frame_len, *, K: int, A: int, Lmax: int,
     p_nb = jnp.full((K,), NEG)
     idk = jnp.arange(K)
 
+    # per-frame top-M symbols, hoisted out of the scan (ONE batched top_k
+    # over all frames instead of T sequential ones); M = K+2 keeps the
+    # pruned search exact — see _step_hash
+    M = min(A, K + 2)
+    top_lp, top_sym = jax.lax.top_k(log_probs, M)  # (T, M) each
+
     def body(state, inp):
-        lp, t = inp
-        new_state, (parent, sym) = _step_hash(state, lp, K=K, A=A, Lmax=Lmax,
-                                              blank=blank)
+        lp, tlp, tsym, t = inp
+        new_state, (parent, sym) = _step_hash(state, lp, tlp, tsym, K=K, M=M,
+                                              Lmax=Lmax, blank=blank)
         active = t < frame_len
         state = jax.tree_util.tree_map(
             lambda n, o: jnp.where(active, n, o), new_state, state)
@@ -257,7 +277,7 @@ def _decode_one_hash(log_probs, frame_len, *, K: int, A: int, Lmax: int,
 
     ts = jnp.arange(T)
     (h, last, lens, p_b, p_nb), (parents, syms) = jax.lax.scan(
-        body, (h, last, lens, p_b, p_nb), (log_probs, ts))
+        body, (h, last, lens, p_b, p_nb), (log_probs, top_lp, top_sym, ts))
 
     scores = _lae(p_b, p_nb)
     best = jnp.argmax(scores)
