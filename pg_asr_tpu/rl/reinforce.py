@@ -223,10 +223,16 @@ def finetune_pg(corpus_path: str, model_path: str, num_steps: int = 200,
     alphabet = Alphabet.load(os.path.join(corpus_path, "alphabet.txt"))
     params, cfg = load_model(model_path, alphabet, cfg, which="best")
 
+    # multi-host: same per-host manifest sharding discipline as train() —
+    # each process feeds only its rows; num_steps counts GLOBAL steps, so
+    # collective step counts stay equal across hosts by construction
+    proc, nproc = jax.process_index(), jax.process_count()
+    per_host_bs = max(1, cfg.train.batch_size // nproc)
     aud = os.path.join(corpus_path, "clips")
     it = BatchIterator(load_manifest(os.path.join(corpus_path, "train.tsv"), aud),
-                       alphabet, cfg.train.batch_size,
-                       sample_rate=cfg.features.sample_rate, seed=cfg.train.seed)
+                       alphabet, per_host_bs,
+                       sample_rate=cfg.features.sample_rate, seed=cfg.train.seed,
+                       shard_index=proc, shard_count=nproc)
 
     mesh = make_mesh(cfg.train.mesh_shape, cfg.train.mesh_axes)
     optimizer = optax.chain(
@@ -254,17 +260,18 @@ def finetune_pg(corpus_path: str, model_path: str, num_steps: int = 200,
                 params, opt_state, rng, *arrays)
             step += 1
             rewards.append(float(metrics["reward_mean"]))
-            if step % 10 == 0:
+            if step % 10 == 0 and proc == 0:
                 logger.log(step=step, pg_loss=float(loss),
                            reward=float(metrics["reward_mean"]),
                            entropy=float(metrics["entropy"]))
             if step >= num_steps:
                 break
 
-    np.save(os.path.join(model_path, "pg_rewards.npy"), np.array(rewards))
-    ckpt.save({"params": params, "opt_state": opt_state, "step": step,
-               "epoch": -1, "best_val_loss": ckpt.best_val},
-              val_loss=-float(np.mean(rewards[-10:])))
-    print(f"[pg] {step} steps, final reward {np.mean(rewards[-10:]):.4f} "
-          f"({time.time()-t0:.1f}s)")
+    if proc == 0:  # params replicated: only the main process writes artifacts
+        np.save(os.path.join(model_path, "pg_rewards.npy"), np.array(rewards))
+        ckpt.save({"params": params, "opt_state": opt_state, "step": step,
+                   "epoch": -1, "best_val_loss": ckpt.best_val},
+                  val_loss=-float(np.mean(rewards[-10:])))
+        print(f"[pg] {step} steps, final reward {np.mean(rewards[-10:]):.4f} "
+              f"({time.time()-t0:.1f}s)")
     return {"rewards": rewards, "params": params, "config": cfg}
