@@ -299,18 +299,46 @@ def _decode_one_hash(log_probs, frame_len, *, K: int, A: int, Lmax: int,
     return prefix.astype(jnp.int32), lens[best], -scores[best], (None, lens, scores)
 
 
+def _backtrack_batch(parents, syms, lens, scores, Lmax):
+    """Shared backpointer reconstruction. parents/syms (T, B, K);
+    lens/scores (B, K). Returns (labels (B, Lmax), lens (B,), nll (B,))."""
+    best = jnp.argmax(scores, axis=1)  # (B,)
+
+    def back(slot, rec):
+        parent, sym = rec  # (B, K) each
+        s = jnp.take_along_axis(sym, slot[:, None], axis=1)[:, 0]
+        nxt = jnp.take_along_axis(parent, slot[:, None], axis=1)[:, 0]
+        return nxt, s
+
+    _, emitted = jax.lax.scan(back, best, (parents, syms), reverse=True)
+    emitted = emitted.T  # (B, T) forward-time emission records, -1 = stay
+    is_sym = emitted >= 0
+    pos = jnp.cumsum(is_sym.astype(jnp.int32), axis=1) - 1
+    onehot = (pos[:, :, None] == jnp.arange(Lmax)[None, None, :]) \
+        & is_sym[:, :, None]
+    labels = jnp.sum(jnp.where(onehot, emitted[:, :, None], 0), axis=1)
+    blens = jnp.take_along_axis(lens, best[:, None], axis=1)[:, 0]
+    nll = -jnp.take_along_axis(scores, best[:, None], axis=1)[:, 0]
+    return labels.astype(jnp.int32), blens, nll
+
+
 @partial(jax.jit, static_argnames=("beam_size", "max_label_len", "blank",
-                                   "impl"))
+                                   "impl", "interpret"))
 def beam_decode(log_probs: jnp.ndarray, frame_lens: jnp.ndarray,
                 beam_size: int = 16, max_label_len: int = 256,
-                blank: int = 0, impl: str = "hash"):
+                blank: int = 0, impl: str | None = None,
+                interpret: bool = False):
     """Batched CTC prefix beam search on device.
 
     Args:
       log_probs: (B, T, A) per-frame log-posteriors.
       frame_lens: (B,) valid frame counts.
-      impl: "hash" (rolling-hash + backpointers, the fast default) or
-        "buffer" (carries explicit prefix buffers — the structural oracle).
+      impl: "hash" (rolling-hash + backpointers in a lax.scan — the default),
+        "buffer" (explicit prefix buffers — the structural oracle), or
+        "pallas" (whole scan in one TPU kernel, decoding/pallas_beam.py;
+        parity-tested but MEASURED SLOWER than the hash scan — its tiny
+        (B,K,M) tensors waste the 128-lane VPU; kept as an explicit opt-in
+        and a documented negative result, docs/PERF.md). None -> "hash".
     Returns:
       labels: (B, max_label_len) int32 best prefixes (0-padded),
       lens: (B,) int32,
@@ -318,10 +346,22 @@ def beam_decode(log_probs: jnp.ndarray, frame_lens: jnp.ndarray,
     """
     B, T, A = log_probs.shape
     Lmax = min(max_label_len, T)
-    one = _decode_one_hash if impl == "hash" else _decode_one
-    fn = partial(one, K=beam_size, A=A, Lmax=Lmax, blank=blank)
-    labels, lens, nll, _ = jax.vmap(fn)(log_probs.astype(jnp.float32),
-                                        frame_lens.astype(jnp.int32))
+    if impl is None:
+        impl = "hash"
+    if impl == "pallas":
+        assert blank == 0, "pallas beam kernel hardcodes blank=0"
+        from .pallas_beam import beam_scan_pallas
+
+        parents, syms, lens, scores = beam_scan_pallas(
+            log_probs.astype(jnp.float32), frame_lens.astype(jnp.int32),
+            K=beam_size, Lmax=Lmax, interpret=interpret)
+        labels, lens, nll = _backtrack_batch(parents, syms, lens, scores,
+                                             Lmax)
+    else:
+        one = _decode_one_hash if impl == "hash" else _decode_one
+        fn = partial(one, K=beam_size, A=A, Lmax=Lmax, blank=blank)
+        labels, lens, nll, _ = jax.vmap(fn)(log_probs.astype(jnp.float32),
+                                            frame_lens.astype(jnp.int32))
     if Lmax < max_label_len:
         labels = jnp.pad(labels, ((0, 0), (0, max_label_len - Lmax)))
     return labels, lens, nll

@@ -89,3 +89,43 @@ def test_hash_impl_matches_buffer_impl(seed):
     np.testing.assert_array_equal(np.asarray(out_h[1]), np.asarray(out_b[1]))
     np.testing.assert_allclose(np.asarray(out_h[2]), np.asarray(out_b[2]),
                                rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Pallas whole-scan kernel (decoding/pallas_beam.py), interpret mode on CPU
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("T,S,K", [(6, 4, 4), (13, 5, 8), (20, 8, 16)])
+def test_pallas_beam_matches_hash(T, S, K):
+    """Kernel path == jnp hash path: labels, lens, nll (same candidate set,
+    same tie order), including ragged frame lengths and dead-slot handling."""
+    rng = np.random.default_rng(T * 13 + S + K)
+    B = 4
+    probs = np.stack([_rand_probs(rng, T, S, sharp=2.0) for _ in range(B)])
+    lp = np.log(probs).astype(np.float32)
+    flens = np.array([T, max(1, T // 2), max(1, T - 3), 2], np.int32)[:B]
+
+    l_h, n_h, nll_h = beam_decode(lp, flens, beam_size=K, max_label_len=T,
+                                  impl="hash")
+    l_p, n_p, nll_p = beam_decode(lp, flens, beam_size=K, max_label_len=T,
+                                  impl="pallas", interpret=True)
+    np.testing.assert_array_equal(np.asarray(n_h), np.asarray(n_p))
+    np.testing.assert_array_equal(np.asarray(l_h), np.asarray(l_p))
+    np.testing.assert_allclose(np.asarray(nll_h), np.asarray(nll_p),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_pallas_beam_matches_host_oracle():
+    rng = np.random.default_rng(99)
+    T, S, K = 12, 5, 8
+    host = HostCTCBeamDecoder()
+    probs = _rand_probs(rng, T, S, sharp=2.5)
+    labels, lens, nll = beam_decode(np.log(probs)[None].astype(np.float32),
+                                    np.array([T]), beam_size=K,
+                                    max_label_len=T, impl="pallas",
+                                    interpret=True)
+    ref_seq, ref_nll = host.decode(probs, beam_size=K)
+    got = tuple(np.asarray(labels[0][: int(lens[0])]).tolist())
+    assert got == tuple(ref_seq)
+    assert float(nll[0]) == pytest.approx(ref_nll, rel=1e-3, abs=1e-3)
