@@ -149,12 +149,57 @@ def bench_ours() -> dict:
     except Exception:
         pass
 
+    # informational: the non-recurrent transformer-CTC family at the same
+    # workload (models/transformer_ctc.py; docs/PERF.md) — guarded so a
+    # failure can't break the primary metric
+    tr_ups = None
+    try:
+        from pg_asr_tpu.config import TransformerConfig
+        from pg_asr_tpu.train import compute_loss, init_model_params
+
+        cfg_tr = Config(
+            features=FeatureConfig(kind="logmel", n_mels=80),
+            model=ModelConfig(family="transformer", vocab_size=VOCAB,
+                              input_dim=80, dtype="bfloat16"),
+            transformer=TransformerConfig(),
+            train=TrainConfig(batch_size=BATCH, warmup_steps=0),
+        )
+        params_tr = init_model_params(jax.random.PRNGKey(0), cfg_tr)
+        opt_tr = make_optimizer(cfg_tr)
+        opt_state_tr = opt_tr.init(params_tr)
+
+        def tr_step(carry, _):
+            p, o, r = carry
+            r, drop = jax.random.split(r)
+            loss, grads = jax.value_and_grad(
+                lambda q: compute_loss(q, arrays[0], arrays[1], arrays[2],
+                                       arrays[3], cfg_tr, train=True,
+                                       dropout_rng=drop))(p)
+            updates, o = opt_tr.update(grads, o, p)
+            return (optax.apply_updates(p, updates), o, r), loss
+
+        @jax.jit
+        def tr_chain(p, o, r):
+            (p, o, r), losses = jax.lax.scan(tr_step, (p, o, r), None,
+                                             length=TIMED_STEPS)
+            return p, o, losses
+
+        p, o, losses = tr_chain(params_tr, opt_state_tr, rng)
+        _ = float(losses[-1])
+        t0 = time.time()
+        p, o, losses = tr_chain(params_tr, opt_state_tr, rng)
+        _ = float(losses[-1])
+        tr_ups = BATCH * TIMED_STEPS / (time.time() - t0)
+    except Exception:
+        pass
+
     return {
         "utts_per_sec": utts_per_sec,
         "step_ms": 1000.0 * dt / TIMED_STEPS,
         "compile_s": compile_s,
         "loss": loss_val,
         "eval_greedy_utts_per_sec": eval_ups,
+        "transformer_train_utts_per_sec": tr_ups,
         "backend": jax.default_backend(),
         "device": str(jax.devices()[0]),
     }
@@ -242,6 +287,9 @@ def main() -> int:
     if ours.get("eval_greedy_utts_per_sec"):
         result["eval_greedy_utts_per_sec"] = round(
             ours["eval_greedy_utts_per_sec"], 1)
+    if ours.get("transformer_train_utts_per_sec"):
+        result["transformer_train_utts_per_sec"] = round(
+            ours["transformer_train_utts_per_sec"], 1)
     print(json.dumps(result))
     return 0
 

@@ -82,6 +82,10 @@ def pg_loss_terms(params, wave, num_samples_arr, labels, label_lens, rng,
     (same discipline as train.compute_loss terms mode)."""
     from ..models import acoustic_forward
 
+    if cfg.model.family == "seq2seq":
+        raise ValueError(
+            "finetune_pg samples CTC alignment paths; the seq2seq family "
+            "has no CTC posteriors. Train with --model ctc or transformer.")
     rl = cfg.rl
     feats, fmask, flens = extract_features(wave, num_samples_arr, cfg.features)
     # mask/frame_lens below are in the MODEL's output time base (the
