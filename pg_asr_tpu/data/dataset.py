@@ -215,13 +215,7 @@ class BatchIterator:
         return u.num_samples
 
     def _make_batch(self, utts: list[Utterance]) -> Batch:
-        waves = [self._load(u) for u in utts]
-        lens = np.array([len(w) for w in waves], np.int32)
-        N = _round_up(max(int(lens.max()), 1), self.wave_quantum)
-        wave = np.zeros((len(utts), N), np.float32)
-        for i, w in enumerate(waves):
-            wave[i, : len(w)] = w
-
+        wave, lens = self._batch_waves(utts)
         enc = [self.alphabet.encode(u.text) for u in utts]
         llens = np.array([len(e) for e in enc], np.int32)
         L = _round_up(max(int(llens.max()), 1), self.label_quantum)
@@ -229,6 +223,44 @@ class BatchIterator:
         for i, e in enumerate(enc):
             labels[i, : len(e)] = e
         return Batch(wave, lens, labels, llens, [u.text for u in utts])
+
+    def _batch_waves(self, utts: list[Utterance]):
+        """Padded (B, N) float32 waves + lengths. Fast path: ONE native
+        threaded call decodes (and resamples) every file of the batch
+        straight into the zero-padded buffer — no per-file Python loop, no
+        second pad-copy. Falls back per-utterance for custom loaders or
+        when lengths aren't established yet (the bucketing pass in
+        __iter__ normally sets them before any batch is built)."""
+        if self.loader is default_loader and \
+                all(u.num_samples >= 0 for u in utts):
+            try:
+                from . import native_io
+
+                if native_io.native_available():
+                    cap = max(int(u.num_samples) for u in utts)
+                    N = _round_up(max(cap, 1), self.wave_quantum)
+                    wave, lens, _ = native_io.load_batch(
+                        [u.audio_path for u in utts], N,
+                        target_rate=self.sample_rate)
+                    lens = np.minimum(lens, N).astype(np.int32)
+                    if self.max_samples:
+                        # python path truncates at max_samples; native fills
+                        # to the stride — zero the (rare) overhang rows
+                        over = lens > self.max_samples
+                        if over.any():
+                            idx = np.arange(N)[None, :]
+                            wave[over] *= idx < self.max_samples
+                            lens = np.minimum(lens, self.max_samples)
+                    return wave, lens
+            except Exception:
+                pass  # any native failure -> exact Python fallback below
+        waves = [self._load(u) for u in utts]
+        lens = np.array([len(w) for w in waves], np.int32)
+        N = _round_up(max(int(lens.max()), 1), self.wave_quantum)
+        wave = np.zeros((len(utts), N), np.float32)
+        for i, w in enumerate(waves):
+            wave[i, : len(w)] = w
+        return wave, lens
 
 
 class PrefetchIterator:
