@@ -56,6 +56,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--profile_steps", type=int, default=0,
                    help="train: capture a device trace of N steady-state "
                         "steps to <model_path>/trace (TensorBoard/xprof)")
+    p.add_argument("--specaugment", action="store_true",
+                   help="train: enable on-device SpecAugment time/frequency "
+                        "masking (Config.augment for widths/counts)")
     p.add_argument("--debug_nans", action="store_true",
                    help="enable jax_debug_nans (fail fast on NaN)")
     return p
@@ -71,6 +74,9 @@ def _config(args):
     if args.features:
         cfg = cfg.replace(features=cfg.features.__class__(
             **{**cfg.features.__dict__, "kind": args.features}))
+    if getattr(args, "specaugment", False):
+        cfg = cfg.replace(augment=cfg.augment.__class__(
+            **{**cfg.augment.__dict__, "enabled": True}))
     tr = dict(cfg.train.__dict__)
     tr["num_epochs"] = args.num_epochs
     tr["batch_size"] = args.batch_size

@@ -64,6 +64,18 @@ class ModelConfig:
 
 
 @dataclass(frozen=True)
+class SpecAugmentConfig:
+    """Train-time SpecAugment (ops/augment.py) — beyond-reference, off by
+    default; masks are filled with the utterance mean on device."""
+
+    enabled: bool = False
+    time_masks: int = 2
+    time_width: int = 40  # max frames per time mask
+    freq_masks: int = 2
+    freq_width: int = 15  # max channels per frequency mask
+
+
+@dataclass(frozen=True)
 class TransformerConfig:
     """Transformer-CTC acoustic model (models/transformer_ctc.py).
 
@@ -143,6 +155,7 @@ class TrainConfig:
 @dataclass(frozen=True)
 class Config:
     features: FeatureConfig = field(default_factory=FeatureConfig)
+    augment: SpecAugmentConfig = field(default_factory=SpecAugmentConfig)
     model: ModelConfig = field(default_factory=ModelConfig)
     transformer: TransformerConfig = field(default_factory=TransformerConfig)
     seq2seq: Seq2SeqConfig = field(default_factory=Seq2SeqConfig)
@@ -173,6 +186,7 @@ class Config:
 
         sub = {
             "features": FeatureConfig,
+            "augment": SpecAugmentConfig,
             "model": ModelConfig,
             "transformer": TransformerConfig,
             "seq2seq": Seq2SeqConfig,

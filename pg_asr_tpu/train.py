@@ -67,6 +67,11 @@ def compute_loss(params, wave, num_samples, labels, label_lens, cfg: Config,
     """Scalar loss (terms=False) or (numerator, denominator) arrays
     (terms=True — same-shaped, for SPMD psum reduction of ragged batches)."""
     feats, mask, frame_lens = extract_features(wave, num_samples, cfg.features)
+    if train and cfg.augment.enabled and dropout_rng is not None:
+        from .ops.augment import spec_augment
+
+        dropout_rng, sa_rng = jax.random.split(dropout_rng)
+        feats = spec_augment(feats, mask, sa_rng, cfg.augment)
     if cfg.model.family == "seq2seq":
         from .losses import seq2seq_nll_loss, seq2seq_nll_terms
         from .models import seq2seq
