@@ -297,11 +297,20 @@ def train(corpus_path: str, model_path: str, num_epochs: int | None = None,
     start_epoch = 1
     state_tpl = {"params": params, "opt_state": opt_state, "step": 0,
                  "epoch": 0, "best_val_loss": float("inf")}
+    train_losses: list[float] = []
+    val_losses: list[float] = []
     if resume:
         restored = ckpt.try_restore(state_tpl)
         if restored is not None:
             params, opt_state = restored["params"], restored["opt_state"]
             start_epoch = int(restored["epoch"]) + 1
+            # continue the loss-curve artifacts across the interruption
+            # instead of overwriting them with only the new epochs
+            for name, dst in (("train_loss.npy", train_losses),
+                              ("val_losses.npy", val_losses)):
+                p = os.path.join(model_path, name)
+                if os.path.exists(p):
+                    dst.extend(np.load(p).tolist())
             print(f"[train] resumed from epoch {restored['epoch']} "
                   f"(best val {ckpt.best_val:.4f})")
 
@@ -311,8 +320,6 @@ def train(corpus_path: str, model_path: str, num_epochs: int | None = None,
     eval_step = make_eval_step(cfg, mesh)
     logger = StepLogger(model_path)
 
-    train_losses: list[float] = []
-    val_losses: list[float] = []
     step = 0
     tracing = False  # --profile_steps: device trace of steady-state steps
     for epoch in range(start_epoch, cfg.train.num_epochs + 1):

@@ -88,3 +88,30 @@ def test_loss_decreases_on_overfit(corpus, tmp_path):
         losses.append(float(loss))
     assert all(np.isfinite(losses))
     assert losses[-1] < losses[0] * 0.9, losses
+
+
+def test_interrupted_training_resumes(corpus, tmp_path):
+    """Failure recovery (SURVEY §5): a training run killed after N epochs
+    resumes from model_last — continuing the epoch counter, optimizer
+    state, and the loss-curve artifacts — when train() is re-invoked on the
+    same model_path (exactly what re-running the CLI does)."""
+    import numpy as np
+
+    from pg_asr_tpu.train import train
+
+    model_dir = str(tmp_path / "model_resume")
+    cfg = tiny_config()
+    cfg2 = cfg.replace(train=cfg.train.__class__(
+        **{**cfg.train.__dict__, "num_epochs": 2}))
+    out1 = train(corpus, model_dir, config=cfg2, resume=False)
+    assert len(out1["train_losses"]) == 2
+
+    cfg4 = cfg.replace(train=cfg.train.__class__(
+        **{**cfg.train.__dict__, "num_epochs": 4}))
+    out2 = train(corpus, model_dir, config=cfg4, resume=True)
+    # epochs 3..4 ran; curves carry the full 4-epoch history
+    assert len(out2["train_losses"]) == 4
+    np.testing.assert_allclose(out2["train_losses"][:2],
+                               out1["train_losses"], rtol=1e-6)
+    curve = np.load(f"{model_dir}/train_loss.npy")
+    assert curve.shape == (4,)
