@@ -43,10 +43,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "LibriSpeech tree (train-*/dev-*/test-* subdirs) "
                         "into --corpus_path")
     p.add_argument("--model", type=str, default=None,
-                   choices=["ctc", "transformer", "seq2seq"],
-                   help="model family (default ctc; transformer = the "
-                        "non-recurrent CTC encoder; seq2seq = the attention "
-                        "decoder family the reference left unfinished)")
+                   choices=["ctc", "transformer", "conformer", "seq2seq"],
+                   help="model family (default ctc; transformer/conformer = "
+                        "the non-recurrent CTC encoders; seq2seq = the "
+                        "attention decoder family the reference left "
+                        "unfinished)")
     p.add_argument("--features", type=str, default=None,
                    choices=["logmel", "mfcc"],
                    help="feature frontend (default from config)")
@@ -64,10 +65,19 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
-def _config(args):
+def _config(args, from_model_path: bool = False):
     from .config import Config
 
     cfg = Config()
+    if from_model_path and getattr(args, "model_path", None):
+        # modes operating on an existing checkpoint (finetune_pg) must start
+        # from the config the model was trained with — the default tree has
+        # the wrong family/feature dims and the restore template would not
+        # match the checkpoint
+        cfg_path = os.path.join(args.model_path, "config.json")
+        if os.path.exists(cfg_path):
+            with open(cfg_path) as f:
+                cfg = Config.from_json(f.read())
     if getattr(args, "model", None):
         cfg = cfg.replace(model=cfg.model.__class__(
             **{**cfg.model.__dict__, "family": args.model}))
@@ -144,7 +154,7 @@ def main(argv=None) -> int:
 
         finetune_pg(args.corpus_path, args.model_path,
                     num_steps=args.pg_steps, batch_size=args.batch_size,
-                    config=_config(args))
+                    config=_config(args, from_model_path=True))
         return 0
 
     return 1

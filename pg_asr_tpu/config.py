@@ -48,7 +48,7 @@ class ModelConfig:
     3x BiLSTM(hidden 256/dir) -> Linear(512 -> alphabet) -> log_softmax.
     """
 
-    family: str = "ctc"  # "ctc" (flagship) | "transformer" (non-recurrent CTC) | "seq2seq" (attention decoder family)
+    family: str = "ctc"  # "ctc" (flagship) | "transformer" | "conformer" (non-recurrent CTC families) | "seq2seq" (attention decoder family)
     vocab_size: int = 32  # alphabet incl. blank/pad at index 0
     input_dim: int = 80
     input_proj_dim: int = 512
@@ -95,6 +95,27 @@ class TransformerConfig:
     # char-level CTC needs T' >= 2*label_len+1; at 12.5ms/frame (hop 200)
     # subsample=2 keeps ~40 output frames/sec — safe for character targets
     subsample: int = 2
+
+
+@dataclass(frozen=True)
+class ConformerConfig:
+    """Conformer-CTC acoustic model (models/conformer_ctc.py).
+
+    Convolution-augmented attention encoder (Gulati et al. 2020) — the
+    standard high-accuracy ASR encoder; attention for global context plus a
+    depthwise-conv module for local context. TPU-first deviations from the
+    paper (rotary positions instead of rel-pos attention, LayerNorm instead
+    of BatchNorm in the conv module, frame-stacking subsampling) are
+    documented in the model file.
+    """
+
+    num_layers: int = 6
+    d_model: int = 256
+    num_heads: int = 4
+    ffn_dim: int = 1024
+    conv_kernel: int = 15
+    dropout: float = 0.1
+    subsample: int = 2  # same T'>=2*label_len+1 consideration as transformer
 
 
 @dataclass(frozen=True)
@@ -158,6 +179,7 @@ class Config:
     augment: SpecAugmentConfig = field(default_factory=SpecAugmentConfig)
     model: ModelConfig = field(default_factory=ModelConfig)
     transformer: TransformerConfig = field(default_factory=TransformerConfig)
+    conformer: ConformerConfig = field(default_factory=ConformerConfig)
     seq2seq: Seq2SeqConfig = field(default_factory=Seq2SeqConfig)
     decode: DecodeConfig = field(default_factory=DecodeConfig)
     rl: RLConfig = field(default_factory=RLConfig)
@@ -189,6 +211,7 @@ class Config:
             "augment": SpecAugmentConfig,
             "model": ModelConfig,
             "transformer": TransformerConfig,
+            "conformer": ConformerConfig,
             "seq2seq": Seq2SeqConfig,
             "decode": DecodeConfig,
             "rl": RLConfig,

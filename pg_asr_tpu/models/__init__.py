@@ -5,14 +5,17 @@ Families (config.model.family):
                     parity with the reference encoder (reference
                     model.py:34-56)
   * "transformer" — non-recurrent transformer-CTC (models/transformer_ctc.py)
+  * "conformer"   — convolution-augmented attention CTC
+                    (models/conformer_ctc.py)
   * "seq2seq"     — attention encoder-decoder (models/seq2seq.py), the
                     family the reference left unfinished (model.py:99-183)
 
-The two CTC families share every downstream component (CTC loss, greedy +
+The CTC families share every downstream component (CTC loss, greedy +
 prefix-beam decoding, CER/WER, REINFORCE fine-tune); `acoustic_forward`
-is the single dispatch point they plug into. The transformer subsamples
-time, so the dispatch returns the (possibly shorter) output mask/lengths
-alongside the log-probs — BiLSTM callers get their inputs back unchanged.
+is the single dispatch point they plug into. The attention families
+subsample time, so the dispatch returns the (possibly shorter) output
+mask/lengths alongside the log-probs — BiLSTM callers get their inputs
+back unchanged.
 """
 
 from __future__ import annotations
@@ -30,6 +33,12 @@ def acoustic_forward(params, feats, frame_mask, frame_lens, cfg,
         return transformer_ctc.apply(params, feats, frame_mask, frame_lens,
                                      cfg.model, cfg.transformer, train=train,
                                      dropout_rng=dropout_rng)
+    if cfg.model.family == "conformer":
+        from . import conformer_ctc
+
+        return conformer_ctc.apply(params, feats, frame_mask, frame_lens,
+                                   cfg.model, cfg.conformer, train=train,
+                                   dropout_rng=dropout_rng)
     from . import bilstm_ctc
 
     log_probs = bilstm_ctc.apply(params, feats, frame_mask, cfg.model,

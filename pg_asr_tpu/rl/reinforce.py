@@ -85,7 +85,8 @@ def pg_loss_terms(params, wave, num_samples_arr, labels, label_lens, rng,
     if cfg.model.family == "seq2seq":
         raise ValueError(
             "finetune_pg samples CTC alignment paths; the seq2seq family "
-            "has no CTC posteriors. Train with --model ctc or transformer.")
+            "has no CTC posteriors. Train with --model ctc, transformer, "
+            "or conformer.")
     rl = cfg.rl
     feats, fmask, flens = extract_features(wave, num_samples_arr, cfg.features)
     # mask/frame_lens below are in the MODEL's output time base (the

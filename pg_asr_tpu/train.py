@@ -59,6 +59,10 @@ def init_model_params(rng, cfg: Config):
         from .models import transformer_ctc
 
         return transformer_ctc.init_params(rng, cfg.model, cfg.transformer)
+    if cfg.model.family == "conformer":
+        from .models import conformer_ctc
+
+        return conformer_ctc.init_params(rng, cfg.model, cfg.conformer)
     return bilstm_ctc.init_params(rng, cfg.model)
 
 

@@ -83,3 +83,29 @@ def test_finetune_pg_dispatch(monkeypatch):
     assert rc == 0
     assert captured["num_steps"] == 42
     assert captured["batch_size"] == 4
+
+
+def test_finetune_pg_config_loads_saved_family(monkeypatch, tmp_path):
+    """finetune_pg must start from the checkpoint's config.json (a default
+    Config has the wrong family and the restore template would not match —
+    regression: a conformer checkpoint crashed CLI finetune_pg)."""
+    from pg_asr_tpu.config import Config, ConformerConfig, ModelConfig
+
+    saved = Config(
+        model=ModelConfig(family="conformer", vocab_size=8, input_dim=16),
+        conformer=ConformerConfig(num_layers=2, d_model=32, num_heads=2,
+                                  ffn_dim=64, subsample=2))
+    (tmp_path / "config.json").write_text(saved.to_json())
+
+    captured = {}
+
+    def fake_pg(corpus, model, num_steps=0, batch_size=None, config=None):
+        captured["config"] = config
+
+    import pg_asr_tpu.rl.reinforce as rl_mod
+    monkeypatch.setattr(rl_mod, "finetune_pg", fake_pg)
+    rc = cli.main(["--mode", "finetune_pg", "--corpus_path", "/c",
+                   "--model_path", str(tmp_path), "--pg_steps", "1"])
+    assert rc == 0
+    assert captured["config"].model.family == "conformer"
+    assert captured["config"].conformer == saved.conformer
