@@ -52,6 +52,17 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["logmel", "mfcc"],
                    help="feature frontend (default from config)")
     p.add_argument("--learning_rate", type=float, default=None)
+    p.add_argument("--lr_schedule", type=str, default=None,
+                   choices=["warmup_constant", "warmup_cosine"],
+                   help="train: lr schedule (cosine horizon derived from the "
+                        "manifest unless Config.train.decay_steps is set)")
+    p.add_argument("--accum_steps", type=int, default=None,
+                   help="train: accumulate gradients over N micro-batches "
+                        "per optimizer update")
+    p.add_argument("--val_metric", type=str, default=None,
+                   choices=["loss", "cer"],
+                   help="train: select the best checkpoint on validation "
+                        "loss (reference parity) or greedy-decode CER")
     p.add_argument("--pg_steps", type=int, default=200,
                    help="finetune_pg: number of REINFORCE steps")
     p.add_argument("--profile_steps", type=int, default=0,
@@ -92,6 +103,12 @@ def _config(args, from_model_path: bool = False):
     tr["batch_size"] = args.batch_size
     if args.learning_rate:
         tr["learning_rate"] = args.learning_rate
+    if getattr(args, "lr_schedule", None):
+        tr["lr_schedule"] = args.lr_schedule
+    if getattr(args, "accum_steps", None):
+        tr["accum_steps"] = args.accum_steps
+    if getattr(args, "val_metric", None):
+        tr["val_metric"] = args.val_metric
     cfg = cfg.replace(train=cfg.train.__class__(**tr))
     return cfg
 

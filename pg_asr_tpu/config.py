@@ -162,6 +162,18 @@ class TrainConfig:
     weight_decay: float = 0.0
     grad_clip: float = 5.0
     warmup_steps: int = 500
+    # "warmup_constant" (reference-like fixed lr after warmup) |
+    # "warmup_cosine" (cosine decay over decay_steps; train() derives
+    # decay_steps from the manifest when left at 0)
+    lr_schedule: str = "warmup_constant"
+    decay_steps: int = 0
+    lr_end_factor: float = 0.01  # cosine floor as a fraction of peak lr
+    # >1: accumulate gradients over N micro-batches before each optimizer
+    # update (optax.MultiSteps) — large effective batches without the memory
+    accum_steps: int = 1
+    # "loss" (reference parity: best checkpoint on val loss) | "cer" (decode
+    # the dev set each validation pass and select on corpus CER)
+    val_metric: str = "loss"
     seed: int = 0
     max_frames: int = 1600  # padded-length cap (frames)
     max_label_len: int = 256

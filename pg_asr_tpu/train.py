@@ -39,14 +39,25 @@ from .utils.logging import StepLogger
 
 def make_optimizer(cfg: Config) -> optax.GradientTransformation:
     t = cfg.train
-    if t.warmup_steps > 0:
+    if t.lr_schedule == "warmup_cosine" and t.decay_steps > 0:
+        schedule = optax.warmup_cosine_decay_schedule(
+            init_value=0.0, peak_value=t.learning_rate,
+            warmup_steps=max(t.warmup_steps, 1),
+            decay_steps=max(t.decay_steps, t.warmup_steps + 1),
+            end_value=t.learning_rate * t.lr_end_factor)
+    elif t.warmup_steps > 0:
         schedule = optax.linear_schedule(0.0, t.learning_rate, t.warmup_steps)
     else:
         schedule = t.learning_rate
-    return optax.chain(
+    opt = optax.chain(
         optax.clip_by_global_norm(t.grad_clip),
         optax.adamw(schedule, weight_decay=t.weight_decay),
     )
+    if t.accum_steps > 1:
+        # accumulate grads over N micro-batches; params update (and the lr
+        # schedule step) advance once per N train_step calls
+        opt = optax.MultiSteps(opt, every_k_schedule=t.accum_steps)
+    return opt
 
 
 def init_model_params(rng, cfg: Config):
@@ -216,6 +227,36 @@ def _batch_arrays(batch: Batch):
     return (batch.wave, batch.num_samples, batch.labels, batch.label_lens)
 
 
+def _val_cer(params, dev_it, cfg: Config, alphabet, cap=None) -> float:
+    """Corpus CER of a greedy decode over the dev set (val_metric="cer").
+
+    Single-process only (the decode feeds process-local batches straight to
+    jit); train() falls back to val-loss selection on multi-host runs.
+    """
+    from .decoding.greedy import greedy_decode, ids_to_strings
+    from .metrics import evaluate_corpus
+    from .predict import _cut_at_eos, _forward, _forward_seq2seq
+
+    targets: list[str] = []
+    predicted: list[str] = []
+    n = 0
+    for batch in dev_it:
+        if cfg.model.family == "seq2seq":
+            tokens, _ = _forward_seq2seq(params, batch.wave,
+                                         batch.num_samples, cfg)
+            labels, lens = _cut_at_eos(np.asarray(tokens))
+        else:
+            log_probs, mask, _ = _forward(params, batch.wave,
+                                          batch.num_samples, cfg)
+            labels, lens = greedy_decode(log_probs, mask)
+        predicted.extend(ids_to_strings(labels, lens, alphabet))
+        targets.extend(batch.texts)
+        n += 1
+        if cap is not None and n >= cap:
+            break
+    return float(evaluate_corpus(targets, predicted)["cer"])
+
+
 def train(corpus_path: str, model_path: str, num_epochs: int | None = None,
           batch_size: int | None = None, device=None, config: Config | None = None,
           resume: bool = True, max_steps_per_epoch: int | None = None,
@@ -283,6 +324,22 @@ def train(corpus_path: str, model_path: str, num_epochs: int | None = None,
                                    sample_rate=cfg.features.sample_rate,
                                    shard_index=proc, shard_count=nproc)
     is_main = proc == 0
+
+    select_on_cer = cfg.train.val_metric == "cer" and dev_it is not None
+    if select_on_cer and nproc > 1:
+        select_on_cer = False
+        if is_main:
+            print("[train] val_metric=cer is single-process only - "
+                  "falling back to val-loss checkpoint selection")
+
+    if (cfg.train.lr_schedule == "warmup_cosine"
+            and cfg.train.decay_steps <= 0):
+        # derive the cosine horizon from the training run length
+        spe = -(-len(train_manifest) // (per_host_bs * nproc))
+        cfg = cfg.replace(train=cfg.train.__class__(**{
+            **cfg.train.__dict__,
+            "decay_steps": max(cfg.train.num_epochs * spe,
+                               cfg.train.warmup_steps + 1)}))
 
     mesh = make_mesh(cfg.train.mesh_shape, cfg.train.mesh_axes)
     # init stays threefry (backend-independent params); the step loop uses
@@ -362,6 +419,7 @@ def train(corpus_path: str, model_path: str, num_epochs: int | None = None,
                     np.array(train_losses))
 
         cur_val = None
+        cur_cer = None
         if dev_it is not None and epoch % cfg.train.eval_every_epochs == 0:
             tot, n = 0.0, 0
             for batch in dev_it:
@@ -375,23 +433,31 @@ def train(corpus_path: str, model_path: str, num_epochs: int | None = None,
             if is_main:
                 np.save(os.path.join(model_path, "val_losses.npy"),
                         np.array(val_losses))
+            if select_on_cer:
+                cur_cer = _val_cer(params, dev_it, cfg, alphabet, cap=dev_cap)
 
         dt = time.time() - t0
         if is_main:
             print(f"[train] epoch {epoch}/{cfg.train.num_epochs} "
                   f"train_loss={mean_train:.4f}"
                   + (f" val_loss={cur_val:.4f}" if cur_val is not None else "")
+                  + (f" val_cer={cur_cer:.4f}" if cur_cer is not None else "")
                   + f" ({dt:.1f}s, {n_batches} steps)")
 
         # params are replicated, so only the main process writes checkpoints
         # (shared-FS collisions / duplicate IO on multi-host otherwise)
         if is_main:
+            if cur_cer is not None:
+                select = cur_cer  # val_metric="cer"
+            else:
+                select = cur_val if cur_val is not None else mean_train
             is_best = ckpt.save(
                 {"params": params, "opt_state": opt_state, "step": step,
                  "epoch": epoch, "best_val_loss": ckpt.best_val},
-                val_loss=cur_val if cur_val is not None else mean_train)
+                val_loss=select)
             if is_best:
-                print(f"[train] new best checkpoint (val {ckpt.best_val:.4f})")
+                name = "cer" if cur_cer is not None else "val"
+                print(f"[train] new best checkpoint ({name} {ckpt.best_val:.4f})")
 
     return {
         "train_losses": train_losses,

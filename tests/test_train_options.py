@@ -1,0 +1,115 @@
+"""Training-loop options beyond the reference: lr schedules (warmup+cosine),
+gradient accumulation (optax.MultiSteps), and best-checkpoint selection on
+validation CER instead of loss."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pg_asr_tpu.config import (Config, FeatureConfig, ModelConfig,
+                               TrainConfig)
+from pg_asr_tpu.data.dataset import make_synthetic_corpus
+from pg_asr_tpu.train import make_optimizer
+
+
+def _tiny_train(**kw) -> TrainConfig:
+    base = dict(num_epochs=2, batch_size=4, learning_rate=3e-3,
+                warmup_steps=0, log_every=1000)
+    base.update(kw)
+    return TrainConfig(**base)
+
+
+def tiny_config(**train_kw) -> Config:
+    return Config(
+        features=FeatureConfig(kind="logmel", n_mels=16, n_fft=128,
+                               win_length=128, hop_length=64),
+        model=ModelConfig(vocab_size=8, input_dim=16, input_proj_dim=32,
+                          hidden_size=16, num_layers=1, dropout=0.0),
+        train=_tiny_train(**train_kw),
+    )
+
+
+def test_warmup_cosine_schedule_shape():
+    """lr rises over warmup, then decays towards lr * lr_end_factor."""
+    cfg = tiny_config(warmup_steps=10, lr_schedule="warmup_cosine",
+                      decay_steps=100, learning_rate=1e-3,
+                      lr_end_factor=0.01)
+    import optax
+
+    t = cfg.train
+    sched = optax.warmup_cosine_decay_schedule(
+        0.0, t.learning_rate, t.warmup_steps, t.decay_steps,
+        t.learning_rate * t.lr_end_factor)
+    assert float(sched(0)) == 0.0
+    assert float(sched(10)) == pytest.approx(1e-3, rel=1e-6)
+    assert float(sched(55)) < 1e-3
+    assert float(sched(100)) == pytest.approx(1e-5, rel=1e-3)
+    # make_optimizer accepts the config (smoke: builds + initializes)
+    opt = make_optimizer(cfg)
+    opt.init({"w": jnp.zeros((2, 2))})
+
+
+def test_accum_steps_updates_params_every_k():
+    """With accum_steps=2, params change only on every 2nd train_step call."""
+    from pg_asr_tpu.train import init_model_params, make_train_step
+
+    cfg = tiny_config(accum_steps=2)
+    params = init_model_params(jax.random.PRNGKey(0), cfg)
+    opt = make_optimizer(cfg)
+    opt_state = opt.init(params)
+    step = make_train_step(cfg, opt)
+
+    rng = jax.random.PRNGKey(1)
+    npr = np.random.default_rng(0)
+    B, n = 4, 800
+    wave = jnp.asarray(npr.standard_normal((B, n)) * 0.1, jnp.float32)
+    ns = jnp.full((B,), n, jnp.int32)
+    labels = jnp.zeros((B, 4), jnp.int32).at[:, :2].set(1)
+    label_lens = jnp.full((B,), 2, jnp.int32)
+
+    p0 = jax.tree_util.tree_map(lambda x: np.asarray(x).copy(), params)
+    params, opt_state, rng, _ = step(params, opt_state, rng, wave, ns,
+                                     labels, label_lens)
+    # first micro-step: gradients accumulated, params unchanged
+    for a, b in zip(jax.tree_util.tree_leaves(p0),
+                    jax.tree_util.tree_leaves(params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    params, opt_state, rng, _ = step(params, opt_state, rng, wave, ns,
+                                     labels, label_lens)
+    # second micro-step: the optimizer update applies
+    changed = any(
+        not np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree_util.tree_leaves(p0),
+                        jax.tree_util.tree_leaves(params)))
+    assert changed
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("corpus_opts"))
+    make_synthetic_corpus(root, n_utts=10, seed=11, min_dur=0.2, max_dur=0.4)
+    return root
+
+
+def test_train_val_cer_cosine_accum_end_to_end(corpus, tmp_path):
+    """All three options through train(): runs, selects on CER, derives the
+    cosine horizon, checkpoints restore."""
+    from pg_asr_tpu.train import train
+
+    model_dir = str(tmp_path / "model")
+    cfg = tiny_config(val_metric="cer", lr_schedule="warmup_cosine",
+                      warmup_steps=2, accum_steps=2)
+    out = train(corpus, model_dir, config=cfg, resume=False)
+    assert np.isfinite(out["train_losses"]).all()
+    assert os.path.exists(out["best_path"])
+    saved = json.load(open(os.path.join(model_dir, "config.json")))
+    assert saved["train"]["decay_steps"] > 0  # derived from the manifest
+    assert saved["train"]["val_metric"] == "cer"
+
+    # the checkpoint (incl. MultiSteps optimizer state) restores for resume
+    out2 = train(corpus, model_dir, config=cfg, resume=True)
+    assert out2["steps"] >= 0
