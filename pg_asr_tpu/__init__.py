@@ -10,11 +10,12 @@ checkpointing, and data-parallel SPMD scaling over a TPU mesh.
 
 Layout:
   ops/       fused numerical primitives (features, LSTM, CTC, edit distance, Pallas kernels)
-  models/    model families (BiLSTM-CTC flagship; attention seq2seq)
+  models/    model families (BiLSTM-CTC flagship; transformer/conformer CTC; attention seq2seq)
   decoding/  greedy + prefix beam search (vectorized on-device, host oracle)
   rl/        REINFORCE policy-gradient fine-tuning + reward functions
   data/      manifests, alphabets, text preproc, batching/bucketing, audio IO
   parallel/  mesh construction + sharding rules (dp/tp over ICI)
+  serving.py streaming (LC-BLSTM chunked) transcription
   utils/     profiling, logging, misc
 """
 

@@ -1,0 +1,314 @@
+"""Streaming inference: latency-controlled BiLSTM transcription.
+
+The reference has no serving story at all (its predict loop pulls full
+posteriors to the host per batch, reference model.py:314-326); this module
+adds an online path the reference never had: transcribe audio as it
+arrives, emitting text incrementally with bounded latency.
+
+Approach — LC-BLSTM-style chunked streaming on the flagship BiLSTM-CTC
+model, built for how jit wants to run:
+  * audio is consumed in fixed CHUNKS of C committed frames plus R frames
+    of right context (lookahead). One jitted step processes the (C+R)
+    window — static shapes, one compilation, reused forever.
+  * the FORWARD direction of every BiLSTM layer is exact: its (h, c)
+    carries cross chunk boundaries (the jitted step returns them), so the
+    left context is unbounded, exactly as offline.
+  * the BACKWARD direction runs fresh within each window (zero initial
+    state at the window's right edge) — right context is limited to R
+    frames. This is the latency/accuracy dial of LC-BLSTM: R frames of
+    lookahead latency buy that much exact backward context.
+  * featurization is exact, not approximated: frame t of the offline
+    conv-DFT frontend (ops/features.py) reads samples
+    [t*hop - n_fft/2, t*hop + n_fft/2) with reflect padding at the stream
+    start and zeros past the stream end; the host buffers raw samples and
+    reproduces exactly that window per chunk, so streamed features equal
+    offline features bit-for-bit.
+  * per-utterance normalization (the offline model's masked instance norm)
+    is inherently non-causal; streaming uses RUNNING statistics over all
+    committed frames so far (exact once the utterance is complete in one
+    window), or caller-provided fixed (mean, var) — e.g. corpus-level CMVN
+    — which makes multi-chunk streaming exactly reproduce the offline
+    forward pass whenever R reaches the utterance end (parity-tested).
+  * greedy CTC collapse carries its previous-id across chunks, so repeats
+    spanning a boundary collapse correctly.
+
+Restrictions (validated in __init__): family="ctc" (the recurrent model is
+the streamable one — attention families need full left context), feature
+kind="logmel" (MFCC deltas use whole-utterance edge replication), Pallas
+kernels off (B=1 windows; the lax.scan path is the right tool).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import Config
+from .ops.features import dft_conv_kernel, mel_filterbank
+from .ops.lstm import _gate_step, lstm_scan
+
+
+def _fwd_scan_from(xp: jnp.ndarray, U: jnp.ndarray, mask: jnp.ndarray,
+                   h0: jnp.ndarray, c0: jnp.ndarray, hidden: int):
+    """Forward LSTM over (B, T, 4H) pre-activations from an explicit carry.
+    Returns (outputs (B, T, H) zeroed at masked steps, final (h, c) frozen
+    at masked steps) — the streaming version of ops.lstm.lstm_scan."""
+    xp_t = jnp.swapaxes(xp, 0, 1)
+    mask_t = jnp.swapaxes(mask, 0, 1)[:, :, None]
+
+    def step(carry, inp):
+        h, c = carry
+        x_t, m_t = inp
+        pre = x_t + jnp.dot(h, U, preferred_element_type=xp.dtype)
+        h_new, c_new = _gate_step(h, c, pre, hidden)
+        h = jnp.where(m_t > 0, h_new, h)
+        c = jnp.where(m_t > 0, c_new, c)
+        return (h, c), h_new * m_t
+
+    (h, c), ys = jax.lax.scan(step, (h0, c0), (xp_t, mask_t))
+    return jnp.swapaxes(ys, 0, 1), (h, c)
+
+
+@partial(jax.jit, static_argnames=("cfg", "chunk", "fixed_norm"))
+def _chunk_step(params, window: jnp.ndarray, stats, carries,
+                n_valid: jnp.ndarray, n_committed: jnp.ndarray,
+                cfg: Config, chunk: int, fixed_norm: bool):
+    """One streaming step over a (1, L) sample window covering C+R frames.
+
+    Returns (argmax ids over the C committed slots, updated stats,
+    updated forward carries). stats is (sum, sumsq, count) running scalars
+    (or (mean, var, _) when fixed_norm). carries is a tuple of per-layer
+    (h (1,H), c (1,H)) for the forward direction.
+    """
+    from .models.bilstm_ctc import linear
+
+    fcfg, mcfg = cfg.features, cfg.model
+    dtype = jnp.dtype(mcfg.dtype)
+
+    # --- featurization: identical math to ops.features._frontend, VALID
+    # conv over the pre-padded host window (no reflect here — the host
+    # already placed reflected/zero samples)
+    kern = jnp.asarray(dft_conv_kernel(fcfg.n_fft, fcfg.win_length))
+    spec = jax.lax.conv_general_dilated(
+        window[:, None, :], kern, window_strides=(fcfg.hop_length,),
+        padding="VALID", dimension_numbers=("NCW", "OIW", "NCW"),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)
+    K = fcfg.n_fft // 2 + 1
+    power = jnp.swapaxes(spec[:, :K, :] ** 2 + spec[:, K:, :] ** 2, 1, 2)
+    fb = jnp.asarray(mel_filterbank(fcfg.n_mels, fcfg.n_fft,
+                                    fcfg.sample_rate, fcfg.fmin, fcfg.fmax,
+                                    fcfg.mel_scale))
+    mel = jnp.einsum("bfk,km->bfm", power, fb,
+                     preferred_element_type=jnp.float32)
+    feats = jnp.log(jnp.maximum(mel, fcfg.log_floor))  # (1, Wf, F)
+
+    Wf = feats.shape[1]
+    valid = (jnp.arange(Wf)[None, :] < n_valid).astype(jnp.float32)
+    committed = (jnp.arange(Wf)[None, :] < n_committed).astype(jnp.float32)
+    feats = feats * valid[:, :, None]
+
+    # --- normalization: running scalar stats over committed frames
+    # (offline normalize_features pools over valid frames x channels)
+    s, ss, cnt = stats
+    if fixed_norm:
+        mean, var = s, ss
+        new_stats = stats
+    else:
+        cm = committed[:, :, None]
+        s = s + jnp.sum(feats * cm)
+        ss = ss + jnp.sum(jnp.square(feats) * cm)
+        cnt = cnt + jnp.sum(committed) * feats.shape[-1]
+        mean = s / jnp.maximum(cnt, 1.0)
+        var = jnp.maximum(ss / jnp.maximum(cnt, 1.0) - jnp.square(mean), 0.0)
+        new_stats = (s, ss, cnt)
+    x = ((feats - mean) * jax.lax.rsqrt(var + 1e-5)
+         * valid[:, :, None]).astype(dtype)
+
+    # --- encoder (mirrors bilstm_ctc.apply at train=False)
+    mask = valid.astype(dtype)
+    x = jax.nn.leaky_relu(linear(params["input_proj"], x))
+    new_carries = []
+    hidden = mcfg.hidden_size
+    for layer, (h0, c0) in zip(params["lstm"], carries):
+        xp_f = jnp.einsum("bti,ih->bth", x, layer["fwd"]["W"],
+                          preferred_element_type=dtype) + layer["fwd"]["b"]
+        # committed region continues the cross-chunk carry; the carry out
+        # is taken at the committed boundary (context frames must not
+        # advance it — they are re-fed as committed frames next chunk)
+        ys_a, (h1, c1) = _fwd_scan_from(xp_f[:, :chunk], layer["fwd"]["U"],
+                                        mask[:, :chunk] * committed[:, :chunk],
+                                        h0.astype(dtype), c0.astype(dtype),
+                                        hidden)
+        ys_b, _ = _fwd_scan_from(xp_f[:, chunk:], layer["fwd"]["U"],
+                                 mask[:, chunk:], h1, c1, hidden)
+        fwd = jnp.concatenate([ys_a, ys_b], axis=1)
+        xp_b = jnp.einsum("bti,ih->bth", x, layer["bwd"]["W"],
+                          preferred_element_type=dtype) + layer["bwd"]["b"]
+        bwd = lstm_scan(xp_b, layer["bwd"]["U"], mask, hidden, reverse=True)
+        x = jnp.concatenate([fwd, bwd], axis=-1)
+        new_carries.append((h1, c1))
+
+    logits = linear(params["ctc_head"], x[:, :chunk])
+    log_probs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    ids = jnp.argmax(log_probs, axis=-1)[0]  # (C,)
+    return ids, new_stats, tuple(new_carries)
+
+
+class StreamingTranscriber:
+    """Incremental transcription of one audio stream.
+
+    >>> st = StreamingTranscriber(params, cfg, alphabet)
+    >>> for block in audio_blocks:
+    ...     print(st.push(block), end="")
+    >>> print(st.flush())
+
+    Args:
+      chunk_frames: committed frames per step (C) — emission granularity.
+      right_context: lookahead frames (R) — the backward direction's
+        context window; adds R*hop_length samples of latency.
+      norm: "streaming" (running stats over committed frames) or a fixed
+        (mean, var) pair (corpus CMVN); fixed norm + lookahead to the
+        stream end reproduces the offline forward pass exactly.
+    """
+
+    def __init__(self, params, cfg: Config, alphabet,
+                 chunk_frames: int = 64, right_context: int = 32,
+                 norm: str | tuple = "streaming"):
+        if cfg.model.family != "ctc":
+            raise ValueError(
+                "streaming needs the recurrent family (--model ctc): "
+                f"attention families ({cfg.model.family!r}) require full "
+                "left context")
+        if cfg.features.kind != "logmel":
+            raise ValueError("streaming supports logmel features only "
+                             "(MFCC deltas use whole-utterance context)")
+        self.params = params
+        # B=1 windows: the scan path, not Pallas kernels
+        self.cfg = cfg.replace(model=cfg.model.__class__(
+            **{**cfg.model.__dict__, "use_pallas_lstm": False}))
+        self.alphabet = alphabet
+        self.chunk = int(chunk_frames)
+        self.right = int(right_context)
+        self.fixed_norm = not isinstance(norm, str)
+        if self.fixed_norm:
+            self._norm0 = (jnp.float32(norm[0]), jnp.float32(norm[1]),
+                           jnp.float32(0.0))
+        else:
+            self._norm0 = (jnp.float32(0.0), jnp.float32(0.0),
+                           jnp.float32(0.0))
+        self.reset()
+
+    def reset(self):
+        H = self.cfg.model.hidden_size
+        dt = jnp.dtype(self.cfg.model.dtype)
+        self._carries = tuple(
+            (jnp.zeros((1, H), dt), jnp.zeros((1, H), dt))
+            for _ in range(self.cfg.model.num_layers))
+        self._stats = self._norm0
+        self._buf = np.zeros((0,), np.float32)  # samples from _buf_start on
+        self._buf_start = 0  # absolute index of _buf[0]
+        self._n_samples = 0  # absolute samples received
+        self._frames_done = 0
+        self._prev_id = 0
+        self._text: list[str] = []
+        self._ended = False
+
+    # -- host-side exact window assembly ------------------------------------
+    def _window_samples(self, f0: int) -> np.ndarray:
+        """Samples backing frames [f0, f0 + C + R): absolute range
+        [f0*hop - pad, (f0 + C + R - 1)*hop + pad), reflect-padded at the
+        stream start, zero past the stream end (= offline semantics, where
+        batch zero-padding follows the utterance)."""
+        fcfg = self.cfg.features
+        pad = fcfg.n_fft // 2
+        wf = self.chunk + self.right
+        lo = f0 * fcfg.hop_length - pad
+        hi = (f0 + wf - 1) * fcfg.hop_length + pad
+        out = np.zeros((hi - lo,), np.float32)
+        a, b = max(lo, 0), min(hi, self._n_samples)
+        if b > a:
+            out[a - lo : b - lo] = self._buf[a - self._buf_start :
+                                             b - self._buf_start]
+        if lo < 0:
+            # reflect (no edge repeat): sample[-k] == sample[k]
+            k = -lo
+            n = min(k, max(self._n_samples - 1, 0))
+            src = self._buf[1 : 1 + n][::-1]  # samples 1..n reversed
+            out[k - n : k] = src
+        return out
+
+    def _ready(self, f0: int) -> bool:
+        """All real samples for the window exist (mid-stream)."""
+        fcfg = self.cfg.features
+        pad = fcfg.n_fft // 2
+        wf = self.chunk + self.right
+        return (f0 + wf - 1) * fcfg.hop_length + pad <= self._n_samples
+
+    def _total_frames(self) -> int:
+        return self._n_samples // self.cfg.features.hop_length + 1
+
+    def _run_chunk(self, n_valid: int, n_committed: int) -> str:
+        window = jnp.asarray(
+            self._window_samples(self._frames_done))[None, :]
+        ids, self._stats, self._carries = _chunk_step(
+            self.params, window, self._stats, self._carries,
+            jnp.int32(n_valid), jnp.int32(n_committed),
+            self.cfg, self.chunk, self.fixed_norm)
+        ids = np.asarray(ids)[:n_committed]
+        out = []
+        i2c = self.alphabet.ind2char
+        for i in ids:
+            i = int(i)
+            if i != self._prev_id and i != 0:
+                out.append(i2c[i])
+            self._prev_id = i
+        self._frames_done += n_committed
+        # drop samples no longer needed by any future window
+        fcfg = self.cfg.features
+        keep_from = max(self._frames_done * fcfg.hop_length
+                        - fcfg.n_fft // 2, 0)
+        if keep_from > self._buf_start:
+            self._buf = self._buf[keep_from - self._buf_start:]
+            self._buf_start = keep_from
+        piece = "".join(out)
+        self._text.append(piece)
+        return piece
+
+    # -- public API ----------------------------------------------------------
+    def push(self, samples: np.ndarray) -> str:
+        """Feed raw float32 samples; returns newly emitted text."""
+        if self._ended:
+            raise RuntimeError("push() after flush(); call reset() first")
+        samples = np.asarray(samples, np.float32).reshape(-1)
+        self._buf = np.concatenate([self._buf, samples])
+        self._n_samples += len(samples)
+        emitted = []
+        wf = self.chunk + self.right
+        while self._ready(self._frames_done):
+            emitted.append(self._run_chunk(n_valid=wf,
+                                           n_committed=self.chunk))
+        return "".join(emitted)
+
+    def flush(self) -> str:
+        """End of stream: process the remaining frames and return the text
+        they emit."""
+        if self._ended:
+            return ""
+        self._ended = True
+        total = self._total_frames() if self._n_samples > 0 else 0
+        emitted = []
+        while self._frames_done < total:
+            left = total - self._frames_done
+            emitted.append(self._run_chunk(
+                n_valid=min(left, self.chunk + self.right),
+                n_committed=min(left, self.chunk)))
+        return "".join(emitted)
+
+    @property
+    def text(self) -> str:
+        """Everything emitted so far."""
+        return "".join(self._text)

@@ -1,0 +1,144 @@
+"""Streaming transcription (pg_asr_tpu/serving.py): exactness anchors vs the
+offline forward pass + incremental-buffering properties.
+
+Offline comparison note: the streaming path treats samples past the stream
+end as zeros, which equals the offline path's batch zero-padding — so the
+offline references here pad the wave array beyond num_samples (the common
+batched-predict case)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pg_asr_tpu.config import Config, FeatureConfig, ModelConfig
+from pg_asr_tpu.decoding.greedy import greedy_decode, ids_to_strings
+from pg_asr_tpu.data.text import Alphabet
+from pg_asr_tpu.models import bilstm_ctc
+from pg_asr_tpu.ops.features import extract_features
+from pg_asr_tpu.serving import StreamingTranscriber
+
+
+def tiny_cfg() -> Config:
+    return Config(
+        features=FeatureConfig(kind="logmel", n_mels=16, n_fft=128,
+                               win_length=128, hop_length=64),
+        model=ModelConfig(vocab_size=8, input_dim=16, input_proj_dim=32,
+                          hidden_size=16, num_layers=2, dropout=0.0,
+                          use_pallas_lstm=False),
+    )
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny_cfg()
+    params = bilstm_ctc.init_params(jax.random.PRNGKey(3), cfg.model)
+    alphabet = Alphabet.from_symbols(list("abcdefg"))
+    rng = np.random.default_rng(0)
+    wave = (rng.standard_normal(1600) * 0.3).astype(np.float32)
+    return cfg, params, alphabet, wave
+
+
+def _offline_text(cfg, params, alphabet, wave) -> str:
+    """Offline greedy decode with a zero-padded tail (batched semantics)."""
+    w = jnp.asarray(np.pad(wave, (0, 512)))[None, :]
+    ns = jnp.asarray([len(wave)], jnp.int32)
+    feats, mask, _ = extract_features(w, ns, cfg.features)
+    lp = bilstm_ctc.apply(params, feats, mask, cfg.model, train=False)
+    ids, lens = greedy_decode(lp, mask)
+    return ids_to_strings(ids, lens, alphabet)[0]
+
+
+def _offline_norm_stats(cfg, wave):
+    """Scalar (mean, var) of the valid feature cells — the fixed-norm CMVN
+    input (matches models.bilstm_ctc.normalize_features pooling)."""
+    w = jnp.asarray(wave)[None, :]
+    ns = jnp.asarray([len(wave)], jnp.int32)
+    feats, mask, _ = extract_features(w, ns, cfg.features)
+    m = np.asarray(mask)[0] > 0
+    cells = np.asarray(feats)[0][m]
+    return float(cells.mean()), float(cells.var())
+
+
+def test_single_chunk_matches_offline(setup):
+    """Whole utterance in one chunk, streaming norm: the running stats see
+    every frame, so the step reproduces the offline pass."""
+    cfg, params, alphabet, wave = setup
+    T = len(wave) // cfg.features.hop_length + 1
+    st = StreamingTranscriber(params, cfg, alphabet, chunk_frames=T + 4,
+                              right_context=0)
+    out = st.push(wave) + st.flush()
+    assert out == _offline_text(cfg, params, alphabet, wave)
+
+
+def test_multi_chunk_fixed_norm_full_lookahead_matches_offline(setup):
+    """chunk=8 with lookahead past the utterance end + fixed CMVN: the
+    forward carries and windowed backward passes must compose to exactly
+    the offline forward pass."""
+    cfg, params, alphabet, wave = setup
+    T = len(wave) // cfg.features.hop_length + 1
+    st = StreamingTranscriber(params, cfg, alphabet, chunk_frames=8,
+                              right_context=T,
+                              norm=_offline_norm_stats(cfg, wave))
+    out = st.push(wave) + st.flush()
+    assert out == _offline_text(cfg, params, alphabet, wave)
+
+
+def test_push_block_size_invariance(setup):
+    """Arbitrary push() block sizes (incl. 1-sample dribble at the start)
+    must produce identical output — pins the sample buffering/window
+    assembly."""
+    cfg, params, alphabet, wave = setup
+    outs = []
+    for blocks in ([wave],
+                   np.array_split(wave, 7),
+                   [wave[:1], wave[1:400], wave[400:]]):
+        st = StreamingTranscriber(params, cfg, alphabet, chunk_frames=6,
+                                  right_context=4)
+        text = "".join(st.push(b) for b in blocks) + st.flush()
+        outs.append(text)
+        assert st.text == text
+    assert outs[0] == outs[1] == outs[2]
+
+
+def test_limited_lookahead_is_close_to_offline(setup):
+    """Small right context approximates offline: the emitted text must be
+    deterministic and mostly agree with the offline decode (random-init
+    models emit blanks almost everywhere, so exact equality is typical,
+    but the contract here is determinism + no crash at the LC boundary)."""
+    cfg, params, alphabet, wave = setup
+    st1 = StreamingTranscriber(params, cfg, alphabet, chunk_frames=6,
+                               right_context=3)
+    out1 = st1.push(wave) + st1.flush()
+    st2 = StreamingTranscriber(params, cfg, alphabet, chunk_frames=6,
+                               right_context=3)
+    out2 = st2.push(wave) + st2.flush()
+    assert out1 == out2
+
+
+def test_reset_reuses_compilation(setup):
+    cfg, params, alphabet, wave = setup
+    st = StreamingTranscriber(params, cfg, alphabet, chunk_frames=6,
+                              right_context=4)
+    a = st.push(wave) + st.flush()
+    st.reset()
+    b = st.push(wave) + st.flush()
+    assert a == b
+
+
+def test_family_and_feature_validation(setup):
+    cfg, params, alphabet, _ = setup
+    bad_family = cfg.replace(model=cfg.model.__class__(
+        **{**cfg.model.__dict__, "family": "transformer"}))
+    with pytest.raises(ValueError, match="recurrent family"):
+        StreamingTranscriber(params, bad_family, alphabet)
+    bad_feats = cfg.replace(features=cfg.features.__class__(
+        **{**cfg.features.__dict__, "kind": "mfcc"}))
+    with pytest.raises(ValueError, match="logmel"):
+        StreamingTranscriber(params, bad_feats, alphabet)
+
+
+def test_flush_empty_stream(setup):
+    cfg, params, alphabet, _ = setup
+    st = StreamingTranscriber(params, cfg, alphabet)
+    assert st.flush() == ""
