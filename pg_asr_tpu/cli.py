@@ -37,6 +37,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--decoder", type=str, default="greedy",
                    choices=["greedy", "beam"])
     p.add_argument("--beam_size", type=int, default=None)
+    p.add_argument("--lm_order", type=int, default=0, choices=[0, 2, 3],
+                   help="predict: shallow-fuse a character n-gram LM of "
+                        "this order (trained from the corpus train.tsv) "
+                        "into the beam ranking; 0 = off")
+    p.add_argument("--lm_weight", type=float, default=0.3)
+    p.add_argument("--length_bonus", type=float, default=0.0)
     p.add_argument("--lang", type=str, default="en")
     p.add_argument("--librispeech_root", type=str, default=None,
                    help="preproc: build corpus manifests + alphabet from a "
@@ -163,7 +169,10 @@ def main(argv=None) -> int:
 
         predict(test_path, aud_path, alphabet, args.model_path,
                 batch_size=args.batch_size, decoder=args.decoder,
-                beam_size=args.beam_size)
+                beam_size=args.beam_size, lm_order=args.lm_order,
+                lm_weight=args.lm_weight, length_bonus=args.length_bonus,
+                lm_train_tsv=(os.path.join(corpus, "train.tsv")
+                              if (args.lm_order and corpus) else None))
         return 0
 
     if args.mode == "finetune_pg":

@@ -299,6 +299,148 @@ def _decode_one_hash(log_probs, frame_len, *, K: int, A: int, Lmax: int,
     return prefix.astype(jnp.int32), lens[best], -scores[best], (None, lens, scores)
 
 
+def _step_hash_lm(state, lp, lmn, *, K: int, A: int, Lmax: int, blank: int,
+                  lam, beta):
+    """LM-fused variant of _step_hash: candidates are RANKED by the shallow-
+    fusion objective  acoustic + lam * lm + beta * len  while the carried
+    (p_b, p_nb) masses stay purely acoustic (the CTC recursion must not see
+    LM mass). Extends run over the full vocab (no top-M pruning: the
+    dominance argument that makes pruning exact holds for the acoustic key
+    only — an LM-favoured symbol outside the acoustic top-M may win).
+
+    state: (hash, last, last2, lens, p_b, p_nb, lm), all (K,).
+    lmn: (K, A) log P_lm(symbol | beam context), from one one-hot matmul.
+    """
+    h, last, last2, lens, p_b, p_nb, lm = state
+    total = _lae(p_b, p_nb)
+    valid = total > NEG / 2
+    lp_last = lp[jnp.maximum(last, 0)]
+
+    stay_pb = jnp.where(valid, total + lp[blank], NEG)
+    stay_pnb = jnp.where(valid & (last >= 0), p_nb + lp_last, NEG)
+
+    syms = jnp.arange(A)
+    is_last = syms[None, :] == last[:, None]
+    src = jnp.where(is_last, p_b[:, None], total[:, None])
+    ext_pnb = src + lp[None, :]
+    ext_pnb = jnp.where(syms[None, :] == blank, NEG, ext_pnb)
+    ext_pnb = jnp.where(valid[:, None], ext_pnb, NEG)
+    ext_pnb = jnp.where((lens >= Lmax)[:, None], NEG, ext_pnb)
+
+    # merge extend->stay collisions via hashes (identical to _step_hash;
+    # an extend reproducing beam j's prefix has beam j's LM score by the
+    # LM's product decomposition, so only acoustic mass moves)
+    h_ext = h[None, :] * _HASH_M + (jnp.maximum(last, 0) + 1)[:, None]
+    E = (
+        (h[:, None] == h_ext)
+        & (lens[:, None] == lens[None, :] + 1)
+        & valid[:, None] & valid[None, :]
+        & (last[:, None] >= 0)
+    )
+    C_src = jnp.where(last[:, None] == last[None, :], p_b[None, :],
+                      total[None, :])
+    C = jnp.where(E, C_src + lp_last[:, None], NEG)
+    merged_in = jax.nn.logsumexp(C, axis=1)
+    merged_in = jnp.where(jnp.any(E, axis=1), merged_in, NEG)
+    stay_pnb = _lae(stay_pnb, jnp.maximum(merged_in, NEG))
+    kill = jnp.any(E[:, :, None] & (last[:, None, None] == syms[None, None, :]),
+                   axis=0)
+    ext_pnb = jnp.where(kill, NEG, ext_pnb)
+
+    # ---- top-K by the FUSED key over K stays + K*A extends ------------------
+    cand_ac = jnp.concatenate([_lae(stay_pb, stay_pnb), ext_pnb.reshape(-1)])
+    cand_lm = jnp.concatenate([lm, (lm[:, None] + lmn).reshape(-1)])
+    cand_len = jnp.concatenate(
+        [lens, jnp.broadcast_to(lens[:, None] + 1, (K, A)).reshape(-1)])
+    fused = cand_ac + lam * cand_lm + beta * cand_len.astype(cand_ac.dtype)
+    fused = jnp.where(cand_ac <= NEG / 2, NEG, fused)
+    top_fused, top_idx = jax.lax.top_k(fused, K)
+
+    is_stay = top_idx < K
+    parent = jnp.where(is_stay, top_idx, (top_idx - K) // A)
+    sym = jnp.where(is_stay, -1, (top_idx - K) % A)
+    ac_sel = cand_ac[top_idx]
+    lm_sel = cand_lm[top_idx]
+
+    new_h = jnp.where(is_stay, h[parent],
+                      h[parent] * _HASH_M + (jnp.maximum(sym, 0) + 1))
+    new_last = jnp.where(is_stay, last[parent], sym)
+    new_last2 = jnp.where(is_stay, last2[parent], last[parent])
+    new_lens = lens[parent] + (~is_stay).astype(lens.dtype)
+    new_pb = jnp.where(is_stay, stay_pb[parent], NEG)
+    new_pnb = jnp.where(is_stay, stay_pnb[parent], ac_sel)
+    dead = ac_sel <= NEG / 2
+    new_pb = jnp.where(dead, NEG, new_pb)
+    new_pnb = jnp.where(dead, NEG, new_pnb)
+    new_lens = jnp.where(dead, 0, new_lens)
+    new_h = jnp.where(dead, 0, new_h)
+    new_last = jnp.where(dead, -1, new_last)
+    new_last2 = jnp.where(dead, -1, new_last2)
+    new_lm = jnp.where(dead, 0.0, lm_sel)
+    return ((new_h, new_last, new_last2, new_lens, new_pb, new_pnb, new_lm),
+            (parent, sym))
+
+
+def _decode_one_hash_lm(log_probs, frame_len, lm_tab, lam, beta, *, K: int,
+                        A: int, Lmax: int, blank: int):
+    """Shallow-fusion variant of _decode_one_hash. lm_tab: (A, A) bigram or
+    (A, A, A) trigram log-prob table (decoding/lm.py; row 0 = BOS).
+    Returned nll is the negative FUSED decision score."""
+    T = log_probs.shape[0]
+    order = lm_tab.ndim
+    tab2d = lm_tab.reshape(-1, A)  # (A, A) or (A*A, A)
+    h = jnp.zeros((K,), jnp.int32)
+    last = jnp.full((K,), -1, jnp.int32)
+    last2 = jnp.full((K,), -1, jnp.int32)
+    lens = jnp.zeros((K,), jnp.int32)
+    p_b = jnp.full((K,), NEG).at[0].set(0.0)
+    p_nb = jnp.full((K,), NEG)
+    lm = jnp.zeros((K,))
+    idk = jnp.arange(K)
+
+    def body(state, inp):
+        lp, t = inp
+        lst, lst2 = state[1], state[2]
+        ctx = jnp.maximum(lst, 0)
+        if order == 3:
+            ctx = jnp.maximum(lst2, 0) * A + ctx
+        # (K, ctx_size) one-hot x (ctx_size, A): per-beam LM row as one MXU
+        # contraction — no gathers inside the scan
+        onehot = jax.nn.one_hot(ctx, tab2d.shape[0], dtype=tab2d.dtype)
+        lmn = onehot @ tab2d
+        new_state, (parent, sym) = _step_hash_lm(state, lp, lmn, K=K, A=A,
+                                                 Lmax=Lmax, blank=blank,
+                                                 lam=lam, beta=beta)
+        active = t < frame_len
+        state = jax.tree_util.tree_map(
+            lambda n, o: jnp.where(active, n, o), new_state, state)
+        parent = jnp.where(active, parent, idk)
+        sym = jnp.where(active, sym, -1)
+        return state, (parent, sym)
+
+    ts = jnp.arange(T)
+    (h, last, last2, lens, p_b, p_nb, lm), (parents, syms) = jax.lax.scan(
+        body, (h, last, last2, lens, p_b, p_nb, lm), (log_probs, ts))
+
+    fused = _lae(p_b, p_nb) + lam * lm + beta * lens.astype(p_b.dtype)
+    fused = jnp.where(_lae(p_b, p_nb) <= NEG / 2, NEG, fused)
+    best = jnp.argmax(fused)
+
+    def back(slot, rec):
+        parent, sym = rec
+        s = sym[slot]
+        nxt = parent[slot]
+        return nxt, s
+
+    _, emitted = jax.lax.scan(back, best, (parents, syms), reverse=True)
+    is_sym = emitted >= 0
+    pos = jnp.cumsum(is_sym.astype(jnp.int32)) - 1
+    onehot = (pos[:, None] == jnp.arange(Lmax)[None, :]) & is_sym[:, None]
+    prefix = jnp.sum(jnp.where(onehot, emitted[:, None], 0), axis=0)
+    return (prefix.astype(jnp.int32), lens[best], -fused[best],
+            (None, lens, fused))
+
+
 def _backtrack_batch(parents, syms, lens, scores, Lmax):
     """Shared backpointer reconstruction. parents/syms (T, B, K);
     lens/scores (B, K). Returns (labels (B, Lmax), lens (B,), nll (B,))."""
@@ -327,7 +469,8 @@ def _backtrack_batch(parents, syms, lens, scores, Lmax):
 def beam_decode(log_probs: jnp.ndarray, frame_lens: jnp.ndarray,
                 beam_size: int = 16, max_label_len: int = 256,
                 blank: int = 0, impl: str | None = None,
-                interpret: bool = False):
+                interpret: bool = False, lm=None, lm_weight=0.3,
+                length_bonus=0.0):
     """Batched CTC prefix beam search on device.
 
     Args:
@@ -339,15 +482,34 @@ def beam_decode(log_probs: jnp.ndarray, frame_lens: jnp.ndarray,
         parity-tested but MEASURED SLOWER than the hash scan — its tiny
         (B,K,M) tensors waste the 128-lane VPU; kept as an explicit opt-in
         and a documented negative result, docs/PERF.md). None -> "hash".
+      lm: optional (A, A) bigram or (A, A, A) trigram log-prob table
+        (decoding/lm.py) for shallow fusion: candidates rank by
+        acoustic + lm_weight * log P_lm + length_bonus * len. Hash impl
+        only; nll becomes the negative fused decision score.
+      lm_weight / length_bonus: fusion coefficients (traced scalars — no
+        recompile when tuning).
     Returns:
       labels: (B, max_label_len) int32 best prefixes (0-padded),
       lens: (B,) int32,
-      nll: (B,) float32 negative log-likelihood of the best prefix.
+      nll: (B,) float32 negative (fused, if lm) log-likelihood of the best.
     """
     B, T, A = log_probs.shape
     Lmax = min(max_label_len, T)
     if impl is None:
         impl = "hash"
+    if lm is not None:
+        if impl != "hash":
+            raise ValueError("LM shallow fusion requires impl='hash' "
+                             f"(got {impl!r})")
+        fn = partial(_decode_one_hash_lm, K=beam_size, A=A, Lmax=Lmax,
+                     blank=blank)
+        labels, lens, nll, _ = jax.vmap(fn, in_axes=(0, 0, None, None, None))(
+            log_probs.astype(jnp.float32), frame_lens.astype(jnp.int32),
+            jnp.asarray(lm, jnp.float32), jnp.float32(lm_weight),
+            jnp.float32(length_bonus))
+        if Lmax < max_label_len:
+            labels = jnp.pad(labels, ((0, 0), (0, max_label_len - Lmax)))
+        return labels, lens, nll
     if impl == "pallas":
         assert blank == 0, "pallas beam kernel hardcodes blank=0"
         from .pallas_beam import beam_scan_pallas

@@ -44,11 +44,27 @@ class HostCTCBeamDecoder:
     def __init__(self, alphabet=None):
         self.alphabet = alphabet  # kept for interface parity; decode is id-based
 
-    def decode(self, probs: np.ndarray, beam_size: int = 16, blank: int = 0):
+    def decode(self, probs: np.ndarray, beam_size: int = 16, blank: int = 0,
+               lm: np.ndarray | None = None, lm_weight: float = 0.3,
+               length_bonus: float = 0.0):
+        """With `lm` (an (A,A)/(A,A,A) log-prob table, decoding/lm.py),
+        beams rank by the shallow-fusion key acoustic + lm_weight*logP_lm +
+        length_bonus*len; the carried (p_b, p_nb) stay acoustic. Returns the
+        negative fused score in that case."""
         probs = np.asarray(probs, dtype=np.float64)
         T, S = probs.shape
         with np.errstate(divide="ignore"):
             logp = np.log(probs)
+
+        if lm is None:
+            key = lambda kv: _lae(kv[1][0], kv[1][1])  # noqa: E731
+        else:
+            from .lm import score_prefix
+
+            def key(kv):
+                prefix, (pb, pnb) = kv
+                return (_lae(pb, pnb) + lm_weight * score_prefix(lm, prefix)
+                        + length_bonus * len(prefix))
 
         # beam: prefix tuple -> [p_blank, p_no_blank] (log space)
         beam: dict[tuple, list[float]] = {(): [0.0, NEG_INF]}
@@ -84,15 +100,11 @@ class HostCTCBeamDecoder:
                     else:
                         acc(prefix + (s,), pnb=total + lp)
 
-            scored = sorted(
-                nxt.items(), key=lambda kv: _lae(kv[1][0], kv[1][1]), reverse=True
-            )
+            scored = sorted(nxt.items(), key=key, reverse=True)
             beam = dict(scored[:beam_size])
 
-        best_prefix, (p_b, p_nb) = max(
-            beam.items(), key=lambda kv: _lae(kv[1][0], kv[1][1])
-        )
-        return best_prefix, -_lae(p_b, p_nb)
+        best_prefix, _ = max(beam.items(), key=key)
+        return best_prefix, -key((best_prefix, beam[best_prefix]))
 
 
 def collapse_repeats(s: str) -> str:

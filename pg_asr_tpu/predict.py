@@ -87,11 +87,28 @@ def load_model(model_path: str, alphabet: Alphabet, config: Config | None = None
 def predict(test_path: str, aud_path: str, alphabet_path: str, model_path: str,
             batch_size: int = 32, config: Config | None = None,
             decoder: str = "greedy", beam_size: int | None = None,
-            which_ckpt: str = "best", limit: int | None = None) -> dict:
-    """Decode a test manifest and report CER/WER (+ predicted.txt dump)."""
+            which_ckpt: str = "best", limit: int | None = None,
+            lm_order: int = 0, lm_weight: float = 0.3,
+            length_bonus: float = 0.0, lm_train_tsv: str | None = None) -> dict:
+    """Decode a test manifest and report CER/WER (+ predicted.txt dump).
+
+    With lm_order in (2, 3) and decoder="beam", a character n-gram LM is
+    trained from lm_train_tsv's transcripts (decoding/lm.py) and shallow-
+    fused into the beam ranking."""
     alphabet = Alphabet.load(alphabet_path)
     params, cfg = load_model(model_path, alphabet, config, which=which_ckpt)
     beam_size = beam_size or cfg.decode.beam_size
+
+    lm_tab = None
+    if lm_order:
+        if decoder != "beam":
+            raise ValueError("LM shallow fusion needs --decoder beam")
+        if not lm_train_tsv:
+            raise ValueError("lm_order set but no lm_train_tsv to train on")
+        from .decoding.lm import lm_from_manifest
+
+        lm_manifest = load_manifest(lm_train_tsv, aud_path)
+        lm_tab = lm_from_manifest(lm_manifest, alphabet, order=lm_order)
 
     utts = load_manifest(test_path, aud_path)
     if limit:
@@ -116,7 +133,9 @@ def predict(test_path: str, aud_path: str, alphabet_path: str, model_path: str,
 
                 steps = np.full((lps.shape[0],), lps.shape[1], np.int32)
                 labels, lens, _ = beam_decode(lps, steps, beam_size=beam_size,
-                                              max_label_len=cfg.decode.max_label_len)
+                                              max_label_len=cfg.decode.max_label_len,
+                                              lm=lm_tab, lm_weight=lm_weight,
+                                              length_bonus=length_bonus)
             else:
                 labels, lens = _cut_at_eos(np.asarray(tokens))
             hyps = ids_to_strings(labels, lens, alphabet)
@@ -133,7 +152,9 @@ def predict(test_path: str, aud_path: str, alphabet_path: str, model_path: str,
 
             labels, lens, _ = beam_decode(log_probs, frame_lens,
                                           beam_size=beam_size,
-                                          max_label_len=cfg.decode.max_label_len)
+                                          max_label_len=cfg.decode.max_label_len,
+                                          lm=lm_tab, lm_weight=lm_weight,
+                                          length_bonus=length_bonus)
             hyps = ids_to_strings(labels, lens, alphabet)
         else:
             raise ValueError(f"unknown decoder {decoder!r}")
