@@ -49,11 +49,17 @@ def build_parser() -> argparse.ArgumentParser:
                         "LibriSpeech tree (train-*/dev-*/test-* subdirs) "
                         "into --corpus_path")
     p.add_argument("--model", type=str, default=None,
-                   choices=["ctc", "transformer", "conformer", "seq2seq"],
+                   choices=["ctc", "transformer", "conformer", "transducer",
+                            "seq2seq"],
                    help="model family (default ctc; transformer/conformer = "
-                        "the non-recurrent CTC encoders; seq2seq = the "
-                        "attention decoder family the reference left "
+                        "the non-recurrent CTC encoders; transducer = RNN-T "
+                        "with a streaming-capable encoder backbone; seq2seq "
+                        "= the attention decoder family the reference left "
                         "unfinished)")
+    p.add_argument("--transducer_encoder", type=str, default=None,
+                   choices=["bilstm", "transformer", "conformer"],
+                   help="transducer family: encoder backbone "
+                        "(default conformer)")
     p.add_argument("--features", type=str, default=None,
                    choices=["logmel", "mfcc"],
                    help="feature frontend (default from config)")
@@ -98,6 +104,9 @@ def _config(args, from_model_path: bool = False):
     if getattr(args, "model", None):
         cfg = cfg.replace(model=cfg.model.__class__(
             **{**cfg.model.__dict__, "family": args.model}))
+    if getattr(args, "transducer_encoder", None):
+        cfg = cfg.replace(transducer=cfg.transducer.__class__(
+            **{**cfg.transducer.__dict__, "encoder": args.transducer_encoder}))
     if args.features:
         cfg = cfg.replace(features=cfg.features.__class__(
             **{**cfg.features.__dict__, "kind": args.features}))

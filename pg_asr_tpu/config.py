@@ -48,7 +48,7 @@ class ModelConfig:
     3x BiLSTM(hidden 256/dir) -> Linear(512 -> alphabet) -> log_softmax.
     """
 
-    family: str = "ctc"  # "ctc" (flagship) | "transformer" | "conformer" (non-recurrent CTC families) | "seq2seq" (attention decoder family)
+    family: str = "ctc"  # "ctc" (flagship) | "transformer" | "conformer" (non-recurrent CTC families) | "transducer" (RNN-T) | "seq2seq" (attention decoder family)
     vocab_size: int = 32  # alphabet incl. blank/pad at index 0
     input_dim: int = 80
     input_proj_dim: int = 512
@@ -116,6 +116,22 @@ class ConformerConfig:
     conv_kernel: int = 15
     dropout: float = 0.1
     subsample: int = 2  # same T'>=2*label_len+1 consideration as transformer
+
+
+@dataclass(frozen=True)
+class TransducerConfig:
+    """RNN-T transducer model family (models/transducer.py).
+
+    Beyond-reference: the standard streaming-ASR objective/architecture
+    (Graves 2012) — encoder backbone (reusing any acoustic encoder family)
+    + label-history prediction network + joint network, trained with the
+    on-chip lattice loss (ops/transducer.py)."""
+
+    encoder: str = "conformer"  # "bilstm" | "transformer" | "conformer"
+    pred_embed_dim: int = 128
+    pred_hidden: int = 256
+    joint_dim: int = 256
+    max_symbols_per_frame: int = 4  # greedy-decode expansion cap per frame
 
 
 @dataclass(frozen=True)
@@ -192,6 +208,7 @@ class Config:
     model: ModelConfig = field(default_factory=ModelConfig)
     transformer: TransformerConfig = field(default_factory=TransformerConfig)
     conformer: ConformerConfig = field(default_factory=ConformerConfig)
+    transducer: TransducerConfig = field(default_factory=TransducerConfig)
     seq2seq: Seq2SeqConfig = field(default_factory=Seq2SeqConfig)
     decode: DecodeConfig = field(default_factory=DecodeConfig)
     rl: RLConfig = field(default_factory=RLConfig)
@@ -224,6 +241,7 @@ class Config:
             "model": ModelConfig,
             "transformer": TransformerConfig,
             "conformer": ConformerConfig,
+            "transducer": TransducerConfig,
             "seq2seq": Seq2SeqConfig,
             "decode": DecodeConfig,
             "rl": RLConfig,

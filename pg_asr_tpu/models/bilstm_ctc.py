@@ -34,18 +34,27 @@ def linear(p: dict, x: jnp.ndarray) -> jnp.ndarray:
     return jnp.einsum("...i,io->...o", x, p["w"], preferred_element_type=x.dtype) + p["b"]
 
 
-def init_params(key, cfg: ModelConfig) -> dict:
-    keys = jax.random.split(key, cfg.num_layers + 2)
+def init_encoder_params(key, cfg: ModelConfig) -> dict:
+    """Encoder-only parameters (no CTC head) — shared with the transducer
+    family (models/transducer.py)."""
+    keys = jax.random.split(key, cfg.num_layers + 1)
     dtype = jnp.dtype(cfg.dtype)
     params = {
         "input_proj": init_linear(keys[0], cfg.input_dim, cfg.input_proj_dim, dtype),
         "lstm": [],
-        "ctc_head": init_linear(keys[1], 2 * cfg.hidden_size, cfg.vocab_size, dtype),
     }
     in_dim = cfg.input_proj_dim
     for i in range(cfg.num_layers):
-        params["lstm"].append(init_bilstm_params(keys[2 + i], in_dim, cfg.hidden_size, dtype))
+        params["lstm"].append(init_bilstm_params(keys[1 + i], in_dim, cfg.hidden_size, dtype))
         in_dim = 2 * cfg.hidden_size
+    return params
+
+
+def init_params(key, cfg: ModelConfig) -> dict:
+    k_enc, k_head = jax.random.split(key)
+    params = init_encoder_params(k_enc, cfg)
+    params["ctc_head"] = init_linear(k_head, 2 * cfg.hidden_size,
+                                     cfg.vocab_size, jnp.dtype(cfg.dtype))
     return params
 
 
@@ -70,10 +79,9 @@ def _dropout(x, rate, rng, train):
     return jnp.where(keep, x / (1.0 - rate), 0.0)
 
 
-@partial(jax.jit, static_argnames=("cfg", "train"))
-def apply(params: dict, feats: jnp.ndarray, frame_mask: jnp.ndarray,
-          cfg: ModelConfig, train: bool = False, dropout_rng=None) -> jnp.ndarray:
-    """Forward pass: (B, T, F) features -> (B, T, A) CTC log-probs."""
+def encode(params: dict, feats: jnp.ndarray, frame_mask: jnp.ndarray,
+           cfg: ModelConfig, train: bool = False, dropout_rng=None) -> jnp.ndarray:
+    """Encoder-only forward: (B, T, F) features -> (B, T, 2H) states."""
     dtype = jnp.dtype(cfg.dtype)
     mask = frame_mask.astype(dtype)
     x = normalize_features(feats.astype(dtype), mask)
@@ -89,6 +97,16 @@ def apply(params: dict, feats: jnp.ndarray, frame_mask: jnp.ndarray,
         x = bilstm_layer(layer, x, mask, use_pallas=use_pallas)
         if i < len(params["lstm"]) - 1:
             x = _dropout(x, cfg.dropout, rngs[i + 1], train)
+    return x
+
+
+@partial(jax.jit, static_argnames=("cfg", "train"))
+def apply(params: dict, feats: jnp.ndarray, frame_mask: jnp.ndarray,
+          cfg: ModelConfig, train: bool = False, dropout_rng=None) -> jnp.ndarray:
+    """Forward pass: (B, T, F) features -> (B, T, A) CTC log-probs."""
+    mask = frame_mask.astype(jnp.dtype(cfg.dtype))
+    x = encode(params, feats, frame_mask, cfg, train=train,
+               dropout_rng=dropout_rng)
     logits = linear(params["ctc_head"], x)
     # log-softmax in f32 for numerical stability regardless of compute dtype
     log_probs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)

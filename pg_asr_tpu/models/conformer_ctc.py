@@ -44,7 +44,9 @@ from .bilstm_ctc import _dropout, init_linear, linear, normalize_features
 from .transformer_ctc import _init_ln, _layer_norm, subsampled_lens
 
 
-def init_params(key, mcfg: ModelConfig, ccfg: ConformerConfig) -> dict:
+def init_encoder_params(key, mcfg: ModelConfig, ccfg: ConformerConfig) -> dict:
+    """Encoder-only parameters (no CTC head) — shared with the transducer
+    family (models/transducer.py), which puts its own joint network on top."""
     dtype = jnp.dtype(mcfg.dtype)
     d = ccfg.d_model
     keys = jax.random.split(key, 8 * ccfg.num_layers + 2)
@@ -53,7 +55,6 @@ def init_params(key, mcfg: ModelConfig, ccfg: ConformerConfig) -> dict:
                                   d, dtype),
         "blocks": [],
         "ln_final": _init_ln(d),
-        "ctc_head": init_linear(keys[1], d, mcfg.vocab_size, dtype),
     }
     for i in range(ccfg.num_layers):
         k = keys[2 + 8 * i : 10 + 8 * i]
@@ -77,6 +78,14 @@ def init_params(key, mcfg: ModelConfig, ccfg: ConformerConfig) -> dict:
             "ffn2_out": init_linear(jax.random.fold_in(k[7], 1),
                                     ccfg.ffn_dim, d, dtype),
         })
+    return params
+
+
+def init_params(key, mcfg: ModelConfig, ccfg: ConformerConfig) -> dict:
+    k_enc, k_head = jax.random.split(key)
+    params = init_encoder_params(k_enc, mcfg, ccfg)
+    params["ctc_head"] = init_linear(k_head, ccfg.d_model, mcfg.vocab_size,
+                                     jnp.dtype(mcfg.dtype))
     return params
 
 
@@ -140,12 +149,11 @@ def _conv_module(p: dict, x: jnp.ndarray, mask: jnp.ndarray,
     return linear(p["conv_out"], h)
 
 
-@partial(jax.jit, static_argnames=("mcfg", "ccfg", "train"))
-def apply(params: dict, feats: jnp.ndarray, frame_mask: jnp.ndarray,
-          frame_lens: jnp.ndarray, mcfg: ModelConfig, ccfg: ConformerConfig,
-          train: bool = False, dropout_rng=None):
-    """(B, T, F) features -> ((B, T', A) CTC log-probs, out_mask (B, T'),
-    out_lens (B,)) with T' = ceil(T / subsample)."""
+def encode(params: dict, feats: jnp.ndarray, frame_mask: jnp.ndarray,
+           frame_lens: jnp.ndarray, mcfg: ModelConfig, ccfg: ConformerConfig,
+           train: bool = False, dropout_rng=None):
+    """Encoder-only forward: (B, T, F) features -> (states (B, T', d),
+    out_mask (B, T') bool, out_lens (B,)) with T' = ceil(T / subsample)."""
     dtype = jnp.dtype(mcfg.dtype)
     mask = frame_mask.astype(dtype)
     x = normalize_features(feats.astype(dtype), mask)
@@ -187,6 +195,18 @@ def apply(params: dict, feats: jnp.ndarray, frame_mask: jnp.ndarray,
         x = x + 0.5 * _dropout(h, ccfg.dropout, r[3], train)
 
     x = _layer_norm(params["ln_final"], x)
+    return x, out_mask, out_lens
+
+
+@partial(jax.jit, static_argnames=("mcfg", "ccfg", "train"))
+def apply(params: dict, feats: jnp.ndarray, frame_mask: jnp.ndarray,
+          frame_lens: jnp.ndarray, mcfg: ModelConfig, ccfg: ConformerConfig,
+          train: bool = False, dropout_rng=None):
+    """(B, T, F) features -> ((B, T', A) CTC log-probs, out_mask (B, T'),
+    out_lens (B,)) with T' = ceil(T / subsample)."""
+    x, out_mask, out_lens = encode(params, feats, frame_mask, frame_lens,
+                                   mcfg, ccfg, train=train,
+                                   dropout_rng=dropout_rng)
     logits = linear(params["ctc_head"], x)
     log_probs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     omask_f = out_mask.astype(jnp.float32)

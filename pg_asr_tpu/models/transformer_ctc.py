@@ -52,7 +52,9 @@ def _layer_norm(p: dict, x: jnp.ndarray) -> jnp.ndarray:
     return (y * p["scale"] + p["bias"]).astype(x.dtype)
 
 
-def init_params(key, mcfg: ModelConfig, tcfg: TransformerConfig) -> dict:
+def init_encoder_params(key, mcfg: ModelConfig, tcfg: TransformerConfig) -> dict:
+    """Encoder-only parameters (no CTC head) — shared with the transducer
+    family (models/transducer.py), which puts its own joint network on top."""
     dtype = jnp.dtype(mcfg.dtype)
     d = tcfg.d_model
     keys = jax.random.split(key, 4 * tcfg.num_layers + 2)
@@ -61,7 +63,6 @@ def init_params(key, mcfg: ModelConfig, tcfg: TransformerConfig) -> dict:
                                   d, dtype),
         "blocks": [],
         "ln_final": _init_ln(d),
-        "ctc_head": init_linear(keys[1], d, mcfg.vocab_size, dtype),
     }
     for i in range(tcfg.num_layers):
         k = keys[2 + 4 * i : 6 + 4 * i]
@@ -73,6 +74,14 @@ def init_params(key, mcfg: ModelConfig, tcfg: TransformerConfig) -> dict:
             "ffn_in": init_linear(k[2], d, tcfg.ffn_dim, dtype),
             "ffn_out": init_linear(k[3], tcfg.ffn_dim, d, dtype),
         })
+    return params
+
+
+def init_params(key, mcfg: ModelConfig, tcfg: TransformerConfig) -> dict:
+    k_enc, k_head = jax.random.split(key)
+    params = init_encoder_params(k_enc, mcfg, tcfg)
+    params["ctc_head"] = init_linear(k_head, tcfg.d_model, mcfg.vocab_size,
+                                     jnp.dtype(mcfg.dtype))
     return params
 
 
@@ -111,12 +120,11 @@ def subsampled_lens(frame_lens: jnp.ndarray, subsample: int) -> jnp.ndarray:
     return -(-frame_lens // subsample)
 
 
-@partial(jax.jit, static_argnames=("mcfg", "tcfg", "train"))
-def apply(params: dict, feats: jnp.ndarray, frame_mask: jnp.ndarray,
-          frame_lens: jnp.ndarray, mcfg: ModelConfig, tcfg: TransformerConfig,
-          train: bool = False, dropout_rng=None):
-    """(B, T, F) features -> ((B, T', A) CTC log-probs, out_mask (B, T'),
-    out_lens (B,)) with T' = ceil(T / subsample)."""
+def encode(params: dict, feats: jnp.ndarray, frame_mask: jnp.ndarray,
+           frame_lens: jnp.ndarray, mcfg: ModelConfig, tcfg: TransformerConfig,
+           train: bool = False, dropout_rng=None):
+    """Encoder-only forward: (B, T, F) features -> (states (B, T', d),
+    out_mask (B, T') bool, out_lens (B,)) with T' = ceil(T / subsample)."""
     dtype = jnp.dtype(mcfg.dtype)
     mask = frame_mask.astype(dtype)
     x = normalize_features(feats.astype(dtype), mask)
@@ -148,6 +156,18 @@ def apply(params: dict, feats: jnp.ndarray, frame_mask: jnp.ndarray,
         x = x + _dropout(h, tcfg.dropout, rngs[2 + 2 * i], train)
 
     x = _layer_norm(params["ln_final"], x)
+    return x, out_mask, out_lens
+
+
+@partial(jax.jit, static_argnames=("mcfg", "tcfg", "train"))
+def apply(params: dict, feats: jnp.ndarray, frame_mask: jnp.ndarray,
+          frame_lens: jnp.ndarray, mcfg: ModelConfig, tcfg: TransformerConfig,
+          train: bool = False, dropout_rng=None):
+    """(B, T, F) features -> ((B, T', A) CTC log-probs, out_mask (B, T'),
+    out_lens (B,)) with T' = ceil(T / subsample)."""
+    x, out_mask, out_lens = encode(params, feats, frame_mask, frame_lens,
+                                   mcfg, tcfg, train=train,
+                                   dropout_rng=dropout_rng)
     logits = linear(params["ctc_head"], x)
     log_probs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     omask_f = out_mask.astype(jnp.float32)

@@ -45,6 +45,20 @@ def _forward_seq2seq(params, wave, num_samples, cfg: Config):
                                    max_steps=cfg.decode.max_label_len)
 
 
+@partial(jax.jit, static_argnames=("cfg",))
+def _forward_transducer(params, wave, num_samples, cfg: Config):
+    """Featurize + encode + batched greedy transducer decode, one jitted
+    call. Returns (labels (B, L) int32, lens (B,))."""
+    from .decoding.transducer import transducer_greedy_decode
+    from .models import transducer
+
+    feats, mask, frame_lens = extract_features(wave, num_samples, cfg.features)
+    enc, _, out_lens = transducer.encode(params, feats, mask, frame_lens,
+                                         cfg, train=False)
+    return transducer_greedy_decode(params, enc, out_lens, cfg,
+                                    max_label_len=cfg.decode.max_label_len)
+
+
 def _cut_at_eos(tokens: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """(B, S) generated ids -> 0-padded ids + lengths, cut at the first 0."""
     B, S = tokens.shape
@@ -119,9 +133,21 @@ def predict(test_path: str, aud_path: str, alphabet_path: str, model_path: str,
 
     it = PrefetchIterator(it, depth=2)  # overlap WAV decode with decoding
 
+    if cfg.model.family == "transducer" and decoder == "beam":
+        raise ValueError(
+            "the transducer family decodes frame-synchronously with its own "
+            "greedy search (prediction-network history, not CTC posteriors) "
+            "- use --decoder greedy")
+
     targets: list[str] = []
     predicted: list[str] = []
     for batch in it:
+        if cfg.model.family == "transducer":
+            labels, lens = _forward_transducer(params, batch.wave,
+                                               batch.num_samples, cfg)
+            targets.extend(batch.texts)
+            predicted.extend(ids_to_strings(labels, lens, alphabet))
+            continue
         if cfg.model.family == "seq2seq":
             tokens, lps = _forward_seq2seq(params, batch.wave,
                                            batch.num_samples, cfg)

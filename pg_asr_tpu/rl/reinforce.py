@@ -82,11 +82,11 @@ def pg_loss_terms(params, wave, num_samples_arr, labels, label_lens, rng,
     (same discipline as train.compute_loss terms mode)."""
     from ..models import acoustic_forward
 
-    if cfg.model.family == "seq2seq":
+    if cfg.model.family in ("seq2seq", "transducer"):
         raise ValueError(
-            "finetune_pg samples CTC alignment paths; the seq2seq family "
-            "has no CTC posteriors. Train with --model ctc, transformer, "
-            "or conformer.")
+            "finetune_pg samples CTC alignment paths; the "
+            f"{cfg.model.family} family has no per-frame CTC posteriors. "
+            "Train with --model ctc, transformer, or conformer.")
     rl = cfg.rl
     feats, fmask, flens = extract_features(wave, num_samples_arr, cfg.features)
     # mask/frame_lens below are in the MODEL's output time base (the

@@ -74,6 +74,10 @@ def init_model_params(rng, cfg: Config):
         from .models import conformer_ctc
 
         return conformer_ctc.init_params(rng, cfg.model, cfg.conformer)
+    if cfg.model.family == "transducer":
+        from .models import transducer
+
+        return transducer.init_params(rng, cfg)
     return bilstm_ctc.init_params(rng, cfg.model)
 
 
@@ -98,6 +102,18 @@ def compute_loss(params, wave, num_samples, labels, label_lens, cfg: Config,
         if terms:
             return seq2seq_nll_terms(log_probs, labels, label_lens)
         return seq2seq_nll_loss(log_probs, labels, label_lens)
+    if cfg.model.family == "transducer":
+        from .models import transducer
+        from .ops.transducer import (transducer_loss_mean,
+                                     transducer_loss_terms)
+
+        lp_blank, lp_label, out_lens = transducer.apply_lattice(
+            params, feats, mask, frame_lens, labels, label_lens, cfg,
+            train=train, dropout_rng=dropout_rng)
+        if terms:
+            return transducer_loss_terms(lp_blank, lp_label, out_lens,
+                                         label_lens)
+        return transducer_loss_mean(lp_blank, lp_label, out_lens, label_lens)
     from .models import acoustic_forward
     from .ops.ctc import ctc_loss_terms
 
@@ -235,13 +251,17 @@ def _val_cer(params, dev_it, cfg: Config, alphabet, cap=None) -> float:
     """
     from .decoding.greedy import greedy_decode, ids_to_strings
     from .metrics import evaluate_corpus
-    from .predict import _cut_at_eos, _forward, _forward_seq2seq
+    from .predict import (_cut_at_eos, _forward, _forward_seq2seq,
+                          _forward_transducer)
 
     targets: list[str] = []
     predicted: list[str] = []
     n = 0
     for batch in dev_it:
-        if cfg.model.family == "seq2seq":
+        if cfg.model.family == "transducer":
+            labels, lens = _forward_transducer(params, batch.wave,
+                                               batch.num_samples, cfg)
+        elif cfg.model.family == "seq2seq":
             tokens, _ = _forward_seq2seq(params, batch.wave,
                                          batch.num_samples, cfg)
             labels, lens = _cut_at_eos(np.asarray(tokens))
