@@ -253,3 +253,48 @@ def test_conformer_shard_map_matches_single_device():
                     jax.tree_util.tree_leaves(params8)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_transducer_shard_map_matches_single_device():
+    """Transducer family through the shard_map dp step: same loss and params
+    as the single-device pjit step (the lattice loss's num/den terms must
+    psum-reduce exactly like the CTC families')."""
+    from pg_asr_tpu.config import TransducerConfig, TransformerConfig
+    from pg_asr_tpu.train import init_model_params, make_train_step
+
+    cfg = tiny_cfg()
+    cfg = cfg.replace(
+        model=cfg.model.__class__(**{**cfg.model.__dict__,
+                                     "family": "transducer"}),
+        transformer=TransformerConfig(num_layers=1, d_model=32, num_heads=2,
+                                      ffn_dim=64, dropout=0.0, subsample=2),
+        transducer=TransducerConfig(encoder="transformer", pred_embed_dim=16,
+                                    pred_hidden=16, joint_dim=24))
+
+    import optax
+
+    def run(mesh):
+        params = init_model_params(jax.random.PRNGKey(0), cfg)
+        opt = optax.sgd(1e-2)  # same rationale as the transformer test
+        opt_state = opt.init(params)
+        params = replicate(params, mesh)
+        opt_state = replicate(opt_state, mesh)
+        step = make_train_step(cfg, opt, mesh)
+        arrays = shard_batch_arrays(_data(), mesh)
+        rng = jax.random.PRNGKey(1)
+        losses = []
+        for _ in range(2):
+            params, opt_state, rng, loss = step(params, opt_state, rng,
+                                                *arrays)
+            losses.append(float(loss))
+        return losses, jax.device_get(params)
+
+    mesh1 = make_mesh((1,), ("data",), devices=jax.devices()[:1])
+    mesh8 = make_mesh((8,), ("data",))
+    losses1, params1 = run(mesh1)
+    losses8, params8 = run(mesh8)
+    np.testing.assert_allclose(losses1, losses8, rtol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(params1),
+                    jax.tree_util.tree_leaves(params8)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
