@@ -116,27 +116,45 @@ def shard_batch_arrays(arrays, mesh: Mesh):
 
 
 # ---------------------------------------------------------------------------
-# Model (tensor-parallel) sharding rules for the BiLSTM-CTC parameter tree.
-# Gate matrices are column-sharded on 'model'; XLA all-gathers the (small)
-# hidden state where needed. With H=256 this is optional headroom, but the
-# rules keep the train step valid on any ('data', 'model') mesh.
+# Model (tensor-parallel) sharding rules, Megatron-style, for every family's
+# parameter tree. Column-shard the "expanding" matmul of each block (qkv /
+# ffn_in / LSTM gates), row-shard the "contracting" one that follows
+# (attn_out / ffn_out): activations stay sharded between the pair and XLA
+# inserts ONE all-reduce per block at the row-sharded output instead of
+# resharding at every boundary. Row-sharded biases are replicated (they add
+# after the reduce). With the default sizes this is optional headroom, but
+# the rules keep the pjit train step valid and comms-sane on any
+# ('data', 'model') mesh.
 # ---------------------------------------------------------------------------
 
+# second matmul of a Megatron pair: input (contraction) dim sharded
+_ROW_SHARDED = {"attn_out", "ffn_out", "ffn1_out", "ffn2_out", "conv_out"}
+
+
 def param_sharding_rules(mesh: Mesh):
-    """PartitionSpec tree-prefix rules keyed by parameter path suffix."""
+    """PartitionSpec rules keyed by parameter path (parent module + leaf)."""
     has_model = "model" in mesh.axis_names and mesh.shape.get("model", 1) > 1
 
     def spec_for(path: tuple[str, ...]) -> P:
         if not has_model:
             return P()
         leaf = path[-1]
-        if leaf in ("W", "U"):  # (I, 4H) / (H, 4H): shard gate (output) dim
+        parent = path[-2] if len(path) >= 2 else ""
+        if leaf in ("W", "U"):  # LSTM (I, 4H) / (H, 4H): shard the gate dim
             return P(None, "model")
+        if leaf == "conv_dw":  # depthwise (K, 1, d): shard channels
+            return P(None, None, "model")
+        if leaf == "pred_embed":  # (A, E): shard the embedding dim
+            return P(None, "model")
+        if leaf == "w":
+            if parent in _ROW_SHARDED:
+                return P("model", None)
+            return P(None, "model")  # column-shard the output dim
         if leaf == "b":
+            if parent in _ROW_SHARDED:
+                return P()  # bias adds after the all-reduce: replicated
             return P("model")
-        if leaf == "w":  # linear kernels (I, O): shard output dim
-            return P(None, "model")
-        return P()
+        return P()  # LayerNorm scale/bias and everything else: replicated
 
     return spec_for
 

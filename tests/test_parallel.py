@@ -298,3 +298,45 @@ def test_transducer_shard_map_matches_single_device():
                     jax.tree_util.tree_leaves(params8)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("family", ["transformer", "conformer", "transducer"])
+def test_tensor_parallel_families_match_single_device(family):
+    """Megatron-style (data, model) pjit sharding for the attention families
+    (qkv/ffn_in column-sharded, attn_out/ffn_out row-sharded, conv channels
+    sharded): one step must reproduce the single-device loss."""
+    from pg_asr_tpu.config import (ConformerConfig, TransducerConfig,
+                                   TransformerConfig)
+    from pg_asr_tpu.train import init_model_params, make_train_step
+
+    cfg = tiny_cfg()
+    cfg = cfg.replace(
+        model=cfg.model.__class__(**{**cfg.model.__dict__, "family": family,
+                                     "input_proj_dim": 32}),
+        transformer=TransformerConfig(num_layers=2, d_model=32, num_heads=2,
+                                      ffn_dim=64, dropout=0.0, subsample=2),
+        conformer=ConformerConfig(num_layers=2, d_model=32, num_heads=2,
+                                  ffn_dim=64, conv_kernel=7, dropout=0.0,
+                                  subsample=2),
+        transducer=TransducerConfig(encoder="transformer", pred_embed_dim=16,
+                                    pred_hidden=16, joint_dim=24))
+
+    def run(mesh, tp):
+        params = init_model_params(jax.random.PRNGKey(0), cfg)
+        opt = make_optimizer(cfg)
+        opt_state = opt.init(params)
+        if tp:
+            params = shard_params(params, mesh)
+        else:
+            params = replicate(params, mesh)
+        opt_state = replicate(opt_state, mesh)
+        step = make_train_step(cfg, opt)
+        arrays = shard_batch_arrays(_data(), mesh)
+        _, _, _, loss = step(params, opt_state, jax.random.PRNGKey(1),
+                             *arrays)
+        return float(loss)
+
+    mesh1 = make_mesh((1,), ("data",), devices=jax.devices()[:1])
+    mesh = make_mesh((4, 2), ("data", "model"))
+    np.testing.assert_allclose(run(mesh, tp=True), run(mesh1, tp=False),
+                               rtol=1e-4)
