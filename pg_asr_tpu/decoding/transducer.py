@@ -40,31 +40,30 @@ def _pred_step(params: dict, sym: jnp.ndarray, h: jnp.ndarray,
     return _gate_step(h, c, pre, hidden)
 
 
-@partial(jax.jit, static_argnames=("cfg", "max_label_len", "max_symbols"))
-def transducer_greedy_decode(params: dict, enc: jnp.ndarray,
-                             out_lens: jnp.ndarray, cfg: Config,
-                             max_label_len: int = 256,
-                             max_symbols: int | None = None):
-    """Greedy decode encoder states.
+def init_decode_state(params: dict, batch: int, dtype):
+    """Empty-history decoder state (h, c, g): the prediction net after
+    consuming the start (blank) token. Carried across chunks by the
+    streaming path (serving.py)."""
+    H = params["pred_lstm"]["U"].shape[0]
+    h0 = jnp.zeros((batch, H), dtype)
+    c0 = jnp.zeros((batch, H), dtype)
+    h, c = _pred_step(params, jnp.zeros((batch,), jnp.int32), h0, c0)
+    return h, c, linear(params["joint_pred"], h)
+
+
+def greedy_scan(params: dict, E: jnp.ndarray, out_lens: jnp.ndarray,
+                state, max_label_len: int, max_symbols: int):
+    """Resumable greedy search over pre-projected encoder frames.
 
     Args:
-      enc: (B, T', De) encoder states (models/transducer.encode).
-      out_lens: (B,) valid encoder frame counts.
-    Returns: (labels (B, max_label_len) int32 0-padded, lens (B,) int32).
+      E: (B, T, J) joint-projected encoder states (linear(joint_enc, enc)).
+      out_lens: (B,) valid frame counts within E.
+      state: (h, c, g) decoder state from init_decode_state / a previous
+        chunk's return.
+    Returns: (labels (B, max_label_len) int32 0-padded, lens (B,), state).
     """
-    tr = cfg.transducer
-    max_symbols = max_symbols or tr.max_symbols_per_frame
-    B, T, _ = enc.shape
+    B, T, _ = E.shape
     L = max_label_len
-    dtype = enc.dtype
-
-    E = linear(params["joint_enc"], enc)  # (B, T, J) hoisted out of the scan
-    H = params["pred_lstm"]["U"].shape[0]
-    h0 = jnp.zeros((B, H), dtype)
-    c0 = jnp.zeros((B, H), dtype)
-    # consume the start (blank) token -> g_0, the empty-history state
-    h, c = _pred_step(params, jnp.zeros((B,), jnp.int32), h0, c0)
-    g = linear(params["joint_pred"], h)
 
     def frame(carry, inp):
         h, c, g, pos, out = carry
@@ -88,7 +87,30 @@ def transducer_greedy_decode(params: dict, enc: jnp.ndarray,
 
     pos0 = jnp.zeros((B,), jnp.int32)
     out0 = jnp.zeros((B, L), jnp.int32)
+    h, c, g = state
     (h, c, g, pos, out), _ = jax.lax.scan(
         frame, (h, c, g, pos0, out0),
         (jnp.swapaxes(E, 0, 1), jnp.arange(T)))
+    return out, pos, (h, c, g)
+
+
+@partial(jax.jit, static_argnames=("cfg", "max_label_len", "max_symbols"))
+def transducer_greedy_decode(params: dict, enc: jnp.ndarray,
+                             out_lens: jnp.ndarray, cfg: Config,
+                             max_label_len: int = 256,
+                             max_symbols: int | None = None):
+    """Greedy decode encoder states.
+
+    Args:
+      enc: (B, T', De) encoder states (models/transducer.encode).
+      out_lens: (B,) valid encoder frame counts.
+    Returns: (labels (B, max_label_len) int32 0-padded, lens (B,) int32).
+    """
+    tr = cfg.transducer
+    max_symbols = max_symbols or tr.max_symbols_per_frame
+    B = enc.shape[0]
+    E = linear(params["joint_enc"], enc)  # (B, T, J) hoisted out of the scan
+    state = init_decode_state(params, B, enc.dtype)
+    out, pos, _ = greedy_scan(params, E, out_lens, state, max_label_len,
+                              max_symbols)
     return out, pos

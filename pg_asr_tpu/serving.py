@@ -32,10 +32,19 @@ model, built for how jit wants to run:
   * greedy CTC collapse carries its previous-id across chunks, so repeats
     spanning a boundary collapse correctly.
 
-Restrictions (validated in __init__): family="ctc" (the recurrent model is
-the streamable one — attention families need full left context), feature
-kind="logmel" (MFCC deltas use whole-utterance edge replication), Pallas
-kernels off (B=1 windows; the lax.scan path is the right tool).
+Two streamable families share the LC-BLSTM encoder machinery:
+  * family="ctc" — greedy CTC collapse over each chunk's committed frames,
+    previous-id carried across chunk boundaries.
+  * family="transducer" with encoder="bilstm" — the frame-synchronous
+    greedy transducer search continues across chunks by carrying the
+    prediction-network state (h, c, joint-projected g); the transducer
+    decodes strictly left-to-right, so given identical encoder states the
+    streamed decode EQUALS the offline decode (parity-tested).
+
+Restrictions (validated in __init__): recurrent encoder only (attention
+families/backbones need full left context), feature kind="logmel" (MFCC
+deltas use whole-utterance edge replication), Pallas kernels off (B=1
+windows; the lax.scan path is the right tool).
 """
 
 from __future__ import annotations
@@ -72,16 +81,17 @@ def _fwd_scan_from(xp: jnp.ndarray, U: jnp.ndarray, mask: jnp.ndarray,
     return jnp.swapaxes(ys, 0, 1), (h, c)
 
 
-@partial(jax.jit, static_argnames=("cfg", "chunk", "fixed_norm"))
-def _chunk_step(params, window: jnp.ndarray, stats, carries,
-                n_valid: jnp.ndarray, n_committed: jnp.ndarray,
-                cfg: Config, chunk: int, fixed_norm: bool):
-    """One streaming step over a (1, L) sample window covering C+R frames.
+def _encode_window(enc_params, window: jnp.ndarray, stats, carries,
+                   n_valid: jnp.ndarray, n_committed: jnp.ndarray,
+                   cfg: Config, chunk: int, fixed_norm: bool):
+    """Featurize + normalize + LC-BLSTM-encode one (1, L) sample window
+    covering C+R frames. Shared by the CTC and transducer streaming heads.
 
-    Returns (argmax ids over the C committed slots, updated stats,
-    updated forward carries). stats is (sum, sumsq, count) running scalars
-    (or (mean, var, _) when fixed_norm). carries is a tuple of per-layer
-    (h (1,H), c (1,H)) for the forward direction.
+    Returns (x (1, C+R, 2H) encoder states, updated stats, updated forward
+    carries). stats is (sum, sumsq, count) running scalars (or (mean, var,
+    _) when fixed_norm). carries is a tuple of per-layer (h (1,H), c (1,H))
+    for the forward direction. enc_params is the encoder subtree
+    ({"input_proj", "lstm"} — bilstm_ctc.init_encoder_params layout).
     """
     from .models.bilstm_ctc import linear
 
@@ -128,12 +138,12 @@ def _chunk_step(params, window: jnp.ndarray, stats, carries,
     x = ((feats - mean) * jax.lax.rsqrt(var + 1e-5)
          * valid[:, :, None]).astype(dtype)
 
-    # --- encoder (mirrors bilstm_ctc.apply at train=False)
+    # --- encoder (mirrors bilstm_ctc.encode at train=False)
     mask = valid.astype(dtype)
-    x = jax.nn.leaky_relu(linear(params["input_proj"], x))
+    x = jax.nn.leaky_relu(linear(enc_params["input_proj"], x))
     new_carries = []
     hidden = mcfg.hidden_size
-    for layer, (h0, c0) in zip(params["lstm"], carries):
+    for layer, (h0, c0) in zip(enc_params["lstm"], carries):
         xp_f = jnp.einsum("bti,ih->bth", x, layer["fwd"]["W"],
                           preferred_element_type=dtype) + layer["fwd"]["b"]
         # committed region continues the cross-chunk carry; the carry out
@@ -152,10 +162,51 @@ def _chunk_step(params, window: jnp.ndarray, stats, carries,
         x = jnp.concatenate([fwd, bwd], axis=-1)
         new_carries.append((h1, c1))
 
+    return x, new_stats, tuple(new_carries)
+
+
+@partial(jax.jit, static_argnames=("cfg", "chunk", "fixed_norm"))
+def _chunk_step(params, window: jnp.ndarray, stats, carries,
+                n_valid: jnp.ndarray, n_committed: jnp.ndarray,
+                cfg: Config, chunk: int, fixed_norm: bool):
+    """One CTC streaming step: encode the window, emit argmax ids over the
+    C committed slots."""
+    from .models.bilstm_ctc import linear
+
+    x, new_stats, new_carries = _encode_window(
+        params, window, stats, carries, n_valid, n_committed, cfg, chunk,
+        fixed_norm)
     logits = linear(params["ctc_head"], x[:, :chunk])
     log_probs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     ids = jnp.argmax(log_probs, axis=-1)[0]  # (C,)
     return ids, new_stats, tuple(new_carries)
+
+
+@partial(jax.jit, static_argnames=("cfg", "chunk", "fixed_norm",
+                                   "max_symbols"))
+def _chunk_step_rnnt(params, window: jnp.ndarray, stats, carries, dec_state,
+                     n_valid: jnp.ndarray, n_committed: jnp.ndarray,
+                     cfg: Config, chunk: int, fixed_norm: bool,
+                     max_symbols: int):
+    """One transducer streaming step: encode the window, then continue the
+    frame-synchronous greedy search over the C committed frames from the
+    carried decoder state (prediction-net h/c + joint-projected g). The
+    transducer decodes strictly left-to-right, so streaming is exact given
+    the same encoder states — no collapse carry needed.
+
+    Returns (ids (C*max_symbols,), n_emitted, stats, carries, dec_state).
+    """
+    from .decoding.transducer import greedy_scan
+    from .models.bilstm_ctc import linear
+
+    x, new_stats, new_carries = _encode_window(
+        params["encoder"], window, stats, carries, n_valid, n_committed,
+        cfg, chunk, fixed_norm)
+    E = linear(params["joint_enc"], x[:, :chunk])  # (1, C, J)
+    out, pos, dec_state = greedy_scan(
+        params, E, n_committed[None], dec_state,
+        max_label_len=chunk * max_symbols, max_symbols=max_symbols)
+    return out[0], pos[0], new_stats, new_carries, dec_state
 
 
 class StreamingTranscriber:
@@ -178,11 +229,18 @@ class StreamingTranscriber:
     def __init__(self, params, cfg: Config, alphabet,
                  chunk_frames: int = 64, right_context: int = 32,
                  norm: str | tuple = "streaming"):
-        if cfg.model.family != "ctc":
+        self.rnnt = cfg.model.family == "transducer"
+        if self.rnnt and cfg.transducer.encoder != "bilstm":
             raise ValueError(
-                "streaming needs the recurrent family (--model ctc): "
-                f"attention families ({cfg.model.family!r}) require full "
-                "left context")
+                "streaming transducer needs the recurrent encoder backbone "
+                f"(TransducerConfig.encoder='bilstm', got "
+                f"{cfg.transducer.encoder!r}): attention backbones require "
+                "full left context")
+        if cfg.model.family not in ("ctc", "transducer"):
+            raise ValueError(
+                "streaming needs the recurrent family (--model ctc or a "
+                f"bilstm-backbone transducer): attention families "
+                f"({cfg.model.family!r}) require full left context")
         if cfg.features.kind != "logmel":
             raise ValueError("streaming supports logmel features only "
                              "(MFCC deltas use whole-utterance context)")
@@ -216,6 +274,10 @@ class StreamingTranscriber:
         self._prev_id = 0
         self._text: list[str] = []
         self._ended = False
+        if self.rnnt:
+            from .decoding.transducer import init_decode_state
+
+            self._dec_state = init_decode_state(self.params, 1, dt)
 
     # -- host-side exact window assembly ------------------------------------
     def _window_samples(self, f0: int) -> np.ndarray:
@@ -254,18 +316,28 @@ class StreamingTranscriber:
     def _run_chunk(self, n_valid: int, n_committed: int) -> str:
         window = jnp.asarray(
             self._window_samples(self._frames_done))[None, :]
-        ids, self._stats, self._carries = _chunk_step(
-            self.params, window, self._stats, self._carries,
-            jnp.int32(n_valid), jnp.int32(n_committed),
-            self.cfg, self.chunk, self.fixed_norm)
-        ids = np.asarray(ids)[:n_committed]
-        out = []
         i2c = self.alphabet.ind2char
-        for i in ids:
-            i = int(i)
-            if i != self._prev_id and i != 0:
-                out.append(i2c[i])
-            self._prev_id = i
+        if self.rnnt:
+            ids, n_emit, self._stats, self._carries, self._dec_state = (
+                _chunk_step_rnnt(
+                    self.params, window, self._stats, self._carries,
+                    self._dec_state, jnp.int32(n_valid),
+                    jnp.int32(n_committed), self.cfg, self.chunk,
+                    self.fixed_norm,
+                    self.cfg.transducer.max_symbols_per_frame))
+            out = [i2c[int(i)] for i in np.asarray(ids)[:int(n_emit)]]
+        else:
+            ids, self._stats, self._carries = _chunk_step(
+                self.params, window, self._stats, self._carries,
+                jnp.int32(n_valid), jnp.int32(n_committed),
+                self.cfg, self.chunk, self.fixed_norm)
+            ids = np.asarray(ids)[:n_committed]
+            out = []
+            for i in ids:
+                i = int(i)
+                if i != self._prev_id and i != 0:
+                    out.append(i2c[i])
+                self._prev_id = i
         self._frames_done += n_committed
         # drop samples no longer needed by any future window
         fcfg = self.cfg.features

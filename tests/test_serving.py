@@ -51,8 +51,11 @@ def _offline_text(cfg, params, alphabet, wave) -> str:
 
 def _offline_norm_stats(cfg, wave):
     """Scalar (mean, var) of the valid feature cells — the fixed-norm CMVN
-    input (matches models.bilstm_ctc.normalize_features pooling)."""
-    w = jnp.asarray(wave)[None, :]
+    input (matches models.bilstm_ctc.normalize_features pooling). The wave
+    is zero-padded like the offline batched reference so the FINAL frame's
+    feature (whose window reads past the utterance end) matches the
+    batched-predict semantics the streaming path reproduces."""
+    w = jnp.asarray(np.pad(wave, (0, 512)))[None, :]
     ns = jnp.asarray([len(wave)], jnp.int32)
     feats, mask, _ = extract_features(w, ns, cfg.features)
     m = np.asarray(mask)[0] > 0
@@ -142,3 +145,87 @@ def test_flush_empty_stream(setup):
     cfg, params, alphabet, _ = setup
     st = StreamingTranscriber(params, cfg, alphabet)
     assert st.flush() == ""
+
+
+# ---------------------------------------------------------------------------
+# Streaming transducer (RNN-T over the LC-BLSTM encoder)
+# ---------------------------------------------------------------------------
+
+def rnnt_cfg() -> Config:
+    from pg_asr_tpu.config import TransducerConfig
+
+    base = tiny_cfg()
+    return base.replace(
+        model=base.model.__class__(**{**base.model.__dict__,
+                                      "family": "transducer"}),
+        transducer=TransducerConfig(encoder="bilstm", pred_embed_dim=8,
+                                    pred_hidden=8, joint_dim=12))
+
+
+@pytest.fixture(scope="module")
+def rnnt_setup():
+    from pg_asr_tpu.models import transducer
+
+    cfg = rnnt_cfg()
+    params = transducer.init_params(jax.random.PRNGKey(5), cfg)
+    alphabet = Alphabet.from_symbols(list("abcdefg"))
+    rng = np.random.default_rng(1)
+    wave = (rng.standard_normal(1600) * 0.3).astype(np.float32)
+    return cfg, params, alphabet, wave
+
+
+def _offline_rnnt_text(cfg, params, alphabet, wave) -> str:
+    from pg_asr_tpu.decoding.transducer import transducer_greedy_decode
+    from pg_asr_tpu.models import transducer
+
+    w = jnp.asarray(np.pad(wave, (0, 512)))[None, :]
+    ns = jnp.asarray([len(wave)], jnp.int32)
+    feats, mask, flens = extract_features(w, ns, cfg.features)
+    enc, _, olens = transducer.encode(params, feats, mask, flens, cfg)
+    labels, lens = transducer_greedy_decode(params, enc, olens, cfg,
+                                            max_label_len=256)
+    return ids_to_strings(labels, lens, alphabet)[0]
+
+
+def test_rnnt_single_chunk_matches_offline(rnnt_setup):
+    cfg, params, alphabet, wave = rnnt_setup
+    T = len(wave) // cfg.features.hop_length + 1
+    st = StreamingTranscriber(params, cfg, alphabet, chunk_frames=T + 4,
+                              right_context=0)
+    out = st.push(wave) + st.flush()
+    assert out == _offline_rnnt_text(cfg, params, alphabet, wave)
+    assert out != ""  # random-init transducers emit labels (unlike CTC)
+
+
+def test_rnnt_multi_chunk_fixed_norm_full_lookahead_matches_offline(rnnt_setup):
+    """Exactness anchor: same encoder states (full lookahead + fixed CMVN)
+    => the streamed frame-synchronous decode EQUALS the offline decode."""
+    cfg, params, alphabet, wave = rnnt_setup
+    T = len(wave) // cfg.features.hop_length + 1
+    st = StreamingTranscriber(params, cfg, alphabet, chunk_frames=8,
+                              right_context=T,
+                              norm=_offline_norm_stats(cfg, wave))
+    out = st.push(wave) + st.flush()
+    assert out == _offline_rnnt_text(cfg, params, alphabet, wave)
+
+
+def test_rnnt_push_block_size_invariance(rnnt_setup):
+    cfg, params, alphabet, wave = rnnt_setup
+    outs = []
+    for blocks in ([wave], np.array_split(wave, 5),
+                   [wave[:1], wave[1:700], wave[700:]]):
+        st = StreamingTranscriber(params, cfg, alphabet, chunk_frames=6,
+                                  right_context=4)
+        text = "".join(st.push(b) for b in blocks) + st.flush()
+        outs.append(text)
+        assert st.text == text
+    assert outs[0] == outs[1] == outs[2]
+
+
+def test_rnnt_backbone_validation(rnnt_setup):
+    from pg_asr_tpu.config import TransducerConfig
+
+    cfg, params, alphabet, _ = rnnt_setup
+    bad = cfg.replace(transducer=TransducerConfig(encoder="conformer"))
+    with pytest.raises(ValueError, match="bilstm"):
+        StreamingTranscriber(params, bad, alphabet)
