@@ -114,3 +114,166 @@ def transducer_greedy_decode(params: dict, enc: jnp.ndarray,
     out, pos, _ = greedy_scan(params, E, out_lens, state, max_label_len,
                               max_symbols)
     return out, pos
+
+
+# ---------------------------------------------------------------------------
+# Beam search
+# ---------------------------------------------------------------------------
+#
+# Batched frame-synchronous RNN-T beam search with hypothesis merging.
+# Search space: alignments with AT MOST `max_symbols` label emissions per
+# encoder frame (the same cap as the greedy decoder); hypotheses are label
+# HISTORIES, each scoring the logsumexp over all of its surviving alignments.
+#
+# Per frame, a statically unrolled loop of max_symbols+1 expansion rounds:
+#   round j's "active" set holds histories that emitted exactly j labels at
+#   this frame. Each round computes ONE (K, A) joint + log-softmax; blank
+#   outcomes retire the history into the frame's DONE pool (same history,
+#   next frame), label outcomes form the next round's actives (top-K of the
+#   K*(A-1) extensions — all distinct histories, because append-one-symbol
+#   equality would need equal stems, and active histories are distinct by
+#   construction). The done pool DOES need merging: the same history can
+#   retire at different rounds via different alignments — duplicates are
+#   detected with the rolling prefix hash (same scheme as the CTC hash
+#   beam, decoding/beam.py) plus a length check, folded into the first
+#   occurrence by logsumexp, and the pool is re-topped to K slots.
+#
+# Prediction-network states ride along per beam slot ((K, P) h/c and the
+# joint-projected (K, J) g); merged hypotheses share a history and therefore
+# share a state, so merging never mixes states. Frames at t >= out_len pass
+# the state through unchanged.
+
+_HASH_M = jnp.int32(1_000_003)
+
+
+def _merge_pool(scores, hashes, lens, alive):
+    """Fold duplicate (hash, len) entries into their first occurrence by
+    logsumexp; returns (merged scores with later duplicates killed)."""
+    eq = ((hashes[:, None] == hashes[None, :])
+          & (lens[:, None] == lens[None, :])
+          & alive[:, None] & alive[None, :])
+    n = scores.shape[0]
+    idx = jnp.arange(n)
+    first = ~jnp.any(eq & (idx[:, None] > idx[None, :]), axis=1)  # no earlier dup
+    merged = jax.nn.logsumexp(
+        jnp.where(eq, scores[None, :], NEG), axis=1)
+    return jnp.where(alive & first, merged, NEG)
+
+
+NEG = -1.0e30
+
+
+def _beam_frame(params, carry, e_t, valid_t, *, K: int, A: int, Lmax: int,
+                max_symbols: int):
+    """One frame of the beam search for ONE utterance. e_t: (J,)."""
+    labels0, lens0, score0, hash0, h0, c0, g0 = carry
+
+    # the frame's done pool starts empty (all-dead slots)
+    d = dict(labels=jnp.zeros_like(labels0), lens=jnp.zeros_like(lens0),
+             score=jnp.full((K,), NEG), hash=jnp.zeros_like(hash0),
+             h=jnp.zeros_like(h0), c=jnp.zeros_like(c0),
+             g=jnp.zeros_like(g0))
+    a = dict(labels=labels0, lens=lens0, score=score0, hash=hash0,
+             h=h0, c=c0, g=g0)
+
+    for j in range(max_symbols + 1):
+        logits = linear(params["joint_out"],
+                        jnp.tanh(e_t[None, :] + a["g"])).astype(jnp.float32)
+        lp = jax.nn.log_softmax(logits, axis=-1)  # (K, A)
+        alive = a["score"] > NEG / 2
+
+        # ---- blank outcomes -> merge into the done pool (2K entries) ------
+        b_score = jnp.where(alive, a["score"] + lp[:, 0], NEG)
+        comb = {k: jnp.concatenate([d[k], a[k]]) for k in
+                ("labels", "lens", "hash", "h", "c", "g")}
+        comb_score = jnp.concatenate([d["score"], b_score])
+        comb_alive = comb_score > NEG / 2
+        merged = _merge_pool(comb_score, comb["hash"], comb["lens"],
+                             comb_alive)
+        top_s, top_i = jax.lax.top_k(merged, K)
+        d = {k: comb[k][top_i] for k in ("labels", "lens", "hash",
+                                         "h", "c", "g")}
+        d["score"] = top_s
+
+        # ---- label outcomes -> next round's actives -----------------------
+        if j < max_symbols:
+            ext = a["score"][:, None] + lp[:, 1:]  # (K, A-1)
+            ext = jnp.where(alive[:, None] & (a["lens"] < Lmax)[:, None],
+                            ext, NEG)
+            e_s, e_i = jax.lax.top_k(ext.reshape(-1), K)
+            parent = e_i // (A - 1)
+            sym = (e_i % (A - 1) + 1).astype(jnp.int32)
+            dead = e_s <= NEG / 2
+            nh, nc = _pred_step(params, sym, a["h"][parent], a["c"][parent])
+            new_labels = a["labels"][parent]
+            plens = a["lens"][parent]
+            write = (jnp.arange(Lmax)[None, :] == plens[:, None])
+            new_labels = jnp.where(write & ~dead[:, None], sym[:, None],
+                                   new_labels)
+            a = dict(
+                labels=new_labels,
+                lens=plens + (~dead).astype(plens.dtype),
+                score=e_s,
+                hash=a["hash"][parent] * _HASH_M + sym + 1,
+                h=nh, c=nc,
+                g=linear(params["joint_pred"], nh),
+            )
+
+    new = (d["labels"], d["lens"], d["score"], d["hash"], d["h"], d["c"],
+           d["g"])
+    # frames past the utterance end leave the beam untouched
+    return tuple(jnp.where(valid_t, n, o) for n, o in zip(new, carry))
+
+
+def _beam_one(params, E, out_len, state0, *, K, A, Lmax, max_symbols):
+    """Beam search over one utterance's (T, J) projected encoder frames."""
+    T = E.shape[0]
+    h1, c1, g1 = state0  # (1, P)/(1, J) empty-history state
+    P, J = h1.shape[1], g1.shape[1]
+    dt = h1.dtype
+    carry = (
+        jnp.zeros((K, Lmax), jnp.int32),
+        jnp.zeros((K,), jnp.int32),
+        jnp.full((K,), NEG).at[0].set(0.0),  # only slot 0 alive
+        jnp.zeros((K,), jnp.int32),
+        jnp.broadcast_to(h1, (K, P)).astype(dt),
+        jnp.broadcast_to(c1, (K, P)).astype(dt),
+        jnp.broadcast_to(g1, (K, J)).astype(dt),
+    )
+
+    def frame(carry, inp):
+        e_t, t = inp
+        return _beam_frame(params, carry, e_t, t < out_len, K=K, A=A,
+                           Lmax=Lmax, max_symbols=max_symbols), None
+
+    carry, _ = jax.lax.scan(frame, carry, (E, jnp.arange(T)))
+    labels, lens, score = carry[0], carry[1], carry[2]
+    best = jnp.argmax(score)
+    return labels[best], lens[best], -score[best]
+
+
+@partial(jax.jit, static_argnames=("cfg", "beam_size", "max_label_len",
+                                   "max_symbols"))
+def transducer_beam_decode(params: dict, enc: jnp.ndarray,
+                           out_lens: jnp.ndarray, cfg: Config,
+                           beam_size: int = 4, max_label_len: int = 256,
+                           max_symbols: int | None = None):
+    """Batched on-device RNN-T beam search (see the block comment above).
+
+    Args:
+      enc: (B, T', De) encoder states (models/transducer.encode).
+      out_lens: (B,) valid encoder frame counts.
+    Returns: (labels (B, max_label_len) int32 0-padded, lens (B,) int32,
+      nll (B,) = -log P of the best history summed over its alignments).
+    """
+    tr = cfg.transducer
+    max_symbols = max_symbols or tr.max_symbols_per_frame
+    A = params["joint_out"]["b"].shape[0]
+    E = linear(params["joint_enc"], enc)  # (B, T, J)
+    state0 = init_decode_state(params, 1, enc.dtype)
+
+    def one(Eb, nb):
+        return _beam_one(params, Eb, nb, state0, K=beam_size, A=A,
+                         Lmax=max_label_len, max_symbols=max_symbols)
+
+    return jax.vmap(one)(E, out_lens)

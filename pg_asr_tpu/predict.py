@@ -45,16 +45,24 @@ def _forward_seq2seq(params, wave, num_samples, cfg: Config):
                                    max_steps=cfg.decode.max_label_len)
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-def _forward_transducer(params, wave, num_samples, cfg: Config):
-    """Featurize + encode + batched greedy transducer decode, one jitted
-    call. Returns (labels (B, L) int32, lens (B,))."""
-    from .decoding.transducer import transducer_greedy_decode
+@partial(jax.jit, static_argnames=("cfg", "beam_size"))
+def _forward_transducer(params, wave, num_samples, cfg: Config,
+                        beam_size: int = 0):
+    """Featurize + encode + batched transducer decode (greedy, or the
+    on-device RNN-T beam search when beam_size > 0), one jitted call.
+    Returns (labels (B, L) int32, lens (B,))."""
+    from .decoding.transducer import (transducer_beam_decode,
+                                      transducer_greedy_decode)
     from .models import transducer
 
     feats, mask, frame_lens = extract_features(wave, num_samples, cfg.features)
     enc, _, out_lens = transducer.encode(params, feats, mask, frame_lens,
                                          cfg, train=False)
+    if beam_size > 0:
+        labels, lens, _ = transducer_beam_decode(
+            params, enc, out_lens, cfg, beam_size=beam_size,
+            max_label_len=cfg.decode.max_label_len)
+        return labels, lens
     return transducer_greedy_decode(params, enc, out_lens, cfg,
                                     max_label_len=cfg.decode.max_label_len)
 
@@ -133,18 +141,18 @@ def predict(test_path: str, aud_path: str, alphabet_path: str, model_path: str,
 
     it = PrefetchIterator(it, depth=2)  # overlap WAV decode with decoding
 
-    if cfg.model.family == "transducer" and decoder == "beam":
-        raise ValueError(
-            "the transducer family decodes frame-synchronously with its own "
-            "greedy search (prediction-network history, not CTC posteriors) "
-            "- use --decoder greedy")
+    if cfg.model.family == "transducer" and lm_order:
+        raise ValueError("LM shallow fusion is a CTC-beam feature; the "
+                         "transducer's prediction network IS its language "
+                         "model")
 
     targets: list[str] = []
     predicted: list[str] = []
     for batch in it:
         if cfg.model.family == "transducer":
-            labels, lens = _forward_transducer(params, batch.wave,
-                                               batch.num_samples, cfg)
+            labels, lens = _forward_transducer(
+                params, batch.wave, batch.num_samples, cfg,
+                beam_size=beam_size if decoder == "beam" else 0)
             targets.extend(batch.texts)
             predicted.extend(ids_to_strings(labels, lens, alphabet))
             continue

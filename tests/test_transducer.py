@@ -349,8 +349,179 @@ def test_transducer_train_predict_driver(corpus, tmp_path):
                     os.path.join(corpus, "alphabet.txt"),
                     model_dir, batch_size=4, decoder="greedy")
     assert stats["num_utts"] >= 1
-    with pytest.raises(ValueError, match="transducer"):
+    stats_beam = predict(os.path.join(corpus, "test.tsv"),
+                         os.path.join(corpus, "clips"),
+                         os.path.join(corpus, "alphabet.txt"),
+                         model_dir, batch_size=4, decoder="beam",
+                         beam_size=4)
+    assert stats_beam["num_utts"] >= 1
+    # the prediction network IS the transducer's LM - fusion must refuse
+    with pytest.raises(ValueError, match="shallow fusion"):
         predict(os.path.join(corpus, "test.tsv"),
                 os.path.join(corpus, "clips"),
                 os.path.join(corpus, "alphabet.txt"),
-                model_dir, batch_size=4, decoder="beam")
+                model_dir, batch_size=4, decoder="beam", beam_size=4,
+                lm_order=2, lm_train_tsv=os.path.join(corpus, "train.tsv"))
+
+
+# ---------------------------------------------------------------------------
+# Beam search
+# ---------------------------------------------------------------------------
+
+def _lin(p, x):
+    return x @ _np(p["w"]) + _np(p["b"])
+
+
+def _host_pred_step(params, sym, h, c):
+    def sigmoid(x):
+        return 1.0 / (1.0 + np.exp(-x))
+
+    p = params["pred_lstm"]
+    W, U_, bias = _np(p["W"]), _np(p["U"]), _np(p["b"])
+    H = U_.shape[0]
+    x = _np(params["pred_embed"])[sym]
+    pre = x @ W + bias + h @ U_
+    i, f = sigmoid(pre[:H]), sigmoid(pre[H:2 * H])
+    g_, o = np.tanh(pre[2 * H:3 * H]), sigmoid(pre[3 * H:])
+    c2 = f * c + i * g_
+    return o * np.tanh(c2), c2
+
+
+def _log_softmax(x):
+    x = x - x.max()
+    return x - np.log(np.exp(x).sum())
+
+
+NEGH = -1.0e30
+
+
+def host_beam_rnnt(params, enc, out_len, K, max_symbols, Lmax):
+    """Per-utterance numpy mirror of decoding.transducer.transducer_beam_decode
+    (same candidate ordering, same first-occurrence merging, same stable
+    tie-breaking as lax.top_k)."""
+    A = _np(params["joint_out"]["b"]).shape[0]
+    E = _lin(params["joint_enc"], enc)  # (T, J)
+    H = _np(params["pred_lstm"]["U"]).shape[0]
+    h0, c0 = _host_pred_step(params, 0, np.zeros(H, np.float32),
+                             np.zeros(H, np.float32))
+    beams = [dict(hist=(), score=0.0, h=h0, c=c0,
+                  g=_lin(params["joint_pred"], h0))] + [None] * (K - 1)
+    for t in range(out_len):
+        done = [None] * K
+        active = beams
+        for j in range(max_symbols + 1):
+            lps = [None if s is None else
+                   _log_softmax(_lin(params["joint_out"],
+                                     np.tanh(E[t] + s["g"])))
+                   for s in active]
+            comb = list(done) + [
+                None if s is None else {**s, "score": s["score"] + lp[0]}
+                for s, lp in zip(active, lps)]
+            scores = np.full(2 * K, NEGH)
+            seen = {}
+            for i, e in enumerate(comb):
+                if e is None:
+                    continue
+                if e["hist"] in seen:
+                    scores[seen[e["hist"]]] = np.logaddexp(
+                        scores[seen[e["hist"]]], e["score"])
+                else:
+                    seen[e["hist"]] = i
+                    scores[i] = e["score"]
+            order = np.argsort(-scores, kind="stable")[:K]
+            done = [None if scores[i] <= NEGH / 2
+                    else {**comb[i], "score": scores[i]} for i in order]
+            if j < max_symbols:
+                cand = np.full(K * (A - 1), NEGH)
+                for k, (s, lp) in enumerate(zip(active, lps)):
+                    if s is None or len(s["hist"]) >= Lmax:
+                        continue
+                    for y in range(1, A):
+                        cand[k * (A - 1) + y - 1] = s["score"] + lp[y]
+                order = np.argsort(-cand, kind="stable")[:K]
+                nxt = []
+                for i in order:
+                    if cand[i] <= NEGH / 2:
+                        nxt.append(None)
+                        continue
+                    k, y = i // (A - 1), i % (A - 1) + 1
+                    h2, c2 = _host_pred_step(params, y, active[k]["h"],
+                                             active[k]["c"])
+                    nxt.append(dict(hist=active[k]["hist"] + (y,),
+                                    score=cand[i], h=h2, c=c2,
+                                    g=_lin(params["joint_pred"], h2)))
+                active = nxt
+        beams = done
+    alive = [b for b in beams if b is not None]
+    best = max(alive, key=lambda b: b["score"])
+    return list(best["hist"]), -best["score"]
+
+
+def test_beam_matches_host_oracle():
+    from pg_asr_tpu.decoding.transducer import transducer_beam_decode
+
+    cfg = tiny_config("bilstm")
+    rng = np.random.default_rng(7)
+    B, T, De = 3, 9, 2 * cfg.model.hidden_size
+    params = transducer.init_params(jax.random.PRNGKey(2), cfg)
+    enc = jnp.asarray(rng.standard_normal((B, T, De)) * 2.0, jnp.float32)
+    out_lens = jnp.asarray([9, 5, 1], jnp.int32)
+
+    labels, lens, nll = transducer_beam_decode(params, enc, out_lens, cfg,
+                                               beam_size=4, max_label_len=16)
+    labels, lens = np.asarray(labels), np.asarray(lens)
+    for b in range(B):
+        want, want_nll = host_beam_rnnt(params, _np(enc[b]),
+                                        int(out_lens[b]), 4,
+                                        cfg.transducer.max_symbols_per_frame,
+                                        16)
+        np.testing.assert_array_equal(labels[b, :lens[b]], want)
+        np.testing.assert_allclose(float(nll[b]), want_nll, rtol=1e-4)
+
+
+def test_beam_unpruned_matches_brute_force():
+    """K large enough that nothing is ever pruned: the beam's best history
+    must be the exact argmax of sum-over-(<=m labels/frame)-alignments
+    probability, independently enumerated."""
+    from pg_asr_tpu.decoding.transducer import transducer_beam_decode
+
+    cfg = tiny_config("bilstm")
+    A = cfg.model.vocab_size  # 8
+    rng = np.random.default_rng(8)
+    T, De, m = 2, 2 * cfg.model.hidden_size, 1
+    params = transducer.init_params(jax.random.PRNGKey(3), cfg)
+    enc = jnp.asarray(rng.standard_normal((1, T, De)) * 2.0, jnp.float32)
+
+    # enumerate alignments recursively: at each frame, emit 0..m labels then
+    # blank; score with the exact (host) joint
+    E = _lin(params["joint_enc"], _np(enc[0]))
+    H = _np(params["pred_lstm"]["U"]).shape[0]
+    h0, c0 = _host_pred_step(params, 0, np.zeros(H, np.float32),
+                             np.zeros(H, np.float32))
+    totals = {}
+
+    def rec(t, hist, score, h, c, emitted):
+        lp = _log_softmax(_lin(params["joint_out"],
+                               np.tanh(E[t] + _lin(params["joint_pred"], h))))
+        # blank: next frame (or terminate)
+        s_b = score + lp[0]
+        if t + 1 == T:
+            totals[hist] = np.logaddexp(totals.get(hist, NEGH), s_b)
+        else:
+            rec(t + 1, hist, s_b, h, c, 0)
+        if emitted < m:
+            for y in range(1, A):
+                h2, c2 = _host_pred_step(params, y, h, c)
+                rec(t, hist + (y,), score + lp[y], h2, c2, emitted + 1)
+
+    rec(0, (), 0.0, h0, c0, 0)
+    want_hist, want_score = max(totals.items(), key=lambda kv: kv[1])
+
+    # K = more than every reachable history (1 + (A-1) + (A-1)^2 = 57 > 32
+    # would be exact; histories per round <= K*(A-1) never pruned at K=64)
+    labels, lens, nll = transducer_beam_decode(
+        params, enc, jnp.asarray([T], jnp.int32), cfg, beam_size=64,
+        max_label_len=8, max_symbols=m)
+    got = tuple(np.asarray(labels)[0][:int(lens[0])])
+    assert got == want_hist, (got, want_hist)
+    np.testing.assert_allclose(float(nll[0]), -want_score, rtol=1e-4)
