@@ -52,7 +52,8 @@ def init_decode_state(params: dict, batch: int, dtype):
 
 
 def greedy_scan(params: dict, E: jnp.ndarray, out_lens: jnp.ndarray,
-                state, max_label_len: int, max_symbols: int):
+                state, max_label_len: int, max_symbols: int,
+                pos_offset=None, global_cap: int | None = None):
     """Resumable greedy search over pre-projected encoder frames.
 
     Args:
@@ -60,6 +61,10 @@ def greedy_scan(params: dict, E: jnp.ndarray, out_lens: jnp.ndarray,
       out_lens: (B,) valid frame counts within E.
       state: (h, c, g) decoder state from init_decode_state / a previous
         chunk's return.
+      pos_offset/global_cap: streaming only — labels already emitted by
+        earlier chunks (B,) and the whole-stream emission cap; emissions
+        stop (state frozen) once pos_offset + pos reaches global_cap,
+        matching the offline decode's max_label_len truncation exactly.
     Returns: (labels (B, max_label_len) int32 0-padded, lens (B,), state).
     """
     B, T, _ = E.shape
@@ -74,6 +79,8 @@ def greedy_scan(params: dict, E: jnp.ndarray, out_lens: jnp.ndarray,
                             jnp.tanh(e_t + g)).astype(jnp.float32)  # (B, A)
             sym = jnp.argmax(logits, axis=-1).astype(jnp.int32)
             emit = active & (sym != 0) & (pos < L)
+            if global_cap is not None:
+                emit &= (pos_offset + pos) < global_cap
             h2, c2 = _pred_step(params, sym, h, c)
             keep = emit[:, None]
             h = jnp.where(keep, h2, h)
@@ -107,7 +114,8 @@ def transducer_greedy_decode(params: dict, enc: jnp.ndarray,
     Returns: (labels (B, max_label_len) int32 0-padded, lens (B,) int32).
     """
     tr = cfg.transducer
-    max_symbols = max_symbols or tr.max_symbols_per_frame
+    if max_symbols is None:
+        max_symbols = tr.max_symbols_per_frame
     B = enc.shape[0]
     E = linear(params["joint_enc"], enc)  # (B, T, J) hoisted out of the scan
     state = init_decode_state(params, B, enc.dtype)
@@ -267,7 +275,8 @@ def transducer_beam_decode(params: dict, enc: jnp.ndarray,
       nll (B,) = -log P of the best history summed over its alignments).
     """
     tr = cfg.transducer
-    max_symbols = max_symbols or tr.max_symbols_per_frame
+    if max_symbols is None:
+        max_symbols = tr.max_symbols_per_frame
     A = params["joint_out"]["b"].shape[0]
     E = linear(params["joint_enc"], enc)  # (B, T, J)
     state0 = init_decode_state(params, 1, enc.dtype)

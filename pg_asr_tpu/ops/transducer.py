@@ -35,8 +35,6 @@ lengths (B,), per-utterance NLL + (num, den) terms for SPMD psum reduction.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 

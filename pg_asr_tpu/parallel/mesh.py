@@ -128,7 +128,11 @@ def shard_batch_arrays(arrays, mesh: Mesh):
 # ---------------------------------------------------------------------------
 
 # second matmul of a Megatron pair: input (contraction) dim sharded
-_ROW_SHARDED = {"attn_out", "ffn_out", "ffn1_out", "ffn2_out", "conv_out"}
+# (joint_out contracts the joint dim the column-sharded joint_enc/joint_pred
+# produce — row-sharding it all-reduces the small (..., A) output instead of
+# all-gathering the big (B, T', U+1, J) joint activation)
+_ROW_SHARDED = {"attn_out", "ffn_out", "ffn1_out", "ffn2_out", "conv_out",
+                "joint_out"}
 
 
 def param_sharding_rules(mesh: Mesh):

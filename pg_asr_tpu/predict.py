@@ -121,8 +121,14 @@ def predict(test_path: str, aud_path: str, alphabet_path: str, model_path: str,
     params, cfg = load_model(model_path, alphabet, config, which=which_ckpt)
     beam_size = beam_size or cfg.decode.beam_size
 
+    if decoder not in ("greedy", "beam"):
+        raise ValueError(f"unknown decoder {decoder!r}")
     lm_tab = None
     if lm_order:
+        if cfg.model.family == "transducer":
+            raise ValueError("LM shallow fusion is a CTC-beam feature; the "
+                             "transducer's prediction network IS its "
+                             "language model")
         if decoder != "beam":
             raise ValueError("LM shallow fusion needs --decoder beam")
         if not lm_train_tsv:
@@ -140,11 +146,6 @@ def predict(test_path: str, aud_path: str, alphabet_path: str, model_path: str,
     from .data.dataset import PrefetchIterator
 
     it = PrefetchIterator(it, depth=2)  # overlap WAV decode with decoding
-
-    if cfg.model.family == "transducer" and lm_order:
-        raise ValueError("LM shallow fusion is a CTC-beam feature; the "
-                         "transducer's prediction network IS its language "
-                         "model")
 
     targets: list[str] = []
     predicted: list[str] = []

@@ -185,6 +185,7 @@ def _chunk_step(params, window: jnp.ndarray, stats, carries,
 @partial(jax.jit, static_argnames=("cfg", "chunk", "fixed_norm",
                                    "max_symbols"))
 def _chunk_step_rnnt(params, window: jnp.ndarray, stats, carries, dec_state,
+                     n_emitted: jnp.ndarray,
                      n_valid: jnp.ndarray, n_committed: jnp.ndarray,
                      cfg: Config, chunk: int, fixed_norm: bool,
                      max_symbols: int):
@@ -203,9 +204,12 @@ def _chunk_step_rnnt(params, window: jnp.ndarray, stats, carries, dec_state,
         params["encoder"], window, stats, carries, n_valid, n_committed,
         cfg, chunk, fixed_norm)
     E = linear(params["joint_enc"], x[:, :chunk])  # (1, C, J)
+    # the whole-stream emission cap mirrors the offline decode's
+    # max_label_len truncation (state frozen past it) exactly
     out, pos, dec_state = greedy_scan(
         params, E, n_committed[None], dec_state,
-        max_label_len=chunk * max_symbols, max_symbols=max_symbols)
+        max_label_len=chunk * max_symbols, max_symbols=max_symbols,
+        pos_offset=n_emitted[None], global_cap=cfg.decode.max_label_len)
     return out[0], pos[0], new_stats, new_carries, dec_state
 
 
@@ -274,6 +278,7 @@ class StreamingTranscriber:
         self._prev_id = 0
         self._text: list[str] = []
         self._ended = False
+        self._emitted = 0  # whole-stream label count (rnnt emission cap)
         if self.rnnt:
             from .decoding.transducer import init_decode_state
 
@@ -321,11 +326,12 @@ class StreamingTranscriber:
             ids, n_emit, self._stats, self._carries, self._dec_state = (
                 _chunk_step_rnnt(
                     self.params, window, self._stats, self._carries,
-                    self._dec_state, jnp.int32(n_valid),
-                    jnp.int32(n_committed), self.cfg, self.chunk,
-                    self.fixed_norm,
+                    self._dec_state, jnp.int32(self._emitted),
+                    jnp.int32(n_valid), jnp.int32(n_committed), self.cfg,
+                    self.chunk, self.fixed_norm,
                     self.cfg.transducer.max_symbols_per_frame))
             out = [i2c[int(i)] for i in np.asarray(ids)[:int(n_emit)]]
+            self._emitted += len(out)
         else:
             ids, self._stats, self._carries = _chunk_step(
                 self.params, window, self._stats, self._carries,

@@ -229,3 +229,29 @@ def test_rnnt_backbone_validation(rnnt_setup):
     bad = cfg.replace(transducer=TransducerConfig(encoder="conformer"))
     with pytest.raises(ValueError, match="bilstm"):
         StreamingTranscriber(params, bad, alphabet)
+
+
+def test_rnnt_emission_cap_matches_offline(rnnt_setup):
+    """decode.max_label_len truncation: the streamed decode must stop
+    emitting (and freeze its state) exactly where the offline decode does."""
+    from pg_asr_tpu.config import DecodeConfig
+
+    cfg, params, alphabet, wave = rnnt_setup
+    cfg = cfg.replace(decode=DecodeConfig(max_label_len=3))
+    T = len(wave) // cfg.features.hop_length + 1
+
+    from pg_asr_tpu.decoding.transducer import transducer_greedy_decode
+    from pg_asr_tpu.models import transducer as tmod
+    w = jnp.asarray(np.pad(wave, (0, 512)))[None, :]
+    ns = jnp.asarray([len(wave)], jnp.int32)
+    feats, mask, flens = extract_features(w, ns, cfg.features)
+    enc, _, olens = tmod.encode(params, feats, mask, flens, cfg)
+    labels, lens = transducer_greedy_decode(params, enc, olens, cfg,
+                                            max_label_len=3)
+    offline = ids_to_strings(labels, lens, alphabet)[0]
+    assert len(offline) == 3  # the cap binds (random init emits plenty)
+
+    st = StreamingTranscriber(params, cfg, alphabet, chunk_frames=8,
+                              right_context=T,
+                              norm=_offline_norm_stats(cfg, wave))
+    assert st.push(wave) + st.flush() == offline
