@@ -60,6 +60,10 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["bilstm", "transformer", "conformer"],
                    help="transducer family: encoder backbone "
                         "(default conformer)")
+    p.add_argument("--transducer_ctc_weight", type=float, default=None,
+                   help="transducer family: hybrid training with an "
+                        "auxiliary CTC head, L = L_rnnt + w * L_ctc "
+                        "(0 = off)")
     p.add_argument("--features", type=str, default=None,
                    choices=["logmel", "mfcc"],
                    help="feature frontend (default from config)")
@@ -107,6 +111,10 @@ def _config(args, from_model_path: bool = False):
     if getattr(args, "transducer_encoder", None):
         cfg = cfg.replace(transducer=cfg.transducer.__class__(
             **{**cfg.transducer.__dict__, "encoder": args.transducer_encoder}))
+    if getattr(args, "transducer_ctc_weight", None) is not None:
+        cfg = cfg.replace(transducer=cfg.transducer.__class__(
+            **{**cfg.transducer.__dict__,
+               "ctc_weight": args.transducer_ctc_weight}))
     if args.features:
         cfg = cfg.replace(features=cfg.features.__class__(
             **{**cfg.features.__dict__, "kind": args.features}))

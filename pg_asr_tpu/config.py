@@ -132,6 +132,10 @@ class TransducerConfig:
     pred_hidden: int = 256
     joint_dim: int = 256
     max_symbols_per_frame: int = 4  # greedy-decode expansion cap per frame
+    # > 0: hybrid training L = L_rnnt + ctc_weight * L_ctc through an
+    # auxiliary CTC head on the encoder (standard convergence aid; adds the
+    # head's params, so it round-trips through config.json)
+    ctc_weight: float = 0.0
 
 
 @dataclass(frozen=True)

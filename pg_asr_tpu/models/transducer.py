@@ -73,7 +73,7 @@ def init_params(key, cfg: Config) -> dict:
         raise ValueError(f"unknown transducer encoder {tr.encoder!r}")
 
     std = (2.0 / (mcfg.vocab_size + tr.pred_embed_dim)) ** 0.5
-    return {
+    params = {
         "encoder": enc_params,
         "pred_embed": jax.random.normal(
             k_emb, (mcfg.vocab_size, tr.pred_embed_dim), dtype) * std,
@@ -83,6 +83,11 @@ def init_params(key, cfg: Config) -> dict:
         "joint_pred": init_linear(k_jp, tr.pred_hidden, tr.joint_dim, dtype),
         "joint_out": init_linear(k_out, tr.joint_dim, mcfg.vocab_size, dtype),
     }
+    if tr.ctc_weight > 0.0:  # hybrid training: auxiliary CTC head
+        params["ctc_head"] = init_linear(jax.random.fold_in(k_out, 1),
+                                         _enc_dim(cfg), mcfg.vocab_size,
+                                         dtype)
+    return params
 
 
 def encode(params: dict, feats: jnp.ndarray, frame_mask: jnp.ndarray,
@@ -160,20 +165,29 @@ def joint_logits(params: dict, enc: jnp.ndarray,
 def apply_lattice(params: dict, feats: jnp.ndarray, frame_mask: jnp.ndarray,
                   frame_lens: jnp.ndarray, labels: jnp.ndarray,
                   label_lens: jnp.ndarray, cfg: Config, train: bool = False,
-                  dropout_rng=None):
+                  dropout_rng=None, with_ctc: bool = False):
     """Full training forward: features + labels -> (lp_blank (B,T',U+1),
-    lp_label (B,T',U), out_lens (B,)) for ops/transducer.transducer_loss."""
+    lp_label (B,T',U), out_lens (B,)) for ops/transducer.transducer_loss.
+
+    With with_ctc (hybrid training, TransducerConfig.ctc_weight > 0), also
+    returns the auxiliary head's (B, T', A) CTC log-probs as a 4th value.
+    """
     from ..ops.transducer import joint_log_probs
 
     rngs = (jax.random.split(dropout_rng, 2)
             if dropout_rng is not None else (None, None))
-    enc, _, out_lens = encode(params, feats, frame_mask, frame_lens, cfg,
-                              train=train, dropout_rng=rngs[0])
+    enc, out_mask, out_lens = encode(params, feats, frame_mask, frame_lens,
+                                     cfg, train=train, dropout_rng=rngs[0])
     pred = predict_states(params, labels, label_lens, cfg, train=train,
                           dropout_rng=rngs[1])
     logits = joint_logits(params, enc, pred)
     lp_blank, lp_label = joint_log_probs(logits, labels)
-    return lp_blank, lp_label, out_lens
+    if not with_ctc:
+        return lp_blank, lp_label, out_lens
+    ctc_lp = jax.nn.log_softmax(
+        linear(params["ctc_head"], enc).astype(jnp.float32), axis=-1)
+    ctc_lp = ctc_lp * out_mask.astype(jnp.float32)[:, :, None]
+    return lp_blank, lp_label, out_lens, ctc_lp
 
 
 def num_params(params) -> int:

@@ -107,6 +107,25 @@ def compute_loss(params, wave, num_samples, labels, label_lens, cfg: Config,
         from .ops.transducer import (transducer_loss_mean,
                                      transducer_loss_terms)
 
+        lam = cfg.transducer.ctc_weight
+        if lam > 0.0:  # hybrid: L = L_rnnt + lam * L_ctc (aux encoder head)
+            from .ops.ctc import ctc_loss_terms
+
+            lp_blank, lp_label, out_lens, ctc_lp = transducer.apply_lattice(
+                params, feats, mask, frame_lens, labels, label_lens, cfg,
+                train=train, dropout_rng=dropout_rng, with_ctc=True)
+            num_r, den_r = transducer_loss_terms(lp_blank, lp_label,
+                                                 out_lens, label_lens)
+            num_c, den_c = ctc_loss_terms(ctc_lp, out_lens, labels,
+                                          label_lens)
+            # stacked components: the SPMD step psums num and den element-
+            # wise and sums num/den, giving mean_rnnt + lam * mean_ctc
+            # exactly (same discipline as the PG loss components)
+            num = jnp.stack([num_r, lam * num_c])
+            den = jnp.stack([den_r, den_c])
+            if terms:
+                return num, den
+            return jnp.sum(num / jnp.maximum(den, 1.0))
         lp_blank, lp_label, out_lens = transducer.apply_lattice(
             params, feats, mask, frame_lens, labels, label_lens, cfg,
             train=train, dropout_rng=dropout_rng)

@@ -525,3 +525,75 @@ def test_beam_unpruned_matches_brute_force():
     got = tuple(np.asarray(labels)[0][:int(lens[0])])
     assert got == want_hist, (got, want_hist)
     np.testing.assert_allclose(float(nll[0]), -want_score, rtol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Hybrid (auxiliary CTC) training
+# ---------------------------------------------------------------------------
+
+def hybrid_config():
+    cfg = tiny_config("bilstm")
+    return cfg.replace(transducer=cfg.transducer.__class__(
+        **{**cfg.transducer.__dict__, "ctc_weight": 0.3}))
+
+
+def test_hybrid_loss_combines_components():
+    """L = L_rnnt + w*L_ctc: the hybrid scalar must equal the two losses
+    computed separately (same params modulo the extra head)."""
+    from pg_asr_tpu.ops.ctc import ctc_loss_mean
+    from pg_asr_tpu.ops.features import extract_features
+    from pg_asr_tpu.ops.transducer import transducer_loss_mean
+    from pg_asr_tpu.train import compute_loss, init_model_params
+
+    cfg = hybrid_config()
+    wave, ns, labels, label_lens = _batch(cfg, seed=9)
+    params = init_model_params(jax.random.PRNGKey(0), cfg)
+    assert "ctc_head" in params
+    hybrid = float(compute_loss(params, wave, ns, labels, label_lens, cfg,
+                                train=False))
+
+    feats, mask, flens = extract_features(wave, ns, cfg.features)
+    lp_blank, lp_label, out_lens, ctc_lp = transducer.apply_lattice(
+        params, feats, mask, flens, labels, label_lens, cfg, with_ctc=True)
+    want = (float(transducer_loss_mean(lp_blank, lp_label, out_lens,
+                                       label_lens))
+            + 0.3 * float(ctc_loss_mean(ctc_lp, out_lens, labels,
+                                        label_lens)))
+    np.testing.assert_allclose(hybrid, want, rtol=1e-5)
+
+    # gradients flow into BOTH heads
+    grads = jax.grad(lambda p: compute_loss(p, wave, ns, labels, label_lens,
+                                            cfg, train=False))(params)
+    assert float(jnp.abs(grads["ctc_head"]["w"]).max()) > 0
+    assert float(jnp.abs(grads["joint_out"]["w"]).max()) > 0
+
+
+def test_hybrid_shard_map_matches_single_device():
+    """The stacked (num, den) component vectors must psum-reduce to the
+    single-device hybrid loss on a data-parallel mesh."""
+    import optax
+
+    from pg_asr_tpu.parallel.mesh import (make_mesh, replicate,
+                                          shard_batch_arrays)
+    from pg_asr_tpu.train import init_model_params, make_train_step
+
+    cfg = hybrid_config()
+    wave, ns, labels, label_lens = _batch(cfg, B=3, seed=10)
+    arrays_np = tuple(np.asarray(a) for a in (wave, ns, labels, label_lens))
+
+    def run(mesh):
+        params = init_model_params(jax.random.PRNGKey(0), cfg)
+        opt = optax.sgd(1e-2)
+        opt_state = opt.init(params)
+        params = replicate(params, mesh)
+        opt_state = replicate(opt_state, mesh)
+        step = make_train_step(cfg, opt, mesh)
+        arrays = shard_batch_arrays(arrays_np, mesh)
+        _, _, _, loss = step(params, opt_state, jax.random.PRNGKey(1),
+                             *arrays)
+        return float(loss)
+
+    mesh1 = make_mesh((1,), ("data",), devices=jax.devices()[:1])
+    mesh8 = make_mesh((8,), ("data",))
+    # B=3 on 8 shards: 5 zero-padded rows excluded by BOTH components
+    np.testing.assert_allclose(run(mesh8), run(mesh1), rtol=1e-4)
