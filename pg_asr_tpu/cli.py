@@ -67,6 +67,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--features", type=str, default=None,
                    choices=["logmel", "mfcc"],
                    help="feature frontend (default from config)")
+    p.add_argument("--units", type=str, default=None,
+                   choices=["char", "bpe"],
+                   help="label units: char (reference parity) or BPE "
+                        "subwords (preproc trains them; train/predict use "
+                        "<corpus>/bpe.vocab)")
+    p.add_argument("--bpe_vocab_size", type=int, default=None,
+                   help="preproc --units bpe: target subword vocabulary "
+                        "size incl. pad (default 256)")
     p.add_argument("--learning_rate", type=float, default=None)
     p.add_argument("--lr_schedule", type=str, default=None,
                    choices=["warmup_constant", "warmup_cosine"],
@@ -118,6 +126,12 @@ def _config(args, from_model_path: bool = False):
     if args.features:
         cfg = cfg.replace(features=cfg.features.__class__(
             **{**cfg.features.__dict__, "kind": args.features}))
+    if getattr(args, "units", None):
+        cfg = cfg.replace(text=cfg.text.__class__(
+            **{**cfg.text.__dict__, "units": args.units}))
+    if getattr(args, "bpe_vocab_size", None):
+        cfg = cfg.replace(text=cfg.text.__class__(
+            **{**cfg.text.__dict__, "bpe_vocab_size": args.bpe_vocab_size}))
     if getattr(args, "specaugment", False):
         cfg = cfg.replace(augment=cfg.augment.__class__(
             **{**cfg.augment.__dict__, "enabled": True}))
@@ -163,11 +177,23 @@ def main(argv=None) -> int:
             counts = librispeech_to_corpus(args.librispeech_root,
                                            args.corpus_path)
             print(f"[preproc] LibriSpeech -> {args.corpus_path}: {counts}")
-            return 0
-        from .data.text import preproc_text
+        else:
+            from .data.text import preproc_text
 
-        preproc_text(args.corpus_path, args.lang)
-        print(f"[preproc] normalized TSVs + alphabet.txt in {args.corpus_path}")
+            preproc_text(args.corpus_path, args.lang)
+            print(f"[preproc] normalized TSVs + alphabet.txt in "
+                  f"{args.corpus_path}")
+        if args.units == "bpe":
+            from .data.bpe import train_bpe
+            from .data.text import read_tsv
+
+            _, rows = read_tsv(os.path.join(args.corpus_path, "train.tsv"))
+            tok = train_bpe([r.get("sentence", "") for r in rows],
+                            args.bpe_vocab_size or 256)
+            tok.save(os.path.join(args.corpus_path, "bpe.vocab"))
+            print(f"[preproc] BPE vocabulary ({tok.size} tokens, "
+                  f"{len(tok.merges)} merges) -> "
+                  f"{args.corpus_path}/bpe.vocab")
         return 0
 
     if args.mode == "train":

@@ -40,6 +40,17 @@ class FeatureConfig:
 
 
 @dataclass(frozen=True)
+class TextConfig:
+    """Label units (data/bpe.py). "char" = reference parity (alphabet.txt);
+    "bpe" = subword units trained by `--mode preproc --units bpe` — shorter
+    label sequences (smaller CTC/transducer lattices) and better rare-word
+    generalization."""
+
+    units: str = "char"  # "char" | "bpe"
+    bpe_vocab_size: int = 256  # preproc: target vocabulary incl. pad
+
+
+@dataclass(frozen=True)
 class ModelConfig:
     """BiLSTM-CTC acoustic model (models/bilstm_ctc.py).
 
@@ -208,6 +219,7 @@ class TrainConfig:
 @dataclass(frozen=True)
 class Config:
     features: FeatureConfig = field(default_factory=FeatureConfig)
+    text: TextConfig = field(default_factory=TextConfig)
     augment: SpecAugmentConfig = field(default_factory=SpecAugmentConfig)
     model: ModelConfig = field(default_factory=ModelConfig)
     transformer: TransformerConfig = field(default_factory=TransformerConfig)
@@ -241,6 +253,7 @@ class Config:
 
         sub = {
             "features": FeatureConfig,
+            "text": TextConfig,
             "augment": SpecAugmentConfig,
             "model": ModelConfig,
             "transformer": TransformerConfig,

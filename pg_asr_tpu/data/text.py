@@ -67,6 +67,11 @@ class Alphabet:
     def ind2char(self) -> dict[int, str]:
         return {i: s for i, s in enumerate(self.symbols)}
 
+    def piece(self, i: int) -> str:
+        """Printable text of one symbol (identity for chars; the BPE
+        tokenizer maps its word-start marker to a space here)."""
+        return self.symbols[i]
+
     def encode(self, text: str) -> list[int]:
         c2i = self.char2ind
         return [c2i[c] for c in text if c in c2i]

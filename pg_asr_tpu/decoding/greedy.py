@@ -56,11 +56,9 @@ def greedy_decode(log_probs: jnp.ndarray, frame_mask: jnp.ndarray):
 
 
 def ids_to_strings(labels, lengths, alphabet) -> list[str]:
-    """Host-side: map compacted id rows to strings."""
+    """Host-side: map compacted id rows to strings (tokenizer-aware —
+    alphabet.decode handles char joining or BPE marker→space)."""
     labels = jax.device_get(labels)
     lengths = jax.device_get(lengths)
-    i2c = alphabet.ind2char
-    out = []
-    for row, n in zip(labels, lengths):
-        out.append("".join(i2c[int(i)] for i in row[: int(n)]))
-    return out
+    return [alphabet.decode(row[: int(n)])
+            for row, n in zip(labels, lengths)]

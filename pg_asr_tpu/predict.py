@@ -117,7 +117,20 @@ def predict(test_path: str, aud_path: str, alphabet_path: str, model_path: str,
     With lm_order in (2, 3) and decoder="beam", a character n-gram LM is
     trained from lm_train_tsv's transcripts (decoding/lm.py) and shallow-
     fused into the beam ranking."""
-    alphabet = Alphabet.load(alphabet_path)
+    # tokenizer choice comes from the model's training config (text.units
+    # round-trips through config.json); BPE artifacts live next to
+    # alphabet.txt in the corpus dir
+    cfg_peek = config
+    cfg_path = os.path.join(model_path, "config.json")
+    if cfg_peek is None and os.path.exists(cfg_path):
+        cfg_peek = Config.from_json(open(cfg_path).read())
+    if cfg_peek is not None and cfg_peek.text.units == "bpe":
+        from .data.bpe import BpeAlphabet
+
+        alphabet = BpeAlphabet.load(
+            os.path.join(os.path.dirname(alphabet_path), "bpe.vocab"))
+    else:
+        alphabet = Alphabet.load(alphabet_path)
     params, cfg = load_model(model_path, alphabet, config, which=which_ckpt)
     beam_size = beam_size or cfg.decode.beam_size
 

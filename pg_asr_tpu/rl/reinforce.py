@@ -225,7 +225,9 @@ def finetune_pg(corpus_path: str, model_path: str, num_steps: int = 200,
         cfg = cfg.replace(train=cfg.train.__class__(
             **{**cfg.train.__dict__, "batch_size": batch_size}))
 
-    alphabet = Alphabet.load(os.path.join(corpus_path, "alphabet.txt"))
+    from ..data.bpe import load_tokenizer
+
+    alphabet = load_tokenizer(corpus_path, cfg.text.units)
     params, cfg = load_model(model_path, alphabet, cfg, which="best")
 
     # multi-host: same per-host manifest sharding discipline as train() —

@@ -321,7 +321,7 @@ class StreamingTranscriber:
     def _run_chunk(self, n_valid: int, n_committed: int) -> str:
         window = jnp.asarray(
             self._window_samples(self._frames_done))[None, :]
-        i2c = self.alphabet.ind2char
+        piece = self.alphabet.piece  # tokenizer-aware (BPE marker -> space)
         if self.rnnt:
             ids, n_emit, self._stats, self._carries, self._dec_state = (
                 _chunk_step_rnnt(
@@ -330,7 +330,7 @@ class StreamingTranscriber:
                     jnp.int32(n_valid), jnp.int32(n_committed), self.cfg,
                     self.chunk, self.fixed_norm,
                     self.cfg.transducer.max_symbols_per_frame))
-            out = [i2c[int(i)] for i in np.asarray(ids)[:int(n_emit)]]
+            out = [piece(int(i)) for i in np.asarray(ids)[:int(n_emit)]]
             self._emitted += len(out)
         else:
             ids, self._stats, self._carries = _chunk_step(
@@ -342,7 +342,7 @@ class StreamingTranscriber:
             for i in ids:
                 i = int(i)
                 if i != self._prev_id and i != 0:
-                    out.append(i2c[i])
+                    out.append(piece(i))
                 self._prev_id = i
         self._frames_done += n_committed
         # drop samples no longer needed by any future window

@@ -311,7 +311,9 @@ def train(corpus_path: str, model_path: str, num_epochs: int | None = None,
     if batch_size is not None:
         cfg = cfg.replace(train=cfg.train.__class__(**{**cfg.train.__dict__, "batch_size": batch_size}))
 
-    alphabet = Alphabet.load(os.path.join(corpus_path, "alphabet.txt"))
+    from .data.bpe import load_tokenizer
+
+    alphabet = load_tokenizer(corpus_path, cfg.text.units)
     if cfg.model.vocab_size != alphabet.size or cfg.model.input_dim != cfg.features.feature_dim:
         cfg = cfg.replace(model=cfg.model.__class__(**{
             **cfg.model.__dict__,
