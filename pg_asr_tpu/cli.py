@@ -16,8 +16,10 @@ import os
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="TPU-native policy-gradient ASR")
     p.add_argument("--mode", required=True,
-                   choices=["train", "predict", "preproc", "finetune_pg"],
-                   help="train | predict | preproc | finetune_pg")
+                   choices=["train", "predict", "preproc", "finetune_pg",
+                            "stream"],
+                   help="train | predict | preproc | finetune_pg | stream "
+                        "(incremental transcription of one WAV)")
     p.add_argument("--corpus_path", type=str,
                    help="corpus dir (train/dev/test.tsv, clips/, alphabet.txt)")
     p.add_argument("--model_path", type=str,
@@ -97,6 +99,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "masking (Config.augment for widths/counts)")
     p.add_argument("--debug_nans", action="store_true",
                    help="enable jax_debug_nans (fail fast on NaN)")
+    p.add_argument("--wav", type=str, default=None,
+                   help="stream: input WAV file")
+    p.add_argument("--chunk_frames", type=int, default=64,
+                   help="stream: committed frames per step (emission "
+                        "granularity)")
+    p.add_argument("--right_context", type=int, default=32,
+                   help="stream: lookahead frames (latency/accuracy dial)")
+    p.add_argument("--block_ms", type=int, default=100,
+                   help="stream: audio push block size in milliseconds")
     return p
 
 
@@ -216,6 +227,47 @@ def main(argv=None) -> int:
                 lm_weight=args.lm_weight, length_bonus=args.length_bonus,
                 lm_train_tsv=(os.path.join(corpus, "train.tsv")
                               if (args.lm_order and corpus) else None))
+        return 0
+
+    if args.mode == "stream":
+        import numpy as np
+
+        from .data.audio import load_audio
+        from .data.bpe import load_tokenizer
+        from .predict import load_model
+        from .serving import StreamingTranscriber
+
+        if not args.wav:
+            raise SystemExit("--mode stream needs --wav <file>")
+        corpus = args.corpus_path or ""
+        from .config import Config
+
+        cfg_path = os.path.join(args.model_path, "config.json")
+        cfg = (Config.from_json(open(cfg_path).read())
+               if os.path.exists(cfg_path) else Config())
+        alphabet = load_tokenizer(corpus, cfg.text.units)
+        params, cfg = load_model(args.model_path, alphabet, cfg)
+        st = StreamingTranscriber(params, cfg, alphabet,
+                                  chunk_frames=args.chunk_frames,
+                                  right_context=args.right_context)
+        wave, sr = load_audio(args.wav)
+        if sr != cfg.features.sample_rate:
+            n_out = int(round(len(wave) * cfg.features.sample_rate / sr))
+            try:  # native linear resampler, numpy fallback
+                from .data.native_io import resample
+
+                wave = resample(wave, n_out)
+            except (RuntimeError, OSError):
+                wave = np.interp(
+                    np.linspace(0.0, len(wave) - 1.0, n_out),
+                    np.arange(len(wave), dtype=np.float64), wave,
+                ).astype(np.float32)
+        block = max(1, args.block_ms * cfg.features.sample_rate // 1000)
+        for i in range(0, len(wave), block):
+            piece = st.push(np.asarray(wave[i:i + block], np.float32))
+            if piece:
+                print(piece, end="", flush=True)
+        print(st.flush())
         return 0
 
     if args.mode == "finetune_pg":
