@@ -125,6 +125,22 @@ class BpeAlphabet:
                     ids.extend(c2i[ch] for ch in tok if ch in c2i)
         return ids
 
+    def encode_batch(self, texts) -> list[list[int]]:
+        """Batch encode; uses the threaded native segmenter
+        (native/pgasr_bpe.cpp, exact-parity tested) when available."""
+        native = getattr(self, "_native", None)
+        if native is None:
+            try:
+                from .native_bpe import NativeBpe
+
+                native = NativeBpe(self.symbols, self.merges)
+            except Exception:
+                native = False
+            object.__setattr__(self, "_native", native)  # frozen dataclass
+        if native:
+            return native.encode_batch(list(texts))
+        return [self.encode(t) for t in texts]
+
     def decode(self, ids) -> str:
         import re
 

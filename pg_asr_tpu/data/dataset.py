@@ -216,7 +216,7 @@ class BatchIterator:
 
     def _make_batch(self, utts: list[Utterance]) -> Batch:
         wave, lens = self._batch_waves(utts)
-        enc = [self.alphabet.encode(u.text) for u in utts]
+        enc = self.alphabet.encode_batch([u.text for u in utts])
         llens = np.array([len(e) for e in enc], np.int32)
         L = _round_up(max(int(llens.max()), 1), self.label_quantum)
         labels = np.zeros((len(utts), L), np.int32)

@@ -76,6 +76,10 @@ class Alphabet:
         c2i = self.char2ind
         return [c2i[c] for c in text if c in c2i]
 
+    def encode_batch(self, texts) -> list[list[int]]:
+        c2i = self.char2ind
+        return [[c2i[c] for c in t if c in c2i] for t in texts]
+
     def decode(self, ids) -> str:
         i2c = self.ind2char
         return "".join(i2c[int(i)] for i in ids if int(i) != BLANK_ID)

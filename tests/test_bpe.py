@@ -101,3 +101,23 @@ def test_cli_bpe_end_to_end(tmp_path):
     assert lines and all("|" in ln for ln in lines)
     # targets decoded through the SAME tokenizer: plain words, no markers
     assert "▁" not in lines[0]
+
+
+def test_native_segmenter_matches_python():
+    """The C++ segmenter (native/pgasr_bpe.cpp) must reproduce
+    BpeAlphabet.encode exactly — incl. unicode, unknown chars, repeated
+    words (its memo cache), and empty strings."""
+    from pg_asr_tpu.data.native_bpe import NativeBpe, native_available
+
+    if not native_available():
+        pytest.skip("no native toolchain")
+    texts = ["the cat sat on the mat", "über schön straße", "",
+             "zzz unknown zz the", "a", "the the the the",
+             "mixed ünïcode and ascii words the cat"]
+    tok = train_bpe(TEXTS + ["über schön straße and ünïcode"], 64)
+    native = NativeBpe(tok.symbols, tok.merges)
+    got = native.encode_batch(texts)
+    want = [tok.encode(t) for t in texts]
+    assert got == want
+    # the tokenizer's own batch API routes through the native path
+    assert tok.encode_batch(texts) == want
