@@ -1,0 +1,210 @@
+"""GPipe-style pipeline parallelism for the transformer-CTC family.
+
+The reference has exactly one parallelism strategy (single-host
+nn.DataParallel, reference model.py:201). This module adds the pipeline
+axis to the framework's mesh vocabulary (data, model, pipe): encoder blocks
+are split into S stages laid out on a ('pipe',) mesh axis, microbatches
+flow through the stages with jax.lax.ppermute over ICI, and the whole
+schedule — forward, loss, and backward — is ONE shard_map'd jitted program
+differentiated end-to-end (the ppermute transposes give the reverse-order
+backward pipeline for free).
+
+Design (TPU-first):
+  * stage parameters live stacked: every block tensor gains a leading
+    (S, k) [stages x blocks-per-stage] axis, sharded P('pipe') on the mesh
+    — each device materializes only ITS stage's blocks. Frontend
+    (featurize -> subsample -> input projection) and head (final LN -> CTC
+    head -> loss) are replicated.
+  * schedule: lax.scan over M + S - 1 ticks. At tick t, the device at
+    stage s processes microbatch i = t - s (when 0 <= i < M): stage 0
+    injects frontend(microbatch[t]); inner stages transform what the
+    previous tick's ppermute delivered; the last stage computes the
+    microbatch's CTC loss terms. One ppermute per tick moves activations
+    stage s -> s+1. Bubble fraction is the standard (S-1)/(M+S-1).
+  * the per-microbatch loss numerators/denominators accumulate on the last
+    stage and psum over 'pipe' at the end (only the last stage contributes
+    non-zero), preserving the framework's exact ragged-batch num/den
+    semantics (ops/ctc.ctc_loss_terms).
+  * gradients: computed INSIDE the shard_map region (same discipline as
+    train.make_train_step): stage-parameter grads stay device-local
+    (out_spec P('pipe')), replicated-parameter grads psum over 'pipe'.
+
+Scope: transformer family, train-mode math without dropout (the parity
+anchor runs dropout-free; dropout would need per-stage rng plumbing).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import Config
+from ..models.bilstm_ctc import linear, normalize_features
+from ..models.transformer_ctc import (_layer_norm, _mhsa, _posenc,
+                                      subsampled_lens)
+from ..ops.ctc import ctc_loss_terms
+from ..ops.features import extract_features
+
+
+def stack_pipeline_params(params: dict, num_stages: int) -> dict:
+    """Transformer params -> pipeline layout: the per-block list becomes a
+    stacked pytree with a leading (S, k) axis; everything else unchanged."""
+    blocks = params["blocks"]
+    L = len(blocks)
+    assert L % num_stages == 0, (
+        f"{L} blocks not divisible into {num_stages} stages")
+    k = L // num_stages
+    stages = []
+    for s in range(num_stages):
+        grp = blocks[s * k:(s + 1) * k]
+        stages.append(jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *grp))
+    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *stages)
+    out = {kk: v for kk, v in params.items() if kk != "blocks"}
+    out["stages"] = stacked  # leaves: (S, k, ...)
+    return out
+
+
+def unstack_pipeline_tree(stages_tree, num_layers: int):
+    """Inverse layout for comparing grads/params against the list form."""
+    leaves = []
+    for i in range(num_layers):
+        def pick(x, i=i):
+            S, k = x.shape[0], x.shape[1]
+            return x[i // k, i % k]
+        leaves.append(jax.tree_util.tree_map(pick, stages_tree))
+    return leaves
+
+
+def shard_pipeline_params(pparams: dict, mesh: Mesh) -> dict:
+    """Place stage stacks on 'pipe', the rest replicated."""
+    def place(path, leaf):
+        top = str(getattr(path[0], "key", ""))
+        spec = (P("pipe") if top == "stages"
+                else P())
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map_with_path(place, pparams)
+
+
+def _stage_apply(stage_blocks, x, key_bias, num_heads: int):
+    """Apply this stage's k stacked blocks to x (mb, T', d)."""
+    def body(x, blk):
+        h = _mhsa(blk, _layer_norm(blk["ln1"], x), key_bias, num_heads)
+        x = x + h
+        h = linear(blk["ffn_out"],
+                   jax.nn.gelu(linear(blk["ffn_in"],
+                                      _layer_norm(blk["ln2"], x))))
+        return x + h, None
+
+    x, _ = jax.lax.scan(body, x, stage_blocks)
+    return x
+
+
+def make_pipeline_loss(cfg: Config, mesh: Mesh, num_microbatches: int):
+    """Build loss_fn(pparams, wave, num_samples, labels, label_lens) ->
+    scalar mean CTC loss, computed through the S-stage pipeline."""
+    from ..train import _shard_map
+
+    tcfg = cfg.transformer
+    S = mesh.shape["pipe"]
+    M = num_microbatches
+
+    def local(pparams, wave, num_samples, labels, label_lens):
+        s_idx = jax.lax.axis_index("pipe")
+        stages = jax.tree_util.tree_map(lambda x: x[0], pparams["stages"])
+        B = wave.shape[0]
+        assert B % M == 0, f"batch {B} not divisible into {M} microbatches"
+        mb = B // M
+
+        # frontend for ALL microbatches (small; only stage 0's result is
+        # consumed, XLA dead-codes the rest per-device after inlining)
+        feats, mask, frame_lens = extract_features(wave, num_samples,
+                                                   cfg.features)
+        dtype = jnp.dtype(cfg.model.dtype)
+        x = normalize_features(feats.astype(dtype), mask.astype(dtype))
+        Bt, T, F = x.shape
+        sub = tcfg.subsample
+        Tp = -(-T // sub) * sub
+        if Tp != T:
+            x = jnp.pad(x, ((0, 0), (0, Tp - T), (0, 0)))
+        To = Tp // sub
+        x = x.reshape(Bt, To, sub * F)
+        out_lens = subsampled_lens(frame_lens, sub)
+        out_mask = (jnp.arange(To)[None, :] < out_lens[:, None])
+        x = linear(pparams["input_proj"], x) + _posenc(To, tcfg.d_model,
+                                                       dtype)
+        key_bias = jnp.where(out_mask, 0.0,
+                             -1e9).astype(jnp.float32)[:, None, None, :]
+        # microbatch views (M, mb, ...)
+        x_mb = x.reshape(M, mb, To, -1)
+        kb_mb = key_bias.reshape(M, mb, 1, 1, To)
+        om_mb = out_mask.reshape(M, mb, To)
+        ol_mb = out_lens.reshape(M, mb)
+        lb_mb = labels.reshape(M, mb, -1)
+        ll_mb = label_lens.reshape(M, mb)
+
+        def tick(carry, t):
+            x_cur, num_acc, den_acc = carry
+            i = t - s_idx  # microbatch id at this stage this tick
+            valid = (i >= 0) & (i < M)
+            ic = jnp.clip(i, 0, M - 1)
+            # stage 0 injects; others consume the ppermuted activation
+            inject = jax.lax.dynamic_index_in_dim(x_mb, jnp.clip(t, 0, M - 1),
+                                                  keepdims=False)
+            x_in = jnp.where(s_idx == 0, inject, x_cur)
+            kb = jax.lax.dynamic_index_in_dim(kb_mb, ic, keepdims=False)
+            y = _stage_apply(stages, x_in, kb, tcfg.num_heads)
+            y = jnp.where(valid, y, jnp.zeros_like(y))
+
+            # last stage: head + loss terms for its current microbatch
+            z = _layer_norm(pparams["ln_final"], y)
+            logits = linear(pparams["ctc_head"], z)
+            lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+            om = jax.lax.dynamic_index_in_dim(om_mb, ic, keepdims=False)
+            lp = lp * om.astype(jnp.float32)[:, :, None]
+            num, den = ctc_loss_terms(
+                lp, jax.lax.dynamic_index_in_dim(ol_mb, ic, keepdims=False),
+                jax.lax.dynamic_index_in_dim(lb_mb, ic, keepdims=False),
+                jax.lax.dynamic_index_in_dim(ll_mb, ic, keepdims=False))
+            take = valid & (s_idx == S - 1)
+            num_acc = num_acc + jnp.where(take, num, 0.0)
+            den_acc = den_acc + jnp.where(take, den, 0.0)
+
+            # move activations one stage to the right
+            x_next = jax.lax.ppermute(y, "pipe",
+                                      [(s, s + 1) for s in range(S - 1)])
+            return (x_next, num_acc, den_acc), None
+
+        x0 = jnp.zeros((mb, To, tcfg.d_model), dtype)
+        (x_last, num, den), _ = jax.lax.scan(
+            tick, (x0, jnp.float32(0.0), jnp.float32(0.0)),
+            jnp.arange(M + S - 1))
+        num = jax.lax.psum(num, "pipe")  # only the last stage is non-zero
+        den = jax.lax.psum(den, "pipe")
+        return num / jnp.maximum(den, 1.0)
+
+    return _shard_map(
+        local, mesh,
+        in_specs=({"stages": P("pipe"), "input_proj": P(), "ln_final": P(),
+                   "ctc_head": P()}, P(), P(), P(), P()),
+        out_specs=P())
+
+
+def make_pipeline_grad_fn(cfg: Config, mesh: Mesh, num_microbatches: int):
+    """jitted (loss, grads) through the pipeline. shard_map is
+    differentiable: the ppermute transposes run the backward pipeline in
+    reverse stage order, stage-parameter grads land sharded on 'pipe' like
+    the parameters themselves, and replicated-parameter grads come out
+    replicated (the transpose inserts the psum)."""
+    sm = make_pipeline_loss(cfg, mesh, num_microbatches)
+
+    def vg(pparams, wave, num_samples, labels, label_lens):
+        return jax.value_and_grad(sm)(pparams, wave, num_samples, labels,
+                                      label_lens)
+
+    return jax.jit(vg)
