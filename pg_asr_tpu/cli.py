@@ -239,7 +239,10 @@ def main(argv=None) -> int:
 
         if not args.wav:
             raise SystemExit("--mode stream needs --wav <file>")
-        corpus = args.corpus_path or ""
+        if not args.corpus_path:
+            raise SystemExit("--mode stream needs --corpus_path (for the "
+                             "tokenizer artifacts)")
+        corpus = args.corpus_path
         from .config import Config
 
         cfg_path = os.path.join(args.model_path, "config.json")
@@ -252,16 +255,10 @@ def main(argv=None) -> int:
                                   right_context=args.right_context)
         wave, sr = load_audio(args.wav)
         if sr != cfg.features.sample_rate:
-            n_out = int(round(len(wave) * cfg.features.sample_rate / sr))
-            try:  # native linear resampler, numpy fallback
-                from .data.native_io import resample
+            from .data.dataset import _resample_linear
 
-                wave = resample(wave, n_out)
-            except (RuntimeError, OSError):
-                wave = np.interp(
-                    np.linspace(0.0, len(wave) - 1.0, n_out),
-                    np.arange(len(wave), dtype=np.float64), wave,
-                ).astype(np.float32)
+            n_out = int(round(len(wave) * cfg.features.sample_rate / sr))
+            wave = _resample_linear(wave, n_out)
         block = max(1, args.block_ms * cfg.features.sample_rate // 1000)
         for i in range(0, len(wave), block):
             piece = st.push(np.asarray(wave[i:i + block], np.float32))

@@ -90,12 +90,19 @@ class NativeBpe:
         if lib is not None and h:
             lib.pgasr_bpe_free(h)
 
-    def encode_batch(self, texts, max_len: int = 4096,
+    def encode_batch(self, texts,
                      n_threads: int | None = None) -> list[list[int]]:
         n = len(texts)
         if n == 0:
             return []
-        sents = (ctypes.c_char_p * n)(*[t.encode() for t in texts])
+        # pre-split on the HOST so word boundaries follow Python's
+        # unicode-aware str.split() (the C++ side splits ASCII whitespace
+        # only — NBSP etc. would silently fuse words and change labels)
+        norm = [" ".join(t.split()) for t in texts]
+        sents = (ctypes.c_char_p * n)(*[t.encode() for t in norm])
+        # exact upper bound on ids/sentence: one per code point plus one
+        # marker per word — no silent truncation possible
+        max_len = max(max((2 * len(t) + 2 for t in norm), default=2), 8)
         out = np.zeros((n, max_len), np.int32)
         lens = np.zeros((n,), np.int32)
         if n_threads is None:

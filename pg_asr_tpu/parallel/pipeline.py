@@ -121,8 +121,10 @@ def make_pipeline_loss(cfg: Config, mesh: Mesh, num_microbatches: int):
         assert B % M == 0, f"batch {B} not divisible into {M} microbatches"
         mb = B // M
 
-        # frontend for ALL microbatches (small; only stage 0's result is
-        # consumed, XLA dead-codes the rest per-device after inlining)
+        # frontend for ALL microbatches on every stage: the (cheap) mask /
+        # length products feed every stage's key_bias, and stage 0 consumes
+        # the projected activations; the heavy per-tick head+loss below IS
+        # gated to the last stage with lax.cond
         feats, mask, frame_lens = extract_features(wave, num_samples,
                                                    cfg.features)
         dtype = jnp.dtype(cfg.model.dtype)
@@ -161,19 +163,29 @@ def make_pipeline_loss(cfg: Config, mesh: Mesh, num_microbatches: int):
             y = _stage_apply(stages, x_in, kb, tcfg.num_heads)
             y = jnp.where(valid, y, jnp.zeros_like(y))
 
-            # last stage: head + loss terms for its current microbatch
-            z = _layer_norm(pparams["ln_final"], y)
-            logits = linear(pparams["ctc_head"], z)
-            lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-            om = jax.lax.dynamic_index_in_dim(om_mb, ic, keepdims=False)
-            lp = lp * om.astype(jnp.float32)[:, :, None]
-            num, den = ctc_loss_terms(
-                lp, jax.lax.dynamic_index_in_dim(ol_mb, ic, keepdims=False),
-                jax.lax.dynamic_index_in_dim(lb_mb, ic, keepdims=False),
-                jax.lax.dynamic_index_in_dim(ll_mb, ic, keepdims=False))
-            take = valid & (s_idx == S - 1)
-            num_acc = num_acc + jnp.where(take, num, 0.0)
-            den_acc = den_acc + jnp.where(take, den, 0.0)
+            # last stage only: head + CTC loss terms for its current
+            # microbatch. The predicate is shard-varying, which is exactly
+            # what per-device lax.cond inside shard_map is for — the other
+            # S-1 stages skip the O(T'·U) loss lattice entirely.
+            def head_loss(y):
+                z = _layer_norm(pparams["ln_final"], y)
+                logits = linear(pparams["ctc_head"], z)
+                lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+                om = jax.lax.dynamic_index_in_dim(om_mb, ic, keepdims=False)
+                lp = lp * om.astype(jnp.float32)[:, :, None]
+                num, den = ctc_loss_terms(
+                    lp,
+                    jax.lax.dynamic_index_in_dim(ol_mb, ic, keepdims=False),
+                    jax.lax.dynamic_index_in_dim(lb_mb, ic, keepdims=False),
+                    jax.lax.dynamic_index_in_dim(ll_mb, ic, keepdims=False))
+                return (jnp.where(valid, num, 0.0),
+                        jnp.where(valid, den, 0.0))
+
+            num, den = jax.lax.cond(
+                s_idx == S - 1, head_loss,
+                lambda y: (jnp.float32(0.0), jnp.float32(0.0)), y)
+            num_acc = num_acc + num
+            den_acc = den_acc + den
 
             # move activations one stage to the right
             x_next = jax.lax.ppermute(y, "pipe",

@@ -125,10 +125,9 @@ def predict(test_path: str, aud_path: str, alphabet_path: str, model_path: str,
     if cfg_peek is None and os.path.exists(cfg_path):
         cfg_peek = Config.from_json(open(cfg_path).read())
     if cfg_peek is not None and cfg_peek.text.units == "bpe":
-        from .data.bpe import BpeAlphabet
+        from .data.bpe import load_tokenizer
 
-        alphabet = BpeAlphabet.load(
-            os.path.join(os.path.dirname(alphabet_path), "bpe.vocab"))
+        alphabet = load_tokenizer(os.path.dirname(alphabet_path), "bpe")
     else:
         alphabet = Alphabet.load(alphabet_path)
     params, cfg = load_model(model_path, alphabet, config, which=which_ckpt)

@@ -313,6 +313,18 @@ def train(corpus_path: str, model_path: str, num_epochs: int | None = None,
 
     from .data.bpe import load_tokenizer
 
+    # resuming must keep the tokenizer the checkpoint was trained with —
+    # a forgotten --units flag would otherwise rebuild a wrong-vocab model
+    # and fail restore with an opaque shape mismatch
+    prev_cfg_path = os.path.join(model_path, "config.json")
+    if resume and os.path.exists(prev_cfg_path):
+        prev_units = Config.from_json(
+            open(prev_cfg_path).read()).text.units
+        if prev_units != cfg.text.units:
+            print(f"[train] resuming with text.units={prev_units!r} from "
+                  "the checkpoint's config.json")
+            cfg = cfg.replace(text=cfg.text.__class__(
+                **{**cfg.text.__dict__, "units": prev_units}))
     alphabet = load_tokenizer(corpus_path, cfg.text.units)
     if cfg.model.vocab_size != alphabet.size or cfg.model.input_dim != cfg.features.feature_dim:
         cfg = cfg.replace(model=cfg.model.__class__(**{

@@ -113,7 +113,8 @@ def test_native_segmenter_matches_python():
         pytest.skip("no native toolchain")
     texts = ["the cat sat on the mat", "über schön straße", "",
              "zzz unknown zz the", "a", "the the the the",
-             "mixed ünïcode and ascii words the cat"]
+             "mixed ünïcode and ascii words the cat",
+             "the\u00a0cat\u2009sat"]  # unicode whitespace: must split
     tok = train_bpe(TEXTS + ["über schön straße and ünïcode"], 64)
     native = NativeBpe(tok.symbols, tok.merges)
     got = native.encode_batch(texts)
@@ -121,3 +122,26 @@ def test_native_segmenter_matches_python():
     assert got == want
     # the tokenizer's own batch API routes through the native path
     assert tok.encode_batch(texts) == want
+
+
+def test_train_resume_keeps_checkpoint_units(tmp_path):
+    """Resuming without --units must pick the tokenizer from the
+    checkpoint's config.json instead of rebuilding a wrong-vocab model."""
+    from pg_asr_tpu.cli import main
+    from pg_asr_tpu.data.dataset import make_synthetic_corpus
+
+    corpus = str(tmp_path / "corpus")
+    model = str(tmp_path / "model")
+    make_synthetic_corpus(corpus, n_utts=8, seed=4, min_dur=0.2, max_dur=0.4)
+    assert main(["--mode", "preproc", "--corpus_path", corpus,
+                 "--units", "bpe", "--bpe_vocab_size", "24"]) == 0
+    assert main(["--mode", "train", "--corpus_path", corpus,
+                 "--model_path", model, "--num_epochs", "1",
+                 "--batch_size", "4", "--units", "bpe"]) == 0
+    # resume WITHOUT --units: must not crash on a template mismatch
+    assert main(["--mode", "train", "--corpus_path", corpus,
+                 "--model_path", model, "--num_epochs", "2",
+                 "--batch_size", "4"]) == 0
+    import json
+    cfg = json.load(open(os.path.join(model, "config.json")))
+    assert cfg["text"]["units"] == "bpe"
