@@ -89,6 +89,10 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["loss", "cer"],
                    help="train: select the best checkpoint on validation "
                         "loss (reference parity) or greedy-decode CER")
+    p.add_argument("--ema_decay", type=float, default=None,
+                   help="train: exponential moving average of the params "
+                        "(validation/predict use the averaged weights; "
+                        "0 = off)")
     p.add_argument("--pg_steps", type=int, default=200,
                    help="finetune_pg: number of REINFORCE steps")
     p.add_argument("--profile_steps", type=int, default=0,
@@ -157,6 +161,8 @@ def _config(args, from_model_path: bool = False):
         tr["accum_steps"] = args.accum_steps
     if getattr(args, "val_metric", None):
         tr["val_metric"] = args.val_metric
+    if getattr(args, "ema_decay", None) is not None:
+        tr["ema_decay"] = args.ema_decay
     cfg = cfg.replace(train=cfg.train.__class__(**tr))
     return cfg
 

@@ -205,6 +205,10 @@ class TrainConfig:
     # "loss" (reference parity: best checkpoint on val loss) | "cer" (decode
     # the dev set each validation pass and select on corpus CER)
     val_metric: str = "loss"
+    # > 0: maintain an exponential moving average of the parameters
+    # (ema = d*ema + (1-d)*params after every step); validation, best-
+    # checkpoint selection, and predict then use the EMA weights
+    ema_decay: float = 0.0
     seed: int = 0
     max_frames: int = 1600  # padded-length cap (frames)
     max_label_len: int = 256

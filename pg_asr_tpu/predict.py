@@ -101,6 +101,11 @@ def load_model(model_path: str, alphabet: Alphabet, config: Config | None = None
     path = mgr.best_path if which == "best" else mgr.last_path
     if not os.path.exists(path):
         raise FileNotFoundError(f"no checkpoint at {path}")
+    if cfg.train.ema_decay > 0.0:
+        # EMA-trained models serve their averaged weights (the ones the
+        # best-checkpoint selection was scored on)
+        state = load_checkpoint(path, {"ema_params": params})
+        return state["ema_params"], cfg
     tpl = {"params": params}
     state = load_checkpoint(path, tpl)  # tolerant: loads matching subtree
     return state["params"], cfg

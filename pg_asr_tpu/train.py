@@ -262,6 +262,14 @@ def _batch_arrays(batch: Batch):
     return (batch.wave, batch.num_samples, batch.labels, batch.label_lens)
 
 
+@partial(jax.jit, static_argnames=("decay",), donate_argnums=(0,))
+def _ema_update(ema_params, params, decay: float):
+    """ema <- decay*ema + (1-decay)*params (elementwise, one fused pass)."""
+    return jax.tree_util.tree_map(
+        lambda e, p: decay * e + (1.0 - decay) * p.astype(e.dtype),
+        ema_params, params)
+
+
 def _val_cer(params, dev_it, cfg: Config, alphabet, cap=None) -> float:
     """Corpus CER of a greedy decode over the dev set (val_metric="cer").
 
@@ -405,18 +413,28 @@ def train(corpus_path: str, model_path: str, num_epochs: int | None = None,
     optimizer = make_optimizer(cfg)
     opt_state = optimizer.init(params)
 
+    use_ema = cfg.train.ema_decay > 0.0
+    # real copies: the train step DONATES params, so aliased EMA leaves
+    # would be deleted with the first step's buffers
+    ema_params = (jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True),
+                                         params) if use_ema else None)
+
     ckpt = CheckpointManager(model_path)
     if is_main:
         ckpt.save_config(cfg.to_json())
     start_epoch = 1
     state_tpl = {"params": params, "opt_state": opt_state, "step": 0,
                  "epoch": 0, "best_val_loss": float("inf")}
+    if use_ema:
+        state_tpl["ema_params"] = ema_params
     train_losses: list[float] = []
     val_losses: list[float] = []
     if resume:
         restored = ckpt.try_restore(state_tpl)
         if restored is not None:
             params, opt_state = restored["params"], restored["opt_state"]
+            if use_ema:
+                ema_params = restored["ema_params"]
             start_epoch = int(restored["epoch"]) + 1
             # continue the loss-curve artifacts across the interruption
             # instead of overwriting them with only the new epochs
@@ -430,6 +448,8 @@ def train(corpus_path: str, model_path: str, num_epochs: int | None = None,
 
     params = replicate(params, mesh)
     opt_state = replicate(opt_state, mesh)
+    if use_ema:
+        ema_params = replicate(ema_params, mesh)
     train_step = make_train_step(cfg, optimizer, mesh)
     eval_step = make_eval_step(cfg, mesh)
     logger = StepLogger(model_path)
@@ -446,6 +466,9 @@ def train(corpus_path: str, model_path: str, num_epochs: int | None = None,
                 tracing = True
             arrays = shard_batch_arrays(_batch_arrays(batch), mesh)
             params, opt_state, rng, loss = train_step(params, opt_state, rng, *arrays)
+            if use_ema:
+                ema_params = _ema_update(ema_params, params,
+                                         cfg.train.ema_decay)
             if tracing and step >= 2 + profile_steps:
                 jax.profiler.stop_trace()
                 tracing = False
@@ -473,11 +496,12 @@ def train(corpus_path: str, model_path: str, num_epochs: int | None = None,
 
         cur_val = None
         cur_cer = None
+        eval_params = ema_params if use_ema else params
         if dev_it is not None and epoch % cfg.train.eval_every_epochs == 0:
             tot, n = 0.0, 0
             for batch in dev_it:
                 arrays = shard_batch_arrays(_batch_arrays(batch), mesh)
-                tot += float(eval_step(params, *arrays))
+                tot += float(eval_step(eval_params, *arrays))
                 n += 1
                 if dev_cap is not None and n >= dev_cap:
                     break  # equal collective counts across hosts
@@ -487,7 +511,8 @@ def train(corpus_path: str, model_path: str, num_epochs: int | None = None,
                 np.save(os.path.join(model_path, "val_losses.npy"),
                         np.array(val_losses))
             if select_on_cer:
-                cur_cer = _val_cer(params, dev_it, cfg, alphabet, cap=dev_cap)
+                cur_cer = _val_cer(eval_params, dev_it, cfg, alphabet,
+                                   cap=dev_cap)
 
         dt = time.time() - t0
         if is_main:
@@ -504,10 +529,11 @@ def train(corpus_path: str, model_path: str, num_epochs: int | None = None,
                 select = cur_cer  # val_metric="cer"
             else:
                 select = cur_val if cur_val is not None else mean_train
-            is_best = ckpt.save(
-                {"params": params, "opt_state": opt_state, "step": step,
-                 "epoch": epoch, "best_val_loss": ckpt.best_val},
-                val_loss=select)
+            state = {"params": params, "opt_state": opt_state, "step": step,
+                     "epoch": epoch, "best_val_loss": ckpt.best_val}
+            if use_ema:
+                state["ema_params"] = ema_params
+            is_best = ckpt.save(state, val_loss=select)
             if is_best:
                 name = "cer" if cur_cer is not None else "val"
                 print(f"[train] new best checkpoint ({name} {ckpt.best_val:.4f})")

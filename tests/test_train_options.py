@@ -113,3 +113,44 @@ def test_train_val_cer_cosine_accum_end_to_end(corpus, tmp_path):
     # the checkpoint (incl. MultiSteps optimizer state) restores for resume
     out2 = train(corpus, model_dir, config=cfg, resume=True)
     assert out2["steps"] >= 0
+
+
+def test_ema_weights(tmp_path):
+    """--ema_decay: EMA follows the params, the checkpoint stores it, and
+    predict serves the averaged weights."""
+    import jax
+    import jax.numpy as jnp
+
+    from pg_asr_tpu.checkpoint import load_checkpoint
+    from pg_asr_tpu.data.dataset import make_synthetic_corpus
+    from pg_asr_tpu.predict import load_model
+    from pg_asr_tpu.data.text import Alphabet
+    from pg_asr_tpu.train import _ema_update, train
+
+    # unit: the update rule is the exact convex mix
+    ema = {"w": jnp.ones((3,))}
+    p = {"w": jnp.full((3,), 2.0)}
+    out = _ema_update(ema, p, 0.9)
+    np.testing.assert_allclose(np.asarray(out["w"]), 1.1, rtol=1e-6)
+
+    corpus = str(tmp_path / "corpus")
+    model = str(tmp_path / "model")
+    make_synthetic_corpus(corpus, n_utts=8, seed=21, min_dur=0.2,
+                          max_dur=0.4)
+    cfg = tiny_config(num_epochs=1, ema_decay=0.8)
+    out = train(corpus, model, config=cfg, resume=False)
+
+    # checkpoint holds ema_params distinct from the live params
+    tpl = {"params": out["params"], "ema_params": out["params"]}
+    state = load_checkpoint(out["last_path"], tpl)
+    diffs = [float(jnp.max(jnp.abs(a - b)))
+             for a, b in zip(jax.tree_util.tree_leaves(state["params"]),
+                             jax.tree_util.tree_leaves(state["ema_params"]))]
+    assert max(diffs) > 0  # decay 0.8 lags the raw params after 1 epoch
+
+    # predict-side loader returns the EMA weights
+    alphabet = Alphabet.load(os.path.join(corpus, "alphabet.txt"))
+    served, _ = load_model(model, alphabet)
+    for a, b in zip(jax.tree_util.tree_leaves(served),
+                    jax.tree_util.tree_leaves(state["ema_params"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
