@@ -1,0 +1,144 @@
+"""Sequence parallelism for the transformer-CTC family: the encoder's TIME
+axis sharded across a ('seq',) mesh axis.
+
+Long-context axis of the mesh vocabulary (data / model / pipe / seq). Every
+device holds a (B, T'/S, d) slice of the activations through all blocks:
+LayerNorms and FFNs are position-local (no communication at all), and
+attention computes queries locally against the ALL-GATHERED keys/values —
+one jax.lax.all_gather of k/v per block over ICI, scores (B, h, T'/S, T')
+per device. This is the standard gather-based sequence parallelism; ring
+attention would stream k/v blocks via ppermute instead of gathering (the
+right choice when T' itself no longer fits — not the regime of
+seconds-long utterances, so the simple collective wins here).
+
+The frontend (featurize -> subsample -> input projection) is computed
+replicated (cheap relative to the blocks) and sliced per device; the CTC
+head + loss run on the all-gathered final states, replicated (the loss's
+O(T'·U) lattice is small next to one block). The whole thing is ONE
+differentiable shard_map program — the all_gather transposes to
+reduce-scatter in the backward pass.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..config import Config
+from ..models.bilstm_ctc import linear, normalize_features
+from ..models.transformer_ctc import (_layer_norm, _posenc, subsampled_lens)
+from ..ops.ctc import ctc_loss_terms
+from ..ops.features import extract_features
+
+
+def _mhsa_seq(p: dict, x_local: jnp.ndarray, key_bias: jnp.ndarray,
+              num_heads: int) -> jnp.ndarray:
+    """Masked MHSA with time-sharded activations.
+
+    x_local: (B, T_loc, d) this device's query slice; key_bias: (B,1,1,T)
+    additive f32 over the FULL key axis (replicated). k/v are all-gathered
+    over 'seq'.
+    """
+    B, T_loc, d = x_local.shape
+    dh = d // num_heads
+    qkv = linear(p["qkv"], x_local).reshape(B, T_loc, 3, num_heads, dh)
+    q = jnp.swapaxes(qkv[:, :, 0], 1, 2)  # (B, h, T_loc, dh)
+    k = jnp.swapaxes(qkv[:, :, 1], 1, 2)
+    v = jnp.swapaxes(qkv[:, :, 2], 1, 2)
+    # (B, h, T, dh): concatenate every device's key/value slice
+    k = jax.lax.all_gather(k, "seq", axis=2, tiled=True)
+    v = jax.lax.all_gather(v, "seq", axis=2, tiled=True)
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                        preferred_element_type=jnp.float32)
+    scores = scores * (1.0 / dh ** 0.5) + key_bias
+    attn = jax.nn.softmax(scores, axis=-1).astype(x_local.dtype)
+    ctx = jnp.einsum("bhqk,bhkd->bhqd", attn, v,
+                     preferred_element_type=x_local.dtype)
+    ctx = jnp.swapaxes(ctx, 1, 2).reshape(B, T_loc, d)
+    return linear(p["attn_out"], ctx)
+
+
+def make_sequence_parallel_loss(cfg: Config, mesh: Mesh):
+    """Build loss_fn(params, wave, num_samples, labels, label_lens) ->
+    scalar mean CTC loss with the encoder time axis sharded on 'seq'.
+    params are the ordinary transformer_ctc params, replicated."""
+    from ..train import _shard_map
+
+    tcfg = cfg.transformer
+    S = mesh.shape["seq"]
+
+    def local(params, wave, num_samples, labels, label_lens):
+        s_idx = jax.lax.axis_index("seq")
+        # replicated frontend (identical on every device)
+        feats, mask, frame_lens = extract_features(wave, num_samples,
+                                                   cfg.features)
+        dtype = jnp.dtype(cfg.model.dtype)
+        x = normalize_features(feats.astype(dtype), mask.astype(dtype))
+        B, T, F = x.shape
+        sub = tcfg.subsample
+        Tp = -(-T // sub) * sub
+        if Tp != T:
+            x = jnp.pad(x, ((0, 0), (0, Tp - T), (0, 0)))
+        To = Tp // sub
+        x = x.reshape(B, To, sub * F)
+        out_lens = subsampled_lens(frame_lens, sub)
+        # pad T' to a multiple of S, then slice this device's chunk
+        Ts = -(-To // S) * S
+        if Ts != To:
+            x = jnp.pad(x, ((0, 0), (0, Ts - To), (0, 0)))
+        out_mask = (jnp.arange(Ts)[None, :] < out_lens[:, None])
+        x = linear(params["input_proj"], x) + _posenc(Ts, tcfg.d_model,
+                                                      dtype)
+        T_loc = Ts // S
+        x = jax.lax.dynamic_slice_in_dim(x, s_idx * T_loc, T_loc, axis=1)
+
+        key_bias = jnp.where(out_mask, 0.0,
+                             -1e9).astype(jnp.float32)[:, None, None, :]
+        for blk in params["blocks"]:
+            h = _mhsa_seq(blk, _layer_norm(blk["ln1"], x), key_bias,
+                          tcfg.num_heads)
+            x = x + h
+            h = linear(blk["ffn_out"],
+                       jax.nn.gelu(linear(blk["ffn_in"],
+                                          _layer_norm(blk["ln2"], x))))
+            x = x + h
+
+        # head + loss on the gathered full sequence — computed on device 0
+        # ONLY (lax.cond), then psum'd to every device. Running it
+        # replicated would not just waste compute: differentiating through
+        # shard_map psums per-device cotangents for replicated params, so S
+        # identical head computations would overcount the head grads S×.
+        # With a single producer, every replicated-param cotangent has
+        # exactly one contribution, and the block cotangents route back to
+        # their source devices through the all_gather transposes
+        # (reduce-scatter).
+        x = jax.lax.all_gather(x, "seq", axis=1, tiled=True)  # (B, Ts, d)
+
+        def head_loss(x):
+            z = _layer_norm(params["ln_final"], x)
+            logits = linear(params["ctc_head"], z)
+            lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+            lp = lp * out_mask.astype(jnp.float32)[:, :, None]
+            num, den = ctc_loss_terms(lp, out_lens, labels, label_lens)
+            return num / jnp.maximum(den, 1.0)
+
+        loss = jax.lax.cond(s_idx == 0, head_loss,
+                            lambda x: jnp.float32(0.0), x)
+        return jax.lax.psum(loss, "seq")
+
+    return _shard_map(local, mesh,
+                      in_specs=(P(), P(), P(), P(), P()),
+                      out_specs=P())
+
+
+def make_sequence_parallel_grad_fn(cfg: Config, mesh: Mesh):
+    """jitted (loss, grads); the all_gathers transpose to reduce-scatters
+    in the backward pass, and replicated-param grads come out replicated."""
+    sm = make_sequence_parallel_loss(cfg, mesh)
+
+    def vg(params, wave, num_samples, labels, label_lens):
+        return jax.value_and_grad(sm)(params, wave, num_samples, labels,
+                                      label_lens)
+
+    return jax.jit(vg)
