@@ -110,7 +110,7 @@ def _moe_ffn(blk: dict, x: jnp.ndarray, capacity: int):
 
     # slot within the chosen expert: exclusive cumsum of assignments
     pos = jnp.cumsum(onehot, axis=0) - onehot  # (N, E)
-    pos_in = jnp.sum(pos * onehot, axis=-1)  # (N,)
+    pos_in = jnp.sum(pos * onehot, axis=-1).astype(jnp.int32)  # (N,)
     keep = pos_in < capacity
     slot = jax.nn.one_hot(pos_in, capacity, dtype=jnp.float32)  # (N, C)
     dispatch = (onehot[:, :, None] * slot[:, None, :]
