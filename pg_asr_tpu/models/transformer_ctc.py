@@ -120,11 +120,17 @@ def subsampled_lens(frame_lens: jnp.ndarray, subsample: int) -> jnp.ndarray:
     return -(-frame_lens // subsample)
 
 
-def encode(params: dict, feats: jnp.ndarray, frame_mask: jnp.ndarray,
-           frame_lens: jnp.ndarray, mcfg: ModelConfig, tcfg: TransformerConfig,
-           train: bool = False, dropout_rng=None):
-    """Encoder-only forward: (B, T, F) features -> (states (B, T', d),
-    out_mask (B, T') bool, out_lens (B,)) with T' = ceil(T / subsample)."""
+def frontend(params: dict, feats: jnp.ndarray, frame_mask: jnp.ndarray,
+             frame_lens: jnp.ndarray, mcfg: ModelConfig,
+             tcfg: TransformerConfig, pad_to_multiple: int = 1):
+    """Shared pre-block pipeline: masked normalization -> frame-stacking
+    subsample -> input projection + sinusoidal positions. Reused by the
+    sequence-parallel and MoE encoders (parallel/sequence.py,
+    parallel/moe.py) so the three stay in lockstep.
+
+    Returns (x (B, T', d), out_mask (B, T') bool, out_lens (B,)); T' is
+    additionally padded up to pad_to_multiple (sequence parallelism needs
+    T' divisible by the mesh axis)."""
     dtype = jnp.dtype(mcfg.dtype)
     mask = frame_mask.astype(dtype)
     x = normalize_features(feats.astype(dtype), mask)
@@ -137,10 +143,24 @@ def encode(params: dict, feats: jnp.ndarray, frame_mask: jnp.ndarray,
         x = jnp.pad(x, ((0, 0), (0, Tp - T), (0, 0)))
     To = Tp // s
     x = x.reshape(B, To, s * F)
+    if pad_to_multiple > 1:
+        Ts = -(-To // pad_to_multiple) * pad_to_multiple
+        if Ts != To:
+            x = jnp.pad(x, ((0, 0), (0, Ts - To), (0, 0)))
+        To = Ts
     out_lens = subsampled_lens(frame_lens, s)
     out_mask = (jnp.arange(To)[None, :] < out_lens[:, None])
-
     x = linear(params["input_proj"], x) + _posenc(To, tcfg.d_model, dtype)
+    return x, out_mask, out_lens
+
+
+def encode(params: dict, feats: jnp.ndarray, frame_mask: jnp.ndarray,
+           frame_lens: jnp.ndarray, mcfg: ModelConfig, tcfg: TransformerConfig,
+           train: bool = False, dropout_rng=None):
+    """Encoder-only forward: (B, T, F) features -> (states (B, T', d),
+    out_mask (B, T') bool, out_lens (B,)) with T' = ceil(T / subsample)."""
+    x, out_mask, out_lens = frontend(params, feats, frame_mask, frame_lens,
+                                     mcfg, tcfg)
     n_rngs = tcfg.num_layers * 2 + 1
     rngs = (jax.random.split(dropout_rng, n_rngs)
             if (train and dropout_rng is not None) else [None] * n_rngs)

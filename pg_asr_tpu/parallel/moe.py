@@ -33,9 +33,9 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import Config
-from ..models.bilstm_ctc import init_linear, linear, normalize_features
-from ..models.transformer_ctc import (_init_ln, _layer_norm, _mhsa, _posenc,
-                                      subsampled_lens)
+from ..models.bilstm_ctc import init_linear, linear
+from ..models.transformer_ctc import (_init_ln, _layer_norm, _mhsa,
+                                      frontend)
 from ..ops.ctc import ctc_loss_terms
 from ..ops.features import extract_features
 
@@ -96,17 +96,22 @@ def moe_params_from_dense(params: dict, num_experts: int, key) -> dict:
     return out
 
 
-def _moe_ffn(blk: dict, x: jnp.ndarray, capacity: int):
-    """Switch-routed MoE FFN. x: (B, T, d) -> (out (B, T, d), aux scalar)."""
+def _moe_ffn(blk: dict, x: jnp.ndarray, token_valid: jnp.ndarray,
+             capacity: int):
+    """Switch-routed MoE FFN. x: (B, T, d), token_valid: (B, T) bool —
+    padded frames neither route (they would claim capacity slots ahead of
+    real tokens) nor count in the load-balance statistics.
+    Returns (out (B, T, d), aux scalar)."""
     B, T, d = x.shape
     E = blk["router"]["w"].shape[1]
     N = B * T
     xt = x.reshape(N, d)
+    tv = token_valid.reshape(N).astype(jnp.float32)  # (N,)
     logits = linear(blk["router"], xt).astype(jnp.float32)  # (N, E)
     probs = jax.nn.softmax(logits, axis=-1)
     expert = jnp.argmax(probs, axis=-1)  # (N,)
     gate = jnp.max(probs, axis=-1)  # (N,)
-    onehot = jax.nn.one_hot(expert, E, dtype=jnp.float32)  # (N, E)
+    onehot = jax.nn.one_hot(expert, E, dtype=jnp.float32) * tv[:, None]
 
     # slot within the chosen expert: exclusive cumsum of assignments
     pos = jnp.cumsum(onehot, axis=0) - onehot  # (N, E)
@@ -126,9 +131,11 @@ def _moe_ffn(blk: dict, x: jnp.ndarray, capacity: int):
     out = jnp.einsum("nec,ecd->nd", dispatch, y.astype(jnp.float32))
     out = (out * gate[:, None]).astype(x.dtype).reshape(B, T, d)
 
-    # switch load-balance loss (uniform routing -> 1.0)
-    frac = jnp.mean(onehot, axis=0)          # fraction of tokens per expert
-    mean_p = jnp.mean(probs, axis=0)         # mean router prob per expert
+    # switch load-balance loss over VALID tokens only (uniform -> 1.0)
+    n_valid = jnp.maximum(jnp.sum(tv), 1.0)
+    frac = jnp.sum(onehot, axis=0) / n_valid  # token fraction per expert
+    mean_p = (jnp.sum(probs * tv[:, None], axis=0)
+              / n_valid)                      # mean router prob per expert
     aux = E * jnp.sum(frac * mean_p)
     return out, aux
 
@@ -151,19 +158,9 @@ def make_moe_loss(cfg: Config, num_experts: int, capacity: int,
     def loss_fn(params, wave, num_samples, labels, label_lens):
         feats, mask, frame_lens = extract_features(wave, num_samples,
                                                    cfg.features)
-        dtype = jnp.dtype(cfg.model.dtype)
-        x = normalize_features(feats.astype(dtype), mask.astype(dtype))
-        B, T, F = x.shape
-        sub = tcfg.subsample
-        Tp = -(-T // sub) * sub
-        if Tp != T:
-            x = jnp.pad(x, ((0, 0), (0, Tp - T), (0, 0)))
-        To = Tp // sub
-        x = x.reshape(B, To, sub * F)
-        out_lens = subsampled_lens(frame_lens, sub)
-        out_mask = (jnp.arange(To)[None, :] < out_lens[:, None])
-        x = linear(params["input_proj"], x) + _posenc(To, tcfg.d_model,
-                                                      dtype)
+        # shared with the dense encoder (transformer_ctc.frontend)
+        x, out_mask, out_lens = frontend(params, feats, mask, frame_lens,
+                                         cfg.model, tcfg)
         key_bias = jnp.where(out_mask, 0.0,
                              -1e9).astype(jnp.float32)[:, None, None, :]
         aux_total = jnp.float32(0.0)
@@ -171,7 +168,8 @@ def make_moe_loss(cfg: Config, num_experts: int, capacity: int,
             h = _mhsa(blk, _layer_norm(blk["ln1"], x), key_bias,
                       tcfg.num_heads)
             x = x + h
-            h, aux = _moe_ffn(blk, _layer_norm(blk["ln2"], x), capacity)
+            h, aux = _moe_ffn(blk, _layer_norm(blk["ln2"], x), out_mask,
+                              capacity)
             aux_total = aux_total + aux
             x = x + h
         x = _layer_norm(params["ln_final"], x)

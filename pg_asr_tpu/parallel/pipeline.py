@@ -43,9 +43,8 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import Config
-from ..models.bilstm_ctc import linear, normalize_features
-from ..models.transformer_ctc import (_layer_norm, _mhsa, _posenc,
-                                      subsampled_lens)
+from ..models.bilstm_ctc import linear
+from ..models.transformer_ctc import _layer_norm, _mhsa, frontend
 from ..ops.ctc import ctc_loss_terms
 from ..ops.features import extract_features
 
@@ -121,25 +120,17 @@ def make_pipeline_loss(cfg: Config, mesh: Mesh, num_microbatches: int):
         assert B % M == 0, f"batch {B} not divisible into {M} microbatches"
         mb = B // M
 
-        # frontend for ALL microbatches on every stage: the (cheap) mask /
+        # frontend for ALL microbatches on every stage (shared with the
+        # dense encoder — transformer_ctc.frontend): the (cheap) mask /
         # length products feed every stage's key_bias, and stage 0 consumes
         # the projected activations; the heavy per-tick head+loss below IS
         # gated to the last stage with lax.cond
         feats, mask, frame_lens = extract_features(wave, num_samples,
                                                    cfg.features)
-        dtype = jnp.dtype(cfg.model.dtype)
-        x = normalize_features(feats.astype(dtype), mask.astype(dtype))
-        Bt, T, F = x.shape
-        sub = tcfg.subsample
-        Tp = -(-T // sub) * sub
-        if Tp != T:
-            x = jnp.pad(x, ((0, 0), (0, Tp - T), (0, 0)))
-        To = Tp // sub
-        x = x.reshape(Bt, To, sub * F)
-        out_lens = subsampled_lens(frame_lens, sub)
-        out_mask = (jnp.arange(To)[None, :] < out_lens[:, None])
-        x = linear(pparams["input_proj"], x) + _posenc(To, tcfg.d_model,
-                                                       dtype)
+        x, out_mask, out_lens = frontend(pparams, feats, mask, frame_lens,
+                                         cfg.model, tcfg)
+        dtype = x.dtype
+        To = x.shape[1]
         key_bias = jnp.where(out_mask, 0.0,
                              -1e9).astype(jnp.float32)[:, None, None, :]
         # microbatch views (M, mb, ...)

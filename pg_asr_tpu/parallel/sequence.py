@@ -26,8 +26,8 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..config import Config
-from ..models.bilstm_ctc import linear, normalize_features
-from ..models.transformer_ctc import (_layer_norm, _posenc, subsampled_lens)
+from ..models.bilstm_ctc import linear
+from ..models.transformer_ctc import _layer_norm, frontend
 from ..ops.ctc import ctc_loss_terms
 from ..ops.features import extract_features
 
@@ -70,27 +70,15 @@ def make_sequence_parallel_loss(cfg: Config, mesh: Mesh):
 
     def local(params, wave, num_samples, labels, label_lens):
         s_idx = jax.lax.axis_index("seq")
-        # replicated frontend (identical on every device)
+        # replicated frontend (identical on every device; shared with the
+        # dense encoder — transformer_ctc.frontend), T' padded to S, then
+        # this device slices its time chunk
         feats, mask, frame_lens = extract_features(wave, num_samples,
                                                    cfg.features)
-        dtype = jnp.dtype(cfg.model.dtype)
-        x = normalize_features(feats.astype(dtype), mask.astype(dtype))
-        B, T, F = x.shape
-        sub = tcfg.subsample
-        Tp = -(-T // sub) * sub
-        if Tp != T:
-            x = jnp.pad(x, ((0, 0), (0, Tp - T), (0, 0)))
-        To = Tp // sub
-        x = x.reshape(B, To, sub * F)
-        out_lens = subsampled_lens(frame_lens, sub)
-        # pad T' to a multiple of S, then slice this device's chunk
-        Ts = -(-To // S) * S
-        if Ts != To:
-            x = jnp.pad(x, ((0, 0), (0, Ts - To), (0, 0)))
-        out_mask = (jnp.arange(Ts)[None, :] < out_lens[:, None])
-        x = linear(params["input_proj"], x) + _posenc(Ts, tcfg.d_model,
-                                                      dtype)
-        T_loc = Ts // S
+        x, out_mask, out_lens = frontend(params, feats, mask, frame_lens,
+                                         cfg.model, tcfg,
+                                         pad_to_multiple=S)
+        T_loc = x.shape[1] // S
         x = jax.lax.dynamic_slice_in_dim(x, s_idx * T_loc, T_loc, axis=1)
 
         key_bias = jnp.where(out_mask, 0.0,

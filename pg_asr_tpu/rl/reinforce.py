@@ -249,6 +249,18 @@ def finetune_pg(corpus_path: str, model_path: str, num_steps: int = 200,
     opt_state = optimizer.init(params)
     params = replicate(params, mesh)
     opt_state = replicate(opt_state, mesh)
+    # EMA-trained models: load_model handed us the AVERAGED weights; keep
+    # maintaining the average through the PG steps so the checkpoints stay
+    # loadable by predict/stream (which expect ema_params when
+    # cfg.train.ema_decay > 0)
+    use_ema = cfg.train.ema_decay > 0.0
+    if use_ema:
+        import jax.numpy as jnp
+
+        from ..train import _ema_update
+
+        ema_params = replicate(jax.tree_util.tree_map(
+            lambda x: jnp.array(x, copy=True), params), mesh)
     pg_step = make_pg_step(cfg, optimizer, mesh)
     ckpt = CheckpointManager(model_path)
     logger = StepLogger(model_path)
@@ -265,6 +277,9 @@ def finetune_pg(corpus_path: str, model_path: str, num_steps: int = 200,
                 (batch.wave, batch.num_samples, batch.labels, batch.label_lens), mesh)
             params, opt_state, rng, loss, metrics = pg_step(
                 params, opt_state, rng, *arrays)
+            if use_ema:
+                ema_params = _ema_update(ema_params, params,
+                                         cfg.train.ema_decay)
             step += 1
             rewards.append(float(metrics["reward_mean"]))
             if step % 10 == 0 and proc == 0:
@@ -276,9 +291,11 @@ def finetune_pg(corpus_path: str, model_path: str, num_steps: int = 200,
 
     if proc == 0:  # params replicated: only the main process writes artifacts
         np.save(os.path.join(model_path, "pg_rewards.npy"), np.array(rewards))
-        ckpt.save({"params": params, "opt_state": opt_state, "step": step,
-                   "epoch": -1, "best_val_loss": ckpt.best_val},
-                  val_loss=-float(np.mean(rewards[-10:])))
+        state = {"params": params, "opt_state": opt_state, "step": step,
+                 "epoch": -1, "best_val_loss": ckpt.best_val}
+        if use_ema:
+            state["ema_params"] = ema_params
+        ckpt.save(state, val_loss=-float(np.mean(rewards[-10:])))
         print(f"[pg] {step} steps, final reward {np.mean(rewards[-10:]):.4f} "
               f"({time.time()-t0:.1f}s)")
     return {"rewards": rewards, "params": params, "config": cfg}

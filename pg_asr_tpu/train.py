@@ -326,13 +326,22 @@ def train(corpus_path: str, model_path: str, num_epochs: int | None = None,
     # and fail restore with an opaque shape mismatch
     prev_cfg_path = os.path.join(model_path, "config.json")
     if resume and os.path.exists(prev_cfg_path):
-        prev_units = Config.from_json(
-            open(prev_cfg_path).read()).text.units
-        if prev_units != cfg.text.units:
-            print(f"[train] resuming with text.units={prev_units!r} from "
-                  "the checkpoint's config.json")
+        prev_cfg = Config.from_json(open(prev_cfg_path).read())
+        if prev_cfg.text.units != cfg.text.units:
+            print(f"[train] resuming with text.units="
+                  f"{prev_cfg.text.units!r} from the checkpoint's "
+                  "config.json")
             cfg = cfg.replace(text=cfg.text.__class__(
-                **{**cfg.text.__dict__, "units": prev_units}))
+                **{**cfg.text.__dict__, "units": prev_cfg.text.units}))
+        if cfg.train.ema_decay == 0.0 and prev_cfg.train.ema_decay > 0.0:
+            # a resume command without --ema_decay must not silently drop
+            # the EMA state the best checkpoint was selected on
+            print(f"[train] resuming with ema_decay="
+                  f"{prev_cfg.train.ema_decay} from the checkpoint's "
+                  "config.json")
+            cfg = cfg.replace(train=cfg.train.__class__(
+                **{**cfg.train.__dict__,
+                   "ema_decay": prev_cfg.train.ema_decay}))
     alphabet = load_tokenizer(corpus_path, cfg.text.units)
     if cfg.model.vocab_size != alphabet.size or cfg.model.input_dim != cfg.features.feature_dim:
         cfg = cfg.replace(model=cfg.model.__class__(**{
@@ -430,7 +439,24 @@ def train(corpus_path: str, model_path: str, num_epochs: int | None = None,
     train_losses: list[float] = []
     val_losses: list[float] = []
     if resume:
-        restored = ckpt.try_restore(state_tpl)
+        try:
+            restored = ckpt.try_restore(state_tpl)
+        except ValueError as e:
+            if use_ema and "ema_params" in str(e):
+                # checkpoint predates EMA being enabled: restore the rest
+                # and start the average fresh from the restored params
+                restored = ckpt.try_restore(
+                    {k: v for k, v in state_tpl.items()
+                     if k != "ema_params"})
+                if restored is not None:
+                    restored["ema_params"] = jax.tree_util.tree_map(
+                        lambda x: jnp.array(x, copy=True),
+                        restored["params"])
+                    print("[train] checkpoint has no EMA state - "
+                          "initializing the average from the restored "
+                          "params")
+            else:
+                raise
         if restored is not None:
             params, opt_state = restored["params"], restored["opt_state"]
             if use_ema:

@@ -154,3 +154,38 @@ def test_ema_weights(tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(served),
                     jax.tree_util.tree_leaves(state["ema_params"])):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_ema_enabled_mid_training_and_pg_roundtrip(tmp_path):
+    """Two checkpoint-compat regressions: (1) resuming WITH --ema_decay on a
+    checkpoint saved without EMA starts the average fresh instead of
+    crashing; (2) finetune_pg on an EMA-trained model keeps ema_params in
+    its checkpoints so predict stays loadable."""
+    from pg_asr_tpu.data.dataset import make_synthetic_corpus
+    from pg_asr_tpu.predict import load_model, predict
+    from pg_asr_tpu.rl.reinforce import finetune_pg
+    from pg_asr_tpu.data.text import Alphabet
+    from pg_asr_tpu.train import train
+
+    corpus = str(tmp_path / "corpus")
+    model = str(tmp_path / "model")
+    make_synthetic_corpus(corpus, n_utts=8, seed=22, min_dur=0.2,
+                          max_dur=0.4)
+
+    # epoch 1 without EMA, then resume with EMA enabled
+    train(corpus, model, config=tiny_config(num_epochs=1), resume=False)
+    out = train(corpus, model,
+                config=tiny_config(num_epochs=2, ema_decay=0.7))
+    assert np.isfinite(out["train_losses"]).all()
+
+    # PG fine-tune must preserve ema_params through its checkpoint save
+    finetune_pg(corpus, model, num_steps=2, batch_size=4,
+                config=tiny_config(num_epochs=2, ema_decay=0.7))
+    alphabet = Alphabet.load(os.path.join(corpus, "alphabet.txt"))
+    served, cfg = load_model(model, alphabet, which="last")
+    assert cfg.train.ema_decay == 0.7
+    stats = predict(os.path.join(corpus, "test.tsv"),
+                    os.path.join(corpus, "clips"),
+                    os.path.join(corpus, "alphabet.txt"),
+                    model, batch_size=4, which_ckpt="last")
+    assert stats["num_utts"] >= 1
