@@ -89,6 +89,11 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["loss", "cer"],
                    help="train: select the best checkpoint on validation "
                         "loss (reference parity) or greedy-decode CER")
+    p.add_argument("--save_every_steps", type=int, default=None,
+                   help="train: also checkpoint model_last every N steps "
+                        "WITHIN an epoch; resume replays the interrupted "
+                        "epoch's batch order from the next batch "
+                        "(preemption safety)")
     p.add_argument("--ema_decay", type=float, default=None,
                    help="train: exponential moving average of the params "
                         "(validation/predict use the averaged weights; "
@@ -163,6 +168,8 @@ def _config(args, from_model_path: bool = False):
         tr["val_metric"] = args.val_metric
     if getattr(args, "ema_decay", None) is not None:
         tr["ema_decay"] = args.ema_decay
+    if getattr(args, "save_every_steps", None):
+        tr["save_every_steps"] = args.save_every_steps
     cfg = cfg.replace(train=cfg.train.__class__(**tr))
     return cfg
 

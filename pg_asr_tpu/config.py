@@ -205,6 +205,11 @@ class TrainConfig:
     # "loss" (reference parity: best checkpoint on val loss) | "cer" (decode
     # the dev set each validation pass and select on corpus CER)
     val_metric: str = "loss"
+    # > 0: also save model_last every N steps WITHIN an epoch, recording the
+    # batch position; resume replays the interrupted epoch's exact batch
+    # order and continues from the next batch (preemption safety for long
+    # epochs — the reference loses the whole run, SURVEY §5)
+    save_every_steps: int = 0
     # > 0: maintain an exponential moving average of the parameters
     # (ema = d*ema + (1-d)*params after every step); validation, best-
     # checkpoint selection, and predict then use the EMA weights

@@ -173,6 +173,7 @@ class BatchIterator:
         self.loader = loader or default_loader
         self._cache: dict[str, np.ndarray] = {}
         self._epoch = 0
+        self._skip_next = 0  # batches to drop at the next epoch (resume)
 
     def _load(self, utt: Utterance) -> np.ndarray:
         w = self._cache.get(utt.audio_path)
@@ -205,8 +206,38 @@ class BatchIterator:
         if self.shuffle:
             self.rng.shuffle(chunks)
         self._epoch += 1
+        if self._skip_next:
+            chunks = chunks[self._skip_next:]
+            self._skip_next = 0
         for chunk in chunks:
             yield self._make_batch([self.utts[i] for i in chunk])
+
+    def num_batches(self) -> int:
+        n = len(self.utts)
+        c = -(-n // self.batch_size)
+        if self.drop_remainder and n % self.batch_size:
+            c -= 1
+        return c
+
+    def skip_epochs(self, k: int) -> None:
+        """Advance the shuffle RNG past k epochs without building batches.
+
+        The per-epoch batch order is a pure function of (seed, epoch index):
+        each epoch draws exactly one rng.shuffle of the chunk list, whose
+        stream consumption depends only on its LENGTH. Mid-epoch resume
+        (train.save_every_steps) replays the interrupted epoch's exact
+        order by skipping the completed epochs here and the completed
+        batches via skip_batches()."""
+        c = self.num_batches()
+        for _ in range(k):
+            if self.shuffle:
+                self.rng.shuffle(list(range(c)))
+            self._epoch += 1
+
+    def skip_batches(self, n: int) -> None:
+        """Drop the first n batches of the NEXT epoch (they were consumed
+        before the interruption) without loading their audio."""
+        self._skip_next = int(n)
 
     def _ensure_len(self, i: int) -> int:
         u = self.utts[i]

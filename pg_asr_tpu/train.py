@@ -307,7 +307,7 @@ def _val_cer(params, dev_it, cfg: Config, alphabet, cap=None) -> float:
 def train(corpus_path: str, model_path: str, num_epochs: int | None = None,
           batch_size: int | None = None, device=None, config: Config | None = None,
           resume: bool = True, max_steps_per_epoch: int | None = None,
-          profile_steps: int = 0) -> dict:
+          profile_steps: int = 0, stop_after_steps: int | None = None) -> dict:
     """Train a BiLSTM-CTC model on a corpus directory (train.tsv / dev.tsv /
     clips/ / alphabet.txt — the layout the reference consumes).
 
@@ -371,7 +371,7 @@ def train(corpus_path: str, model_path: str, num_epochs: int | None = None,
 
     train_manifest = load_manifest(os.path.join(corpus_path, "train.tsv"), aud_path)
     train_cap = _host_cap(len(train_manifest))
-    train_it = BatchIterator(
+    train_it_base = train_it = BatchIterator(
         train_manifest, alphabet, per_host_bs,
         sample_rate=cfg.features.sample_rate,
         seed=cfg.train.seed, shard_index=proc, shard_count=nproc)
@@ -433,35 +433,48 @@ def train(corpus_path: str, model_path: str, num_epochs: int | None = None,
         ckpt.save_config(cfg.to_json())
     start_epoch = 1
     state_tpl = {"params": params, "opt_state": opt_state, "step": 0,
-                 "epoch": 0, "best_val_loss": float("inf")}
+                 "epoch": 0, "batches_done": 0,
+                 "best_val_loss": float("inf")}
     if use_ema:
         state_tpl["ema_params"] = ema_params
     train_losses: list[float] = []
     val_losses: list[float] = []
+    step = 0
+    resume_skip_batches = 0
     if resume:
-        try:
-            restored = ckpt.try_restore(state_tpl)
-        except ValueError as e:
-            if use_ema and "ema_params" in str(e):
-                # checkpoint predates EMA being enabled: restore the rest
-                # and start the average fresh from the restored params
-                restored = ckpt.try_restore(
-                    {k: v for k, v in state_tpl.items()
-                     if k != "ema_params"})
-                if restored is not None:
-                    restored["ema_params"] = jax.tree_util.tree_map(
-                        lambda x: jnp.array(x, copy=True),
-                        restored["params"])
-                    print("[train] checkpoint has no EMA state - "
-                          "initializing the average from the restored "
-                          "params")
-            else:
-                raise
+        # optional keys absent from older checkpoints restore with defaults
+        tpl = dict(state_tpl)
+        while True:
+            try:
+                restored = ckpt.try_restore(tpl)
+                break
+            except ValueError as e:
+                drop = [k for k in ("ema_params", "batches_done")
+                        if k in tpl and k in str(e)]
+                if not drop:
+                    raise
+                for k in drop:
+                    del tpl[k]
         if restored is not None:
+            if use_ema and "ema_params" not in restored:
+                # checkpoint predates EMA being enabled: start the average
+                # fresh from the restored params
+                restored["ema_params"] = jax.tree_util.tree_map(
+                    lambda x: jnp.array(x, copy=True), restored["params"])
+                print("[train] checkpoint has no EMA state - initializing "
+                      "the average from the restored params")
             params, opt_state = restored["params"], restored["opt_state"]
             if use_ema:
                 ema_params = restored["ema_params"]
-            start_epoch = int(restored["epoch"]) + 1
+            step = int(restored["step"])
+            bd = int(restored.get("batches_done", 0))
+            if bd > 0:
+                # mid-epoch checkpoint: re-enter the interrupted epoch at
+                # the next batch, with the SAME shuffled order
+                start_epoch = int(restored["epoch"])
+                resume_skip_batches = bd
+            else:
+                start_epoch = int(restored["epoch"]) + 1
             # continue the loss-curve artifacts across the interruption
             # instead of overwriting them with only the new epochs
             for name, dst in (("train_loss.npy", train_losses),
@@ -469,8 +482,14 @@ def train(corpus_path: str, model_path: str, num_epochs: int | None = None,
                 p = os.path.join(model_path, name)
                 if os.path.exists(p):
                     dst.extend(np.load(p).tolist())
-            print(f"[train] resumed from epoch {restored['epoch']} "
-                  f"(best val {ckpt.best_val:.4f})")
+            print(f"[train] resumed from epoch {restored['epoch']}"
+                  + (f" batch {bd}" if bd > 0 else "")
+                  + f" (best val {ckpt.best_val:.4f})")
+            # replay the shuffle stream so the resumed epochs see the same
+            # batch order an uninterrupted run would have
+            train_it_base.skip_epochs(start_epoch - 1)
+            if resume_skip_batches:
+                train_it_base.skip_batches(resume_skip_batches)
 
     params = replicate(params, mesh)
     opt_state = replicate(opt_state, mesh)
@@ -480,10 +499,15 @@ def train(corpus_path: str, model_path: str, num_epochs: int | None = None,
     eval_step = make_eval_step(cfg, mesh)
     logger = StepLogger(model_path)
 
-    step = 0
     tracing = False  # --profile_steps: device trace of steady-state steps
+    save_every = cfg.train.save_every_steps
     for epoch in range(start_epoch, cfg.train.num_epochs + 1):
         epoch_loss, n_batches = 0.0, 0
+        # absolute batch index within the epoch (a resumed mid-epoch pass
+        # starts at its recorded offset; n_batches counts only the batches
+        # THIS process ran, for the loss mean)
+        batch_pos = resume_skip_batches
+        resume_skip_batches = 0
         t0 = time.time()
         for batch in train_it:
             if profile_steps > 0 and step == 2 and not tracing:
@@ -501,14 +525,33 @@ def train(corpus_path: str, model_path: str, num_epochs: int | None = None,
                 print(f"[train] device trace written to {model_path}/trace")
             step += 1
             n_batches += 1
+            batch_pos += 1
             loss_val = float(loss)
             epoch_loss += loss_val
             if is_main and step % cfg.train.log_every == 0:
                 logger.log(step=step, epoch=epoch, loss=loss_val,
                            utts_per_sec=batch.size * n_batches / (time.time() - t0))
+            if save_every and is_main and batch_pos % save_every == 0:
+                # preemption safety: model_last mid-epoch, with the batch
+                # position so resume continues at the NEXT batch of the
+                # same shuffled order
+                mid = {"params": params, "opt_state": opt_state,
+                       "step": step, "epoch": epoch,
+                       "batches_done": batch_pos,
+                       "best_val_loss": ckpt.best_val}
+                if use_ema:
+                    mid["ema_params"] = ema_params
+                ckpt.save(mid)
+            if stop_after_steps and step >= stop_after_steps:
+                # preemption-simulation hook (tests): vanish mid-epoch
+                return {"train_losses": train_losses,
+                        "val_losses": val_losses, "steps": step,
+                        "best_path": ckpt.best_path,
+                        "last_path": ckpt.last_path, "config": cfg,
+                        "alphabet": alphabet, "params": params}
             if max_steps_per_epoch and n_batches >= max_steps_per_epoch:
                 break
-            if train_cap is not None and n_batches >= train_cap:
+            if train_cap is not None and batch_pos >= train_cap:
                 break  # keep collective step counts equal across hosts
         if tracing:  # epoch shorter than the trace window
             jax.profiler.stop_trace()
@@ -556,7 +599,8 @@ def train(corpus_path: str, model_path: str, num_epochs: int | None = None,
             else:
                 select = cur_val if cur_val is not None else mean_train
             state = {"params": params, "opt_state": opt_state, "step": step,
-                     "epoch": epoch, "best_val_loss": ckpt.best_val}
+                     "epoch": epoch, "batches_done": 0,
+                     "best_val_loss": ckpt.best_val}
             if use_ema:
                 state["ema_params"] = ema_params
             is_best = ckpt.save(state, val_loss=select)

@@ -189,3 +189,68 @@ def test_ema_enabled_mid_training_and_pg_roundtrip(tmp_path):
                     os.path.join(corpus, "alphabet.txt"),
                     model, batch_size=4, which_ckpt="last")
     assert stats["num_utts"] >= 1
+
+
+def test_mid_epoch_checkpoint_resume_is_exact(tmp_path):
+    """save_every_steps + interruption mid-epoch: the resumed run must
+    replay the interrupted epoch's shuffled batch order from the next
+    batch, ending with THE SAME params and val losses as an uninterrupted
+    run (dropout=0 => fully deterministic)."""
+    from pg_asr_tpu.checkpoint import load_checkpoint
+    from pg_asr_tpu.data.dataset import make_synthetic_corpus
+    from pg_asr_tpu.train import train
+
+    corpus = str(tmp_path / "corpus")
+    make_synthetic_corpus(corpus, n_utts=8, seed=30, min_dur=0.2,
+                          max_dur=0.4)
+    cfg = tiny_config(num_epochs=3, save_every_steps=1)
+
+    # uninterrupted reference
+    model_a = str(tmp_path / "a")
+    out_a = train(corpus, model_a, config=cfg, resume=False)
+
+    # interrupted during epoch 2 (2 steps/epoch), then resumed
+    model_b = str(tmp_path / "b")
+    train(corpus, model_b, config=cfg, resume=False, stop_after_steps=3)
+    tpl = {"epoch": 0, "batches_done": 0}
+    state = load_checkpoint(os.path.join(model_b, "model_last.ckpt"),
+                            {"params": out_a["params"], **tpl})
+    assert state["epoch"] == 2 and state["batches_done"] == 1
+    out_b = train(corpus, model_b, config=cfg)  # resume
+
+    np.testing.assert_allclose(out_a["val_losses"], out_b["val_losses"],
+                               rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(out_a["params"]),
+                    jax.tree_util.tree_leaves(out_b["params"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+
+def test_skip_epochs_replays_shuffle_stream():
+    """BatchIterator.skip_epochs(k) must reproduce epoch k+1's exact batch
+    order (the rng stream depends only on the chunk-list length)."""
+    from pg_asr_tpu.data.dataset import BatchIterator, Utterance
+    from pg_asr_tpu.data.text import Alphabet
+
+    alphabet = Alphabet.from_symbols(list("ab"))
+    utts = [Utterance(audio_path=f"u{i}", text="a", num_samples=100 + i)
+            for i in range(10)]
+
+    def order_of_epoch(it):
+        return [tuple(b.texts) if False else tuple(
+            int(n) for n in b.num_samples) for b in it]
+
+    def loader(path):
+        i = int(path[1:])
+        return np.zeros(100 + i, np.float32), 16000
+
+    it1 = BatchIterator(utts, alphabet, 3, seed=7, loader=loader)
+    orders = [order_of_epoch(it1) for _ in range(3)]
+
+    it2 = BatchIterator(utts, alphabet, 3, seed=7, loader=loader)
+    it2.skip_epochs(2)
+    np.testing.assert_equal(order_of_epoch(it2), orders[2])
+
+    it3 = BatchIterator(utts, alphabet, 3, seed=7, loader=loader)
+    it3.skip_epochs(1)
+    it3.skip_batches(2)
+    np.testing.assert_equal(order_of_epoch(it3), orders[1][2:])
