@@ -168,7 +168,9 @@ def _config(args, from_model_path: bool = False):
         tr["val_metric"] = args.val_metric
     if getattr(args, "ema_decay", None) is not None:
         tr["ema_decay"] = args.ema_decay
-    if getattr(args, "save_every_steps", None):
+    if getattr(args, "save_every_steps", None) is not None:
+        if args.save_every_steps < 0:
+            raise SystemExit("--save_every_steps must be >= 0")
         tr["save_every_steps"] = args.save_every_steps
     cfg = cfg.replace(train=cfg.train.__class__(**tr))
     return cfg

@@ -212,13 +212,6 @@ class BatchIterator:
         for chunk in chunks:
             yield self._make_batch([self.utts[i] for i in chunk])
 
-    def num_batches(self) -> int:
-        n = len(self.utts)
-        c = -(-n // self.batch_size)
-        if self.drop_remainder and n % self.batch_size:
-            c -= 1
-        return c
-
     def skip_epochs(self, k: int) -> None:
         """Advance the shuffle RNG past k epochs without building batches.
 
@@ -228,7 +221,7 @@ class BatchIterator:
         (train.save_every_steps) replays the interrupted epoch's exact
         order by skipping the completed epochs here and the completed
         batches via skip_batches()."""
-        c = self.num_batches()
+        c = len(self)  # the same count __iter__ shuffles
         for _ in range(k):
             if self.shuffle:
                 self.rng.shuffle(list(range(c)))

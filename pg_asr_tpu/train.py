@@ -468,12 +468,22 @@ def train(corpus_path: str, model_path: str, num_epochs: int | None = None,
                 ema_params = restored["ema_params"]
             step = int(restored["step"])
             bd = int(restored.get("batches_done", 0))
-            if bd > 0:
+            # effective batches per epoch under the current run settings
+            epoch_len = len(train_it_base)
+            if max_steps_per_epoch:
+                epoch_len = min(epoch_len, max_steps_per_epoch)
+            if train_cap is not None:
+                epoch_len = min(epoch_len, train_cap)
+            if 0 < bd < epoch_len:
                 # mid-epoch checkpoint: re-enter the interrupted epoch at
                 # the next batch, with the SAME shuffled order
                 start_epoch = int(restored["epoch"])
                 resume_skip_batches = bd
             else:
+                # bd == epoch_len: the epoch's steps all ran and only the
+                # validation/epoch-end bookkeeping was lost — replaying a
+                # ZERO-batch epoch would append a 0.0 train loss and (with
+                # no dev set) falsely promote model_best at 0.0
                 start_epoch = int(restored["epoch"]) + 1
             # continue the loss-curve artifacts across the interruption
             # instead of overwriting them with only the new epochs
@@ -500,6 +510,7 @@ def train(corpus_path: str, model_path: str, num_epochs: int | None = None,
     logger = StepLogger(model_path)
 
     tracing = False  # --profile_steps: device trace of steady-state steps
+    run_steps = 0  # steps run by THIS process (vs `step`, which resumes)
     save_every = cfg.train.save_every_steps
     for epoch in range(start_epoch, cfg.train.num_epochs + 1):
         epoch_loss, n_batches = 0.0, 0
@@ -510,8 +521,17 @@ def train(corpus_path: str, model_path: str, num_epochs: int | None = None,
         resume_skip_batches = 0
         t0 = time.time()
         for batch in train_it:
-            if profile_steps > 0 and step == 2 and not tracing:
+            # stop BEFORE running the step: a resumed batch_pos may already
+            # sit at the cap, and training one extra batch would diverge
+            # from the uninterrupted run
+            if max_steps_per_epoch and n_batches >= max_steps_per_epoch:
+                break
+            if train_cap is not None and batch_pos >= train_cap:
+                break  # keep collective step counts equal across hosts
+            if profile_steps > 0 and run_steps == 2 and not tracing:
                 # skip compile (step 0) + first steady step, then trace
+                # (run_steps counts THIS process's steps, so profiling
+                # works on resumed runs where `step` continues)
                 jax.profiler.start_trace(os.path.join(model_path, "trace"))
                 tracing = True
             arrays = shard_batch_arrays(_batch_arrays(batch), mesh)
@@ -519,11 +539,12 @@ def train(corpus_path: str, model_path: str, num_epochs: int | None = None,
             if use_ema:
                 ema_params = _ema_update(ema_params, params,
                                          cfg.train.ema_decay)
-            if tracing and step >= 2 + profile_steps:
+            if tracing and run_steps >= 2 + profile_steps:
                 jax.profiler.stop_trace()
                 tracing = False
                 print(f"[train] device trace written to {model_path}/trace")
             step += 1
+            run_steps += 1
             n_batches += 1
             batch_pos += 1
             loss_val = float(loss)
@@ -549,10 +570,6 @@ def train(corpus_path: str, model_path: str, num_epochs: int | None = None,
                         "best_path": ckpt.best_path,
                         "last_path": ckpt.last_path, "config": cfg,
                         "alphabet": alphabet, "params": params}
-            if max_steps_per_epoch and n_batches >= max_steps_per_epoch:
-                break
-            if train_cap is not None and batch_pos >= train_cap:
-                break  # keep collective step counts equal across hosts
         if tracing:  # epoch shorter than the trace window
             jax.profiler.stop_trace()
             tracing = False

@@ -236,8 +236,7 @@ def test_skip_epochs_replays_shuffle_stream():
             for i in range(10)]
 
     def order_of_epoch(it):
-        return [tuple(b.texts) if False else tuple(
-            int(n) for n in b.num_samples) for b in it]
+        return [tuple(int(n) for n in b.num_samples) for b in it]
 
     def loader(path):
         i = int(path[1:])
@@ -254,3 +253,27 @@ def test_skip_epochs_replays_shuffle_stream():
     it3.skip_epochs(1)
     it3.skip_batches(2)
     np.testing.assert_equal(order_of_epoch(it3), orders[1][2:])
+
+
+def test_resume_after_last_batch_mid_save_skips_completed_epoch(tmp_path):
+    """Interruption AFTER an epoch's last step but BEFORE its epoch-end
+    bookkeeping (the validation window): resume must move to the next
+    epoch, not replay a zero-batch epoch that appends train_loss 0.0 and
+    (with no dev set) falsely promotes model_best at 0.0."""
+    from pg_asr_tpu.data.dataset import make_synthetic_corpus
+    from pg_asr_tpu.train import train
+
+    corpus = str(tmp_path / "corpus")
+    make_synthetic_corpus(corpus, n_utts=8, seed=31, min_dur=0.2,
+                          max_dur=0.4)
+    os.remove(os.path.join(corpus, "dev.tsv"))  # no validation: worst case
+    cfg = tiny_config(num_epochs=2, save_every_steps=1)
+    model = str(tmp_path / "model")
+    # 6 train utts / batch 4 = 2 steps/epoch; stop right after epoch 1's
+    # last step - its mid-save recorded batches_done == epoch length
+    train(corpus, model, config=cfg, resume=False, stop_after_steps=2)
+    out = train(corpus, model, config=cfg)  # resume
+    losses = np.load(os.path.join(model, "train_loss.npy"))
+    assert len(losses) == 1 and losses[0] > 0  # epoch 2 only, no 0.0 entry
+    # the promoted best is epoch 2's real mean, not a bogus 0.0
+    assert out["train_losses"][-1] > 0
