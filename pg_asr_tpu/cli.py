@@ -50,9 +50,24 @@ def build_parser() -> argparse.ArgumentParser:
                    help="preproc: build corpus manifests + alphabet from a "
                         "LibriSpeech tree (train-*/dev-*/test-* subdirs) "
                         "into --corpus_path")
+    p.add_argument("--mesh", type=str, default=None,
+                   help="train: device mesh spec, e.g. data=8 | "
+                        "data=2,model=2 | data=2,pipe=2 | data=2,seq=2 | "
+                        "data=2,expert=2 — 'data' composes with any one "
+                        "other axis; the step routes through the matching "
+                        "strategy (parallel/driver.py)")
+    p.add_argument("--microbatches", type=int, default=None,
+                   help="train with a pipe axis: microbatches per batch "
+                        "(default: the pipe axis size)")
+    p.add_argument("--moe_experts", type=int, default=None,
+                   help="transformer family: replace the dense FFNs with a "
+                        "switch-MoE of N experts (shard with "
+                        "--mesh ...,expert=K)")
+    p.add_argument("--capacity_factor", type=float, default=None,
+                   help="MoE: expert capacity = tokens/experts * factor")
     p.add_argument("--model", type=str, default=None,
                    choices=["ctc", "transformer", "conformer", "transducer",
-                            "seq2seq"],
+                            "seq2seq", "moe"],
                    help="model family (default ctc; transformer/conformer = "
                         "the non-recurrent CTC encoders; transducer = RNN-T "
                         "with a streaming-capable encoder backbone; seq2seq "
@@ -134,8 +149,21 @@ def _config(args, from_model_path: bool = False):
             with open(cfg_path) as f:
                 cfg = Config.from_json(f.read())
     if getattr(args, "model", None):
+        family = args.model
+        if family == "moe":
+            # "moe" is the transformer family with switch-MoE FFN blocks
+            family = "transformer"
+            if getattr(args, "moe_experts", None) is None:
+                args.moe_experts = 4
         cfg = cfg.replace(model=cfg.model.__class__(
-            **{**cfg.model.__dict__, "family": args.model}))
+            **{**cfg.model.__dict__, "family": family}))
+    if getattr(args, "moe_experts", None) is not None:
+        cfg = cfg.replace(transformer=cfg.transformer.__class__(
+            **{**cfg.transformer.__dict__, "num_experts": args.moe_experts}))
+    if getattr(args, "capacity_factor", None) is not None:
+        cfg = cfg.replace(transformer=cfg.transformer.__class__(
+            **{**cfg.transformer.__dict__,
+               "capacity_factor": args.capacity_factor}))
     if getattr(args, "transducer_encoder", None):
         cfg = cfg.replace(transducer=cfg.transducer.__class__(
             **{**cfg.transducer.__dict__, "encoder": args.transducer_encoder}))
@@ -172,6 +200,19 @@ def _config(args, from_model_path: bool = False):
         if args.save_every_steps < 0:
             raise SystemExit("--save_every_steps must be >= 0")
         tr["save_every_steps"] = args.save_every_steps
+    if getattr(args, "mesh", None):
+        from .parallel.driver import parse_mesh_spec
+
+        try:
+            shape, axes = parse_mesh_spec(args.mesh)
+        except ValueError as e:
+            raise SystemExit(f"--mesh: {e}")
+        tr["mesh_shape"] = shape
+        tr["mesh_axes"] = axes
+    if getattr(args, "microbatches", None) is not None:
+        if args.microbatches < 1:
+            raise SystemExit("--microbatches must be >= 1")
+        tr["pipeline_microbatches"] = args.microbatches
     cfg = cfg.replace(train=cfg.train.__class__(**tr))
     return cfg
 

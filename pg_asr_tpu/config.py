@@ -106,6 +106,12 @@ class TransformerConfig:
     # char-level CTC needs T' >= 2*label_len+1; at 12.5ms/frame (hop 200)
     # subsample=2 keeps ~40 output frames/sec — safe for character targets
     subsample: int = 2
+    # > 0: replace every block's dense FFN with a switch-routed
+    # Mixture-of-Experts FFN of this many experts (parallel/moe.py); the
+    # expert axis shards over an ('expert',) mesh axis (--mesh)
+    num_experts: int = 0
+    capacity_factor: float = 1.25  # expert capacity = tokens/E * factor
+    moe_aux_weight: float = 0.01  # load-balance auxiliary loss weight
 
 
 @dataclass(frozen=True)
@@ -221,8 +227,14 @@ class TrainConfig:
     log_every: int = 10
     eval_every_epochs: int = 1
     prefetch_depth: int = 2  # host batches built ahead of the device (0 = off)
+    # device mesh for the training step; the CLI surfaces this as
+    # --mesh data=2,pipe=2 (parallel/driver.py routes the step through the
+    # data/model/pipe/seq/expert strategy libraries per the live axes)
     mesh_shape: tuple[int, ...] = ()  # () -> all devices on 'data'
     mesh_axes: tuple[str, ...] = ("data",)
+    # pipeline parallelism: microbatches per global batch (0 -> the pipe
+    # axis size; the GPipe bubble fraction is (S-1)/(M+S-1))
+    pipeline_microbatches: int = 0
 
 
 @dataclass(frozen=True)

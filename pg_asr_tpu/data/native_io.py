@@ -41,13 +41,21 @@ def _build() -> bool:
         return False
 
 
+def _stale() -> bool:
+    """A .so older than its source must be rebuilt — a stale (or
+    foreign-platform) binary would silently serve outdated semantics."""
+    src = os.path.join(_NATIVE_DIR, "pgasr_io.cpp")
+    return (os.path.exists(src) and os.path.exists(_SO_PATH)
+            and os.path.getmtime(src) > os.path.getmtime(_SO_PATH))
+
+
 def _load():
     global _lib, _tried
     with _lock:
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        if not os.path.exists(_SO_PATH) and not _build():
+        if (not os.path.exists(_SO_PATH) or _stale()) and not _build():
             return None
         try:
             lib = ctypes.CDLL(_SO_PATH)

@@ -28,6 +28,11 @@ def acoustic_forward(params, feats, frame_mask, frame_lens, cfg,
     """CTC-family forward: (B,T,F) feats -> (log_probs (B,T',A),
     out_mask (B,T') f32, out_lens (B,)). T' == T for the BiLSTM family."""
     if cfg.model.family == "transformer":
+        if cfg.transformer.num_experts > 0:
+            from ..parallel.moe import moe_apply
+
+            return moe_apply(params, feats, frame_mask, frame_lens, cfg,
+                             train=train, dropout_rng=dropout_rng)
         from . import transformer_ctc
 
         return transformer_ctc.apply(params, feats, frame_mask, frame_lens,

@@ -58,13 +58,20 @@ def make_mesh(shape: tuple[int, ...] = (), axes: tuple[str, ...] = ("data",),
     devices = devices if devices is not None else jax.devices()
     if not shape:
         shape = (len(devices),) + (1,) * (len(axes) - 1)
-    dev_array = np.asarray(devices[: int(np.prod(shape))]).reshape(shape)
+    need = int(np.prod(shape))
+    if need > len(devices):
+        raise ValueError(
+            f"mesh {dict(zip(axes, shape))} needs {need} devices, "
+            f"only {len(devices)} available")
+    dev_array = np.asarray(devices[:need]).reshape(shape)
     return Mesh(dev_array, axes)
 
 
 def data_sharding(mesh: Mesh) -> NamedSharding:
-    """Batch-dim sharding over the 'data' axis."""
-    return NamedSharding(mesh, P("data"))
+    """Batch-dim sharding over the 'data' axis (replicated on meshes
+    without one, e.g. a pure ('pipe',) mesh)."""
+    spec = P("data") if "data" in mesh.axis_names else P()
+    return NamedSharding(mesh, spec)
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
@@ -95,23 +102,27 @@ def pad_batch_to_multiple(arrays: tuple[np.ndarray, ...], multiple: int):
     return tuple(out)
 
 
-def shard_batch_arrays(arrays, mesh: Mesh):
+def shard_batch_arrays(arrays, mesh: Mesh, batch_multiple: int | None = None):
     """Host numpy batch arrays -> device arrays sharded on 'data'.
 
     Single-host: one device_put of the global batch. Multi-host: each
     process passes its PROCESS-LOCAL slice of the batch (feed each host
     1/process_count of the rows — see dataset.BatchIterator's shard
     arguments) and the global array is assembled without any cross-host
-    data movement (jax.make_array_from_process_local_data)."""
+    data movement (jax.make_array_from_process_local_data).
+
+    batch_multiple overrides the zero-row padding multiple (the pipeline
+    strategy needs data_shards x microbatches rows)."""
     n_data = mesh.shape.get("data", 1)
+    mult = batch_multiple if batch_multiple is not None else n_data
     s = data_sharding(mesh)
     if jax.process_count() > 1:
-        per_proc = max(1, n_data // jax.process_count())
+        per_proc = max(1, mult // jax.process_count())
         arrays = pad_batch_to_multiple(
             tuple(np.asarray(a) for a in arrays), per_proc)
         return tuple(jax.make_array_from_process_local_data(s, a)
                      for a in arrays)
-    arrays = pad_batch_to_multiple(tuple(np.asarray(a) for a in arrays), n_data)
+    arrays = pad_batch_to_multiple(tuple(np.asarray(a) for a in arrays), mult)
     return tuple(jax.device_put(a, s) for a in arrays)
 
 

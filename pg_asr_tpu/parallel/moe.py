@@ -140,6 +140,78 @@ def _moe_ffn(blk: dict, x: jnp.ndarray, token_valid: jnp.ndarray,
     return out, aux
 
 
+def moe_encode(params: dict, feats, frame_mask, frame_lens, cfg: Config,
+               capacity: int, train: bool = False, dropout_rng=None):
+    """Full MoE encoder forward, mirroring transformer_ctc.encode (same
+    frontend, same dropout pattern) with the switch FFN in place of the
+    dense FFN. Returns (x (B,T',d), out_mask, out_lens, aux_mean) where
+    aux_mean is the load-balance loss averaged over blocks."""
+    from ..models.bilstm_ctc import _dropout
+
+    tcfg = cfg.transformer
+    x, out_mask, out_lens = frontend(params, feats, frame_mask, frame_lens,
+                                     cfg.model, tcfg)
+    n_rngs = tcfg.num_layers * 2 + 1
+    rngs = (jax.random.split(dropout_rng, n_rngs)
+            if (train and dropout_rng is not None) else [None] * n_rngs)
+    x = _dropout(x, tcfg.dropout, rngs[0], train)
+
+    key_bias = jnp.where(out_mask, 0.0,
+                         -1e9).astype(jnp.float32)[:, None, None, :]
+    aux_total = jnp.float32(0.0)
+    for i, blk in enumerate(params["blocks"]):
+        h = _mhsa(blk, _layer_norm(blk["ln1"], x), key_bias, tcfg.num_heads)
+        x = x + _dropout(h, tcfg.dropout, rngs[1 + 2 * i], train)
+        h, aux = _moe_ffn(blk, _layer_norm(blk["ln2"], x), out_mask,
+                          capacity)
+        aux_total = aux_total + aux
+        x = x + _dropout(h, tcfg.dropout, rngs[2 + 2 * i], train)
+    x = _layer_norm(params["ln_final"], x)
+    return x, out_mask, out_lens, aux_total / len(params["blocks"])
+
+
+def moe_apply(params: dict, feats, frame_mask, frame_lens, cfg: Config,
+              train: bool = False, dropout_rng=None):
+    """(B,T,F) features -> ((B,T',A) CTC log-probs, out_mask f32,
+    out_lens) — the MoE family's acoustic_forward contract, so every
+    downstream component (greedy/beam decode, CER/WER, REINFORCE) works
+    unchanged."""
+    from ..models.bilstm_ctc import linear as _linear
+
+    B, T, _ = feats.shape
+    cap = moe_capacity(cfg, B, T, cfg.transformer.num_experts,
+                       cfg.transformer.capacity_factor)
+    x, out_mask, out_lens, _ = moe_encode(params, feats, frame_mask,
+                                          frame_lens, cfg, cap, train=train,
+                                          dropout_rng=dropout_rng)
+    logits = _linear(params["ctc_head"], x)
+    log_probs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    omask_f = out_mask.astype(jnp.float32)
+    return log_probs * omask_f[:, :, None], omask_f, out_lens
+
+
+def moe_loss_terms(params, feats, mask, frame_lens, labels, label_lens,
+                   cfg: Config, train: bool = False, dropout_rng=None):
+    """Stacked (num, den) components [ctc, aux] matching the framework's
+    ragged num/den discipline: sum(num/den) = ctc_mean + aux_w * aux_mean,
+    with the aux component token-weighted so cross-shard reductions stay
+    meaningful. Takes FEATURES (post-SpecAugment), not raw waveforms."""
+    B, T, _ = feats.shape
+    tcfg = cfg.transformer
+    cap = moe_capacity(cfg, B, T, tcfg.num_experts, tcfg.capacity_factor)
+    x, out_mask, out_lens, aux = moe_encode(params, feats, mask, frame_lens,
+                                            cfg, cap, train=train,
+                                            dropout_rng=dropout_rng)
+    logits = linear(params["ctc_head"], x)
+    lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    lp = lp * out_mask.astype(jnp.float32)[:, :, None]
+    num_c, den_c = ctc_loss_terms(lp, out_lens, labels, label_lens)
+    nv = jnp.maximum(jnp.sum(out_mask.astype(jnp.float32)), 1.0)
+    num = jnp.stack([num_c, tcfg.moe_aux_weight * aux * nv])
+    den = jnp.stack([den_c, nv])
+    return num, den
+
+
 def moe_capacity(cfg: Config, batch: int, frames: int, num_experts: int,
                  capacity_factor: float) -> int:
     N = batch * (-(-frames // cfg.transformer.subsample))

@@ -79,6 +79,15 @@ def unstack_pipeline_tree(stages_tree, num_layers: int):
     return leaves
 
 
+def pipeline_params_to_canonical(pparams: dict, num_layers: int) -> dict:
+    """Stacked pipeline layout -> the family-canonical params tree (blocks
+    as a list), so checkpoints stay loadable by predict/stream/finetune_pg
+    regardless of the mesh they were trained on."""
+    out = {k: v for k, v in pparams.items() if k != "stages"}
+    out["blocks"] = unstack_pipeline_tree(pparams["stages"], num_layers)
+    return out
+
+
 def shard_pipeline_params(pparams: dict, mesh: Mesh) -> dict:
     """Place stage stacks on 'pipe', the rest replicated."""
     def place(path, leaf):
@@ -90,31 +99,62 @@ def shard_pipeline_params(pparams: dict, mesh: Mesh) -> dict:
     return jax.tree_util.tree_map_with_path(place, pparams)
 
 
-def _stage_apply(stage_blocks, x, key_bias, num_heads: int):
-    """Apply this stage's k stacked blocks to x (mb, T', d)."""
-    def body(x, blk):
+def _stage_apply(stage_blocks, x, key_bias, num_heads: int,
+                 p_drop: float = 0.0, rkey=None):
+    """Apply this stage's k stacked blocks to x (mb, T', d). With a
+    dropout rate and rng key, each block consumes two fold_in subkeys
+    (post-attention + post-FFN), mirroring the dense encoder."""
+    from ..models.bilstm_ctc import _dropout
+
+    def body(carry, blk):
+        x, j = carry
         h = _mhsa(blk, _layer_norm(blk["ln1"], x), key_bias, num_heads)
+        if rkey is not None and p_drop > 0.0:
+            h = _dropout(h, p_drop, jax.random.fold_in(rkey, 2 * j), True)
         x = x + h
         h = linear(blk["ffn_out"],
                    jax.nn.gelu(linear(blk["ffn_in"],
                                       _layer_norm(blk["ln2"], x))))
-        return x + h, None
+        if rkey is not None and p_drop > 0.0:
+            h = _dropout(h, p_drop, jax.random.fold_in(rkey, 2 * j + 1),
+                         True)
+        return (x + h, j + 1), None
 
-    x, _ = jax.lax.scan(body, x, stage_blocks)
+    (x, _), _ = jax.lax.scan(body, (x, jnp.int32(0)), stage_blocks)
     return x
 
 
-def make_pipeline_loss(cfg: Config, mesh: Mesh, num_microbatches: int):
-    """Build loss_fn(pparams, wave, num_samples, labels, label_lens) ->
-    scalar mean CTC loss, computed through the S-stage pipeline."""
+def _reduce_axes(mesh: Mesh) -> tuple[str, ...]:
+    """Axes the loss terms psum over: 'pipe' always, plus 'data' when the
+    mesh composes data parallelism (dp x pp) — the num/den reduce across
+    both so the composed mesh computes exactly the global batch mean."""
+    return tuple(a for a in ("pipe", "data") if a in mesh.axis_names)
+
+
+def make_pipeline_loss(cfg: Config, mesh: Mesh, num_microbatches: int,
+                       dropout: bool = False):
+    """Build loss_fn(pparams, wave, num_samples, labels, label_lens
+    [, dropout_rng]) -> scalar mean CTC loss through the S-stage pipeline.
+
+    The mesh may compose a 'data' axis (dp x pp): the batch arrives sharded
+    on 'data' and the loss terms psum over both axes. With dropout=True the
+    function takes a trailing rng key and applies the dense encoder's
+    dropout pattern (frontend + 2 per block), decorrelated per stage,
+    microbatch, and data shard.
+    """
     from ..train import _shard_map
 
     tcfg = cfg.transformer
     S = mesh.shape["pipe"]
     M = num_microbatches
+    has_data = "data" in mesh.axis_names
+    red = _reduce_axes(mesh)
 
-    def local(pparams, wave, num_samples, labels, label_lens):
+    def local(pparams, wave, num_samples, labels, label_lens, drng):
         s_idx = jax.lax.axis_index("pipe")
+        if dropout:
+            base_rng = (jax.random.fold_in(drng, jax.lax.axis_index("data"))
+                        if has_data else drng)
         stages = jax.tree_util.tree_map(lambda x: x[0], pparams["stages"])
         B = wave.shape[0]
         assert B % M == 0, f"batch {B} not divisible into {M} microbatches"
@@ -129,6 +169,13 @@ def make_pipeline_loss(cfg: Config, mesh: Mesh, num_microbatches: int):
                                                    cfg.features)
         x, out_mask, out_lens = frontend(pparams, feats, mask, frame_lens,
                                          cfg.model, tcfg)
+        if dropout and tcfg.dropout > 0.0:
+            from ..models.bilstm_ctc import _dropout
+
+            # frontend dropout: identical across stages (only stage 0's
+            # injection consumes it), decorrelated across data shards
+            x = _dropout(x, tcfg.dropout,
+                         jax.random.fold_in(base_rng, 0), True)
         dtype = x.dtype
         To = x.shape[1]
         key_bias = jnp.where(out_mask, 0.0,
@@ -151,7 +198,14 @@ def make_pipeline_loss(cfg: Config, mesh: Mesh, num_microbatches: int):
                                                   keepdims=False)
             x_in = jnp.where(s_idx == 0, inject, x_cur)
             kb = jax.lax.dynamic_index_in_dim(kb_mb, ic, keepdims=False)
-            y = _stage_apply(stages, x_in, kb, tcfg.num_heads)
+            if dropout and tcfg.dropout > 0.0:
+                # unique stream per (data shard, stage, microbatch)
+                rkey = jax.random.fold_in(
+                    jax.random.fold_in(base_rng, 1 + s_idx), ic)
+                y = _stage_apply(stages, x_in, kb, tcfg.num_heads,
+                                 p_drop=tcfg.dropout, rkey=rkey)
+            else:
+                y = _stage_apply(stages, x_in, kb, tcfg.num_heads)
             y = jnp.where(valid, y, jnp.zeros_like(y))
 
             # last stage only: head + CTC loss terms for its current
@@ -187,15 +241,26 @@ def make_pipeline_loss(cfg: Config, mesh: Mesh, num_microbatches: int):
         (x_last, num, den), _ = jax.lax.scan(
             tick, (x0, jnp.float32(0.0), jnp.float32(0.0)),
             jnp.arange(M + S - 1))
-        num = jax.lax.psum(num, "pipe")  # only the last stage is non-zero
-        den = jax.lax.psum(den, "pipe")
+        # only the last stage's num/den are non-zero; the 'data' reduction
+        # (when composed) makes the result the exact global ragged mean
+        num = jax.lax.psum(num, red)
+        den = jax.lax.psum(den, red)
         return num / jnp.maximum(den, 1.0)
 
-    return _shard_map(
+    bspec = P("data") if has_data else P()
+    sharded = _shard_map(
         local, mesh,
         in_specs=({"stages": P("pipe"), "input_proj": P(), "ln_final": P(),
-                   "ctc_head": P()}, P(), P(), P(), P()),
+                   "ctc_head": P()}, bspec, bspec, bspec, bspec, P()),
         out_specs=P())
+    if dropout:
+        return sharded
+
+    def no_rng(pparams, wave, num_samples, labels, label_lens):
+        return sharded(pparams, wave, num_samples, labels, label_lens,
+                       jax.random.PRNGKey(0))
+
+    return no_rng
 
 
 def make_pipeline_grad_fn(cfg: Config, mesh: Mesh, num_microbatches: int):

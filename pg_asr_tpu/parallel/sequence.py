@@ -59,17 +59,37 @@ def _mhsa_seq(p: dict, x_local: jnp.ndarray, key_bias: jnp.ndarray,
     return linear(p["attn_out"], ctx)
 
 
-def make_sequence_parallel_loss(cfg: Config, mesh: Mesh):
-    """Build loss_fn(params, wave, num_samples, labels, label_lens) ->
-    scalar mean CTC loss with the encoder time axis sharded on 'seq'.
-    params are the ordinary transformer_ctc params, replicated."""
+def make_sequence_parallel_loss(cfg: Config, mesh: Mesh,
+                                dropout: bool = False):
+    """Build loss_fn(params, wave, num_samples, labels, label_lens
+    [, dropout_rng]) -> scalar mean CTC loss with the encoder time axis
+    sharded on 'seq'. params are the ordinary transformer_ctc params,
+    replicated.
+
+    The mesh may compose a 'data' axis (dp x sp): the batch arrives sharded
+    on 'data' and the loss num/den psum over both axes for the exact global
+    ragged mean. With dropout=True the function takes a trailing rng key
+    and mirrors the dense encoder's dropout pattern (frontend + 2 per
+    block), with masks consistent across the seq shards of one activation
+    (frontend) and decorrelated across (data shard, seq shard) elsewhere.
+    """
+    from ..models.bilstm_ctc import _dropout
     from ..train import _shard_map
 
     tcfg = cfg.transformer
     S = mesh.shape["seq"]
+    has_data = "data" in mesh.axis_names
+    red = tuple(a for a in ("seq", "data") if a in mesh.axis_names)
 
-    def local(params, wave, num_samples, labels, label_lens):
+    def local(params, wave, num_samples, labels, label_lens, drng):
         s_idx = jax.lax.axis_index("seq")
+        if dropout:
+            # frontend rng: same across seq shards (the pre-slice
+            # activation must drop consistently), unique per data shard
+            front_rng = (jax.random.fold_in(drng,
+                                            jax.lax.axis_index("data"))
+                         if has_data else drng)
+            blk_rng = jax.random.fold_in(front_rng, 1 + s_idx)
         # replicated frontend (identical on every device; shared with the
         # dense encoder — transformer_ctc.frontend), T' padded to S, then
         # this device slices its time chunk
@@ -78,18 +98,27 @@ def make_sequence_parallel_loss(cfg: Config, mesh: Mesh):
         x, out_mask, out_lens = frontend(params, feats, mask, frame_lens,
                                          cfg.model, tcfg,
                                          pad_to_multiple=S)
+        if dropout and tcfg.dropout > 0.0:
+            x = _dropout(x, tcfg.dropout, jax.random.fold_in(front_rng, 0),
+                         True)
         T_loc = x.shape[1] // S
         x = jax.lax.dynamic_slice_in_dim(x, s_idx * T_loc, T_loc, axis=1)
 
         key_bias = jnp.where(out_mask, 0.0,
                              -1e9).astype(jnp.float32)[:, None, None, :]
-        for blk in params["blocks"]:
+        for j, blk in enumerate(params["blocks"]):
             h = _mhsa_seq(blk, _layer_norm(blk["ln1"], x), key_bias,
                           tcfg.num_heads)
+            if dropout and tcfg.dropout > 0.0:
+                h = _dropout(h, tcfg.dropout,
+                             jax.random.fold_in(blk_rng, 2 * j), True)
             x = x + h
             h = linear(blk["ffn_out"],
                        jax.nn.gelu(linear(blk["ffn_in"],
                                           _layer_norm(blk["ln2"], x))))
+            if dropout and tcfg.dropout > 0.0:
+                h = _dropout(h, tcfg.dropout,
+                             jax.random.fold_in(blk_rng, 2 * j + 1), True)
             x = x + h
 
         # head + loss on the gathered full sequence — computed on device 0
@@ -108,16 +137,29 @@ def make_sequence_parallel_loss(cfg: Config, mesh: Mesh):
             logits = linear(params["ctc_head"], z)
             lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
             lp = lp * out_mask.astype(jnp.float32)[:, :, None]
-            num, den = ctc_loss_terms(lp, out_lens, labels, label_lens)
-            return num / jnp.maximum(den, 1.0)
+            return ctc_loss_terms(lp, out_lens, labels, label_lens)
 
-        loss = jax.lax.cond(s_idx == 0, head_loss,
-                            lambda x: jnp.float32(0.0), x)
-        return jax.lax.psum(loss, "seq")
+        num, den = jax.lax.cond(
+            s_idx == 0, head_loss,
+            lambda x: (jnp.float32(0.0), jnp.float32(0.0)), x)
+        # only seq-shard 0 contributes; the 'data' reduction (when
+        # composed) makes this the exact global ragged batch mean
+        num = jax.lax.psum(num, red)
+        den = jax.lax.psum(den, red)
+        return num / jnp.maximum(den, 1.0)
 
-    return _shard_map(local, mesh,
-                      in_specs=(P(), P(), P(), P(), P()),
-                      out_specs=P())
+    bspec = P("data") if has_data else P()
+    sharded = _shard_map(local, mesh,
+                         in_specs=(P(), bspec, bspec, bspec, bspec, P()),
+                         out_specs=P())
+    if dropout:
+        return sharded
+
+    def no_rng(params, wave, num_samples, labels, label_lens):
+        return sharded(params, wave, num_samples, labels, label_lens,
+                       jax.random.PRNGKey(0))
+
+    return no_rng
 
 
 def make_sequence_parallel_grad_fn(cfg: Config, mesh: Mesh):

@@ -103,9 +103,15 @@ def load_model(model_path: str, alphabet: Alphabet, config: Config | None = None
         raise FileNotFoundError(f"no checkpoint at {path}")
     if cfg.train.ema_decay > 0.0:
         # EMA-trained models serve their averaged weights (the ones the
-        # best-checkpoint selection was scored on)
-        state = load_checkpoint(path, {"ema_params": params})
-        return state["ema_params"], cfg
+        # best-checkpoint selection was scored on). A checkpoint written
+        # BEFORE EMA was enabled on a resumed run has no ema_params —
+        # fall back to the raw params, matching train()'s tolerant restore.
+        try:
+            state = load_checkpoint(path, {"ema_params": params})
+            return state["ema_params"], cfg
+        except (ValueError, KeyError):
+            print("[predict] checkpoint predates EMA being enabled - "
+                  "serving the raw params")
     tpl = {"params": params}
     state = load_checkpoint(path, tpl)  # tolerant: loads matching subtree
     return state["params"], cfg

@@ -33,7 +33,7 @@ from .data.text import Alphabet
 from .models import bilstm_ctc
 from .ops.ctc import ctc_loss_mean
 from .ops.features import extract_features
-from .parallel.mesh import make_mesh, shard_batch_arrays, replicate
+from .parallel.mesh import make_mesh, shard_batch_arrays
 from .utils.logging import StepLogger
 
 
@@ -67,6 +67,10 @@ def init_model_params(rng, cfg: Config):
 
         return seq2seq.init_params(rng, cfg.model, cfg.seq2seq)
     if cfg.model.family == "transformer":
+        if cfg.transformer.num_experts > 0:
+            from .parallel.moe import init_moe_params
+
+            return init_moe_params(rng, cfg, cfg.transformer.num_experts)
         from .models import transformer_ctc
 
         return transformer_ctc.init_params(rng, cfg.model, cfg.transformer)
@@ -133,6 +137,18 @@ def compute_loss(params, wave, num_samples, labels, label_lens, cfg: Config,
             return transducer_loss_terms(lp_blank, lp_label, out_lens,
                                          label_lens)
         return transducer_loss_mean(lp_blank, lp_label, out_lens, label_lens)
+    if (cfg.model.family == "transformer"
+            and cfg.transformer.num_experts > 0):
+        # switch-MoE FFN encoder: CTC + load-balance aux as stacked num/den
+        # components (same discipline as the transducer hybrid above)
+        from .parallel.moe import moe_loss_terms
+
+        num, den = moe_loss_terms(params, feats, mask, frame_lens, labels,
+                                  label_lens, cfg, train=train,
+                                  dropout_rng=dropout_rng)
+        if terms:
+            return num, den
+        return jnp.sum(num / jnp.maximum(den, 1.0))
     from .models import acoustic_forward
     from .ops.ctc import ctc_loss_terms
 
@@ -145,14 +161,25 @@ def compute_loss(params, wave, num_samples, labels, label_lens, cfg: Config,
 
 
 def _use_shard_map(cfg: Config, mesh) -> bool:
-    """Data-parallel meshes (>1 device, no live 'model' axis) run the step
+    """Data-parallel meshes (>1 device, no other live axis) run the step
     under shard_map: each shard computes loss/grads on its local batch with
     explicit psum over ICI — and, critically, Pallas kernels work per-shard
     (pallas_call cannot be auto-partitioned by the XLA SPMD pass, which is
     why the pjit path falls back to lax.scan on multi-device). Meshes with
-    a live 'model' axis keep the pjit path (tensor-sharded params)."""
-    return (mesh is not None and mesh.size > 1
-            and mesh.shape.get("model", 1) <= 1)
+    a live 'model'/'expert' axis keep the pjit path (tensor-/expert-
+    sharded params, XLA GSPMD partitioning); 'pipe'/'seq' meshes are
+    routed by parallel/driver.py before this is consulted. MoE training
+    (num_experts > 0) always takes the pjit path so the router's capacity
+    cumsum sees the GLOBAL token order — per-shard cumsums would change
+    overflow behavior vs the single-device reference."""
+    if mesh is None or mesh.size <= 1:
+        return False
+    if any(mesh.shape.get(a, 1) > 1
+           for a in ("model", "pipe", "seq", "expert")):
+        return False
+    if cfg.model.family == "transformer" and cfg.transformer.num_experts > 0:
+        return False
+    return True
 
 
 def _shard_cfg(cfg: Config) -> Config:
@@ -326,7 +353,27 @@ def train(corpus_path: str, model_path: str, num_epochs: int | None = None,
     # and fail restore with an opaque shape mismatch
     prev_cfg_path = os.path.join(model_path, "config.json")
     if resume and os.path.exists(prev_cfg_path):
+        from . import checkpoint as _ckpt_mod
+
         prev_cfg = Config.from_json(open(prev_cfg_path).read())
+        has_ckpt = any(os.path.exists(os.path.join(model_path, n))
+                       for n in (_ckpt_mod.BEST_NAME, _ckpt_mod.LAST_NAME))
+        if has_ckpt:
+            # the architecture comes from the checkpoint: a resume command
+            # that omits --model (or passes a different family) must not
+            # rebuild a wrong restore template — and must not overwrite
+            # config.json with the wrong family, which would leave the
+            # model dir unreadable for predict/stream/finetune_pg
+            if prev_cfg.model.family != cfg.model.family:
+                print(f"[train] resuming with model family "
+                      f"{prev_cfg.model.family!r} from the checkpoint's "
+                      f"config.json (requested {cfg.model.family!r} ignored)")
+            cfg = cfg.replace(model=prev_cfg.model,
+                              transformer=prev_cfg.transformer,
+                              conformer=prev_cfg.conformer,
+                              transducer=prev_cfg.transducer,
+                              seq2seq=prev_cfg.seq2seq,
+                              features=prev_cfg.features)
         if prev_cfg.text.units != cfg.text.units:
             print(f"[train] resuming with text.units="
                   f"{prev_cfg.text.units!r} from the checkpoint's "
@@ -412,6 +459,11 @@ def train(corpus_path: str, model_path: str, num_epochs: int | None = None,
                                cfg.train.warmup_steps + 1)}))
 
     mesh = make_mesh(cfg.train.mesh_shape, cfg.train.mesh_axes)
+    # route the step through the strategy the live mesh axes select
+    # (data/model/pipe/seq/expert — parallel/driver.py)
+    from .parallel.driver import make_plan
+
+    plan = make_plan(cfg, mesh)
     # init stays threefry (backend-independent params); the step loop uses
     # the backend's fastest generator for dropout masks (utils/rand.py)
     init_rng = jax.random.split(jax.random.PRNGKey(cfg.train.seed))[1]
@@ -429,8 +481,6 @@ def train(corpus_path: str, model_path: str, num_epochs: int | None = None,
                                          params) if use_ema else None)
 
     ckpt = CheckpointManager(model_path)
-    if is_main:
-        ckpt.save_config(cfg.to_json())
     start_epoch = 1
     state_tpl = {"params": params, "opt_state": opt_state, "step": 0,
                  "epoch": 0, "batches_done": 0,
@@ -500,13 +550,17 @@ def train(corpus_path: str, model_path: str, num_epochs: int | None = None,
             train_it_base.skip_epochs(start_epoch - 1)
             if resume_skip_batches:
                 train_it_base.skip_batches(resume_skip_batches)
+    # written only after a successful restore attempt: a failed resume must
+    # not leave config.json overwritten with a mismatched run's settings
+    if is_main:
+        ckpt.save_config(cfg.to_json())
 
-    params = replicate(params, mesh)
-    opt_state = replicate(opt_state, mesh)
+    params = plan.place_params(params)
+    opt_state = plan.place_opt_state(opt_state)
     if use_ema:
-        ema_params = replicate(ema_params, mesh)
-    train_step = make_train_step(cfg, optimizer, mesh)
-    eval_step = make_eval_step(cfg, mesh)
+        ema_params = plan.place_params(ema_params)
+    train_step = plan.make_train_step(optimizer)
+    eval_step = plan.make_eval_step()
     logger = StepLogger(model_path)
 
     tracing = False  # --profile_steps: device trace of steady-state steps
@@ -524,7 +578,11 @@ def train(corpus_path: str, model_path: str, num_epochs: int | None = None,
             # stop BEFORE running the step: a resumed batch_pos may already
             # sit at the cap, and training one extra batch would diverge
             # from the uninterrupted run
-            if max_steps_per_epoch and n_batches >= max_steps_per_epoch:
+            # batch_pos is the ABSOLUTE epoch position (a mid-epoch resume
+            # starts it at the checkpoint's offset) — capping on it keeps
+            # the resumed epoch's total batch count equal to an
+            # uninterrupted run's, matching the train_cap check below
+            if max_steps_per_epoch and batch_pos >= max_steps_per_epoch:
                 break
             if train_cap is not None and batch_pos >= train_cap:
                 break  # keep collective step counts equal across hosts
@@ -534,7 +592,8 @@ def train(corpus_path: str, model_path: str, num_epochs: int | None = None,
                 # works on resumed runs where `step` continues)
                 jax.profiler.start_trace(os.path.join(model_path, "trace"))
                 tracing = True
-            arrays = shard_batch_arrays(_batch_arrays(batch), mesh)
+            arrays = shard_batch_arrays(_batch_arrays(batch), mesh,
+                                        plan.batch_multiple)
             params, opt_state, rng, loss = train_step(params, opt_state, rng, *arrays)
             if use_ema:
                 ema_params = _ema_update(ema_params, params,
@@ -562,14 +621,15 @@ def train(corpus_path: str, model_path: str, num_epochs: int | None = None,
                        "best_val_loss": ckpt.best_val}
                 if use_ema:
                     mid["ema_params"] = ema_params
-                ckpt.save(mid)
+                ckpt.save(plan.canonical_state(mid))
             if stop_after_steps and step >= stop_after_steps:
                 # preemption-simulation hook (tests): vanish mid-epoch
                 return {"train_losses": train_losses,
                         "val_losses": val_losses, "steps": step,
                         "best_path": ckpt.best_path,
                         "last_path": ckpt.last_path, "config": cfg,
-                        "alphabet": alphabet, "params": params}
+                        "alphabet": alphabet,
+                        "params": plan.canonical_params(params)}
         if tracing:  # epoch shorter than the trace window
             jax.profiler.stop_trace()
             tracing = False
@@ -586,7 +646,8 @@ def train(corpus_path: str, model_path: str, num_epochs: int | None = None,
         if dev_it is not None and epoch % cfg.train.eval_every_epochs == 0:
             tot, n = 0.0, 0
             for batch in dev_it:
-                arrays = shard_batch_arrays(_batch_arrays(batch), mesh)
+                arrays = shard_batch_arrays(_batch_arrays(batch), mesh,
+                                            plan.batch_multiple)
                 tot += float(eval_step(eval_params, *arrays))
                 n += 1
                 if dev_cap is not None and n >= dev_cap:
@@ -597,8 +658,8 @@ def train(corpus_path: str, model_path: str, num_epochs: int | None = None,
                 np.save(os.path.join(model_path, "val_losses.npy"),
                         np.array(val_losses))
             if select_on_cer:
-                cur_cer = _val_cer(eval_params, dev_it, cfg, alphabet,
-                                   cap=dev_cap)
+                cur_cer = _val_cer(plan.canonical_params(eval_params),
+                                   dev_it, cfg, alphabet, cap=dev_cap)
 
         dt = time.time() - t0
         if is_main:
@@ -620,7 +681,7 @@ def train(corpus_path: str, model_path: str, num_epochs: int | None = None,
                      "best_val_loss": ckpt.best_val}
             if use_ema:
                 state["ema_params"] = ema_params
-            is_best = ckpt.save(state, val_loss=select)
+            is_best = ckpt.save(plan.canonical_state(state), val_loss=select)
             if is_best:
                 name = "cer" if cur_cer is not None else "val"
                 print(f"[train] new best checkpoint ({name} {ckpt.best_val:.4f})")
@@ -633,5 +694,5 @@ def train(corpus_path: str, model_path: str, num_epochs: int | None = None,
         "last_path": ckpt.last_path,
         "config": cfg,
         "alphabet": alphabet,
-        "params": params,
+        "params": plan.canonical_params(params),
     }

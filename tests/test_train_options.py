@@ -277,3 +277,107 @@ def test_resume_after_last_batch_mid_save_skips_completed_epoch(tmp_path):
     assert len(losses) == 1 and losses[0] > 0  # epoch 2 only, no 0.0 entry
     # the promoted best is epoch 2's real mean, not a bogus 0.0
     assert out["train_losses"][-1] > 0
+
+
+def test_resume_with_max_steps_per_epoch_is_exact(tmp_path):
+    """ADVICE r1: save_every_steps + max_steps_per_epoch. A mid-epoch resume
+    must cap the epoch at max_steps_per_epoch ABSOLUTE batches (not bd +
+    max_steps more), so interrupted+resumed reproduces the uninterrupted
+    run and later checkpoints never record batches_done > epoch_len."""
+    from pg_asr_tpu.checkpoint import load_checkpoint
+    from pg_asr_tpu.data.dataset import make_synthetic_corpus
+    from pg_asr_tpu.train import train
+
+    corpus = str(tmp_path / "corpus")
+    # 8 train utts / batch 4 = 2 natural steps/epoch; cap at 2 so the cap
+    # is exactly the epoch length (the advisor's divergence scenario)
+    make_synthetic_corpus(corpus, n_utts=10, seed=33, min_dur=0.2,
+                          max_dur=0.4)
+    cfg = tiny_config(num_epochs=3, save_every_steps=1)
+
+    model_a = str(tmp_path / "a")
+    out_a = train(corpus, model_a, config=cfg, resume=False,
+                  max_steps_per_epoch=2)
+
+    # interrupt mid-epoch-2 (after its first batch), resume WITH the cap
+    model_b = str(tmp_path / "b")
+    train(corpus, model_b, config=cfg, resume=False, max_steps_per_epoch=2,
+          stop_after_steps=3)
+    out_b = train(corpus, model_b, config=cfg, max_steps_per_epoch=2)
+
+    assert out_a["steps"] == out_b["steps"] == 6
+    np.testing.assert_allclose(out_a["val_losses"], out_b["val_losses"],
+                               rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(out_a["params"]),
+                    jax.tree_util.tree_leaves(out_b["params"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+    # the final checkpoint records a sane epoch position
+    state = load_checkpoint(os.path.join(model_b, "model_last.ckpt"),
+                            {"params": out_b["params"], "epoch": 0,
+                             "batches_done": 0})
+    assert state["batches_done"] <= 2
+
+
+def test_resume_without_model_flag_keeps_family(tmp_path):
+    """ADVICE r1: resuming a non-default family WITHOUT re-passing --model
+    must adopt the checkpoint's architecture instead of overwriting
+    config.json with family=ctc and failing restore."""
+    from pg_asr_tpu.config import TransformerConfig
+    from pg_asr_tpu.train import train
+
+    corpus = str(tmp_path / "corpus")
+    make_synthetic_corpus(corpus, n_utts=8, seed=34, min_dur=0.2,
+                          max_dur=0.4)
+    model = str(tmp_path / "model")
+    cfg = tiny_config(num_epochs=1)
+    cfg = cfg.replace(
+        model=cfg.model.__class__(**{**cfg.model.__dict__,
+                                     "family": "transformer"}),
+        transformer=TransformerConfig(num_layers=1, d_model=32, num_heads=2,
+                                      ffn_dim=64, dropout=0.0, subsample=2))
+    train(corpus, model, config=cfg, resume=False)
+
+    # resume with the DEFAULT config tree (family "ctc", default dims) —
+    # as a bare CLI resume command would
+    out = train(corpus, model, config=tiny_config(num_epochs=2))
+    assert np.isfinite(out["train_losses"]).all()
+    saved = json.load(open(os.path.join(model, "config.json")))
+    assert saved["model"]["family"] == "transformer"
+    assert saved["transformer"]["d_model"] == 32
+
+    # and the model dir is still consumable by predict
+    from pg_asr_tpu.predict import predict
+
+    stats = predict(os.path.join(corpus, "test.tsv"),
+                    os.path.join(corpus, "clips"),
+                    os.path.join(corpus, "alphabet.txt"),
+                    model, batch_size=4, which_ckpt="last")
+    assert stats["num_utts"] >= 1
+
+
+def test_predict_falls_back_when_checkpoint_has_no_ema(tmp_path):
+    """ADVICE r1: a checkpoint written before EMA was enabled (no
+    ema_params) must load via the raw params, not crash, when config.json
+    has ema_decay > 0."""
+    from pg_asr_tpu.data.text import Alphabet
+    from pg_asr_tpu.predict import load_model
+    from pg_asr_tpu.train import train
+
+    corpus = str(tmp_path / "corpus")
+    make_synthetic_corpus(corpus, n_utts=8, seed=35, min_dur=0.2,
+                          max_dur=0.4)
+    model = str(tmp_path / "model")
+    train(corpus, model, config=tiny_config(num_epochs=1), resume=False)
+
+    # simulate the resume that enabled EMA: config says ema_decay > 0 but
+    # the (best) checkpoint predates it
+    cfg_path = os.path.join(model, "config.json")
+    raw = json.load(open(cfg_path))
+    raw["train"]["ema_decay"] = 0.7
+    json.dump(raw, open(cfg_path, "w"))
+
+    alphabet = Alphabet.load(os.path.join(corpus, "alphabet.txt"))
+    served, cfg = load_model(model, alphabet)  # must not raise
+    assert cfg.train.ema_decay == 0.7
+    assert any(np.isfinite(np.asarray(x)).all()
+               for x in jax.tree_util.tree_leaves(served))
