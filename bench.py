@@ -1,4 +1,4 @@
-"""Benchmark: supervised CTC training throughput (utterances/sec) on the
+"""Benchmark: supervised training throughput (utterances/sec) on the
 default device (TPU under the driver; CPU in dev), compared against a
 PyTorch-CPU reference model of the same architecture — the BASELINE.md
 comparison floor ("≥10x utterances/sec over the PyTorch CPU reference").
@@ -6,9 +6,27 @@ comparison floor ("≥10x utterances/sec over the PyTorch CPU reference").
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "utts/sec", "vs_baseline": ratio, ...}
 
+Beyond the flagship BiLSTM-CTC row it reports, per family
+(transformer / conformer / transducer / seq2seq / MoE):
+  * <family>_train_utts_per_sec — jitted train-step throughput
+  * <family>_flops_per_step / <family>_mfu — FLOPs from XLA's cost
+    analysis of the COMPILED train chain (fwd + bwd + Adam), and the
+    model-FLOPs utilization against the chip's peak (the judging metric
+    for single-chip perf); MFU is null off-TPU
+plus e2e_train_utts_per_sec: a REAL epoch loop (WAV decode via the native
+IO tier + prefetch + device steps overlapped) — the sustained number, not
+just the jitted-step number.
+
+A persistent XLA compilation cache (.jax_cache/) makes repeat invocations
+skip every first-compile, so all families fit in one bench run even under
+the tunnel's slow compiles.
+
 The torch-CPU baseline is measured once and cached in BASELINE_MEASURED.json
 (committed) so repeat runs don't pay the torch cost; pass --remeasure to
-refresh it. Extra fields beyond the required four are informational.
+refresh it. NB the multiplier is apples-to-oranges by construction (torch:
+batch 16, 1 thread documented in the cache file; ours: batch 64 on the
+accelerator) — the honest comparison lives in BASELINE.md's head-to-head
+table. Extra fields beyond the required four are informational.
 """
 
 from __future__ import annotations
@@ -26,10 +44,12 @@ sys.path.insert(0, REPO)
 CACHE = os.path.join(REPO, "BASELINE_MEASURED.json")
 
 # Benchmark workload: LibriSpeech-ish supervised CTC training step.
-BATCH = 64
-AUDIO_SECONDS = 5.0
+# Env overrides (PGASR_BENCH_*) exist for CPU smoke runs only — the
+# committed defaults are the benchmark definition.
+BATCH = int(os.environ.get("PGASR_BENCH_BATCH", 64))
+AUDIO_SECONDS = float(os.environ.get("PGASR_BENCH_SECONDS", 5.0))
 SAMPLE_RATE = 16000
-LABEL_LEN = 64
+LABEL_LEN = int(os.environ.get("PGASR_BENCH_LABEL_LEN", 64))
 VOCAB = 32
 WARMUP_STEPS = 3
 # Chain enough steps that the fixed per-call dispatch+readback latency of the
@@ -37,7 +57,56 @@ WARMUP_STEPS = 3
 # the per-step noise: at 8 steps it inflated step_ms by ~3.5 ms (12.6 vs the
 # true ~9.1 ms device time); 64 steps bring the bias under 0.5 ms while the
 # ~0.6 s total run stays well below the shared chip's preemption horizon.
-TIMED_STEPS = 64
+TIMED_STEPS = int(os.environ.get("PGASR_BENCH_STEPS", 64))
+FAMILY_STEPS = max(TIMED_STEPS // 2, 1)  # secondary-family chains
+
+# bf16 peak FLOP/s per chip, keyed by device_kind substring (public specs)
+_PEAK_FLOPS = (
+    ("v6 lite", 918e12), ("v6e", 918e12),
+    ("v5p", 459e12),
+    ("v5 lite", 197e12), ("v5e", 197e12), ("v5litepod", 197e12),
+    ("v4", 275e12),
+    ("v3", 123e12),
+    ("v2", 45e12),
+)
+
+
+def _enable_compilation_cache():
+    """Persistent XLA compile cache: conformer/transducer first-compiles
+    survive across bench invocations (VERDICT r1 #4)."""
+    import jax
+
+    cache_dir = os.environ.get("PGASR_JAX_CACHE",
+                               os.path.join(REPO, ".jax_cache"))
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass  # older jax: cache is an optimization, not a requirement
+
+
+def _peak_flops(device) -> float | None:
+    kind = getattr(device, "device_kind", "").lower()
+    if getattr(device, "platform", "") != "tpu":
+        return None
+    for sub, peak in _PEAK_FLOPS:
+        if sub in kind:
+            return peak
+    return None
+
+
+def _chain_flops(jitted, *args) -> float | None:
+    """Total FLOPs of the compiled executable per XLA's cost analysis."""
+    try:
+        cost = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        f = float(cost.get("flops", 0.0))
+        return f if f > 0 else None
+    except Exception:
+        return None
 
 
 def _workload(rng):
@@ -49,21 +118,155 @@ def _workload(rng):
     return wave, ns, labels, label_lens
 
 
-def bench_ours() -> dict:
+def _family_cfg(family: str):
+    from pg_asr_tpu.config import (Config, ConformerConfig, FeatureConfig,
+                                   ModelConfig, Seq2SeqConfig, TrainConfig,
+                                   TransducerConfig, TransformerConfig)
+
+    kw: dict = {}
+    fam = family
+    if family == "moe":
+        fam = "transformer"
+        kw["transformer"] = TransformerConfig(num_experts=4,
+                                              capacity_factor=1.25)
+    return Config(
+        features=FeatureConfig(kind="logmel", n_mels=80),
+        model=ModelConfig(family=fam, vocab_size=VOCAB, input_dim=80,
+                          input_proj_dim=512, hidden_size=256, num_layers=3,
+                          dropout=0.1, dtype="bfloat16"),
+        seq2seq=Seq2SeqConfig(vocab_size=VOCAB),
+        train=TrainConfig(batch_size=BATCH, warmup_steps=0),
+        **kw,
+    )
+
+
+def _bench_family_chain(family: str, arrays, steps: int = FAMILY_STEPS):
+    """Generic train-chain bench for any family via compute_loss: returns
+    {utts_per_sec, step_ms, flops_per_step} or None on failure."""
     import jax
+    import optax
+
+    from pg_asr_tpu.train import compute_loss, init_model_params, make_optimizer
+    from pg_asr_tpu.utils.rand import training_rng
+
+    try:
+        cfg = _family_cfg(family)
+        params = init_model_params(jax.random.PRNGKey(0), cfg)
+        opt = make_optimizer(cfg)
+        opt_state = opt.init(params)
+
+        def one_step(carry, _):
+            p, o, r = carry
+            r, drop = jax.random.split(r)
+            loss, grads = jax.value_and_grad(
+                lambda q: compute_loss(q, arrays[0], arrays[1], arrays[2],
+                                       arrays[3], cfg, train=True,
+                                       dropout_rng=drop))(p)
+            updates, o = opt.update(grads, o, p)
+            return (optax.apply_updates(p, updates), o, r), loss
+
+        @jax.jit
+        def chain(p, o, r):
+            (p, o, r), losses = jax.lax.scan(one_step, (p, o, r), None,
+                                             length=steps)
+            return p, o, losses
+
+        rng = training_rng(0)
+        flops = _chain_flops(chain, params, opt_state, rng)
+        p, o, losses = chain(params, opt_state, rng)
+        _ = float(losses[-1])  # compile+run
+        t0 = time.time()
+        p, o, losses = chain(p, o, rng)
+        _ = float(losses[-1])
+        dt = time.time() - t0
+        return {
+            "utts_per_sec": BATCH * steps / dt,
+            "step_ms": 1000.0 * dt / steps,
+            "flops_per_step": (flops / steps) if flops else None,
+        }
+    except Exception as e:
+        print(f"[bench] family {family} failed: {e!r}", file=sys.stderr)
+        return None
+
+
+def _bench_e2e(n_utts: int = 256, epochs: int = 2) -> float | None:
+    """Sustained end-to-end training throughput: WAV files on disk ->
+    native-IO batch loader + prefetch -> jitted device steps, overlapped
+    (loss is only synced at the end). This is the number a real epoch
+    sees, vs the pre-staged jitted-step number (VERDICT r1 #5)."""
+    import jax
+
+    try:
+        from pg_asr_tpu.data.dataset import (BatchIterator, PrefetchIterator,
+                                             load_manifest,
+                                             make_synthetic_corpus)
+        from pg_asr_tpu.data.bpe import load_tokenizer
+        from pg_asr_tpu.train import (init_model_params, make_optimizer,
+                                      make_train_step)
+        from pg_asr_tpu.utils.rand import training_rng
+
+        corpus = os.environ.get("PGASR_BENCH_CORPUS",
+                                "/tmp/pgasr_bench_corpus")
+        manifest_path = os.path.join(corpus, "train.tsv")
+        need = True
+        if os.path.exists(manifest_path):
+            with open(manifest_path) as fo:
+                need = sum(1 for _ in fo) < n_utts  # header + rows
+        if need:
+            make_synthetic_corpus(corpus, n_utts=n_utts, seed=7,
+                                  min_dur=AUDIO_SECONDS,
+                                  max_dur=AUDIO_SECONDS)
+        cfg = _family_cfg("ctc")
+        alphabet = load_tokenizer(corpus, "char")
+        cfg = cfg.replace(model=cfg.model.__class__(
+            **{**cfg.model.__dict__, "vocab_size": alphabet.size}))
+        manifest = load_manifest(manifest_path,
+                                 os.path.join(corpus, "clips"))[:n_utts]
+        params = init_model_params(jax.random.PRNGKey(0), cfg)
+        opt = make_optimizer(cfg)
+        opt_state = opt.init(params)
+        step_fn = make_train_step(cfg, opt)
+        rng = training_rng(0)
+
+        def run_epoch():
+            nonlocal params, opt_state, rng
+            it = PrefetchIterator(
+                BatchIterator(manifest, alphabet, BATCH, shuffle=False,
+                              sample_rate=cfg.features.sample_rate), depth=4)
+            n = 0
+            last = None
+            for batch in it:
+                if batch.size < BATCH:
+                    continue  # keep one static shape: steady-state measure
+                params, opt_state, rng, last = step_fn(
+                    params, opt_state, rng, batch.wave, batch.num_samples,
+                    batch.labels, batch.label_lens)
+                n += BATCH
+            if last is not None:
+                jax.block_until_ready(last)
+            return n
+
+        run_epoch()  # warm: compile + page cache
+        t0 = time.time()
+        total = sum(run_epoch() for _ in range(epochs))
+        dt = time.time() - t0
+        return total / dt if total else None
+    except Exception as e:
+        print(f"[bench] e2e failed: {e!r}", file=sys.stderr)
+        return None
+
+
+def bench_ours(skip_extras: bool = False) -> dict:
+    import jax
+
+    _enable_compilation_cache()
 
     from pg_asr_tpu.config import Config, FeatureConfig, ModelConfig, TrainConfig
     from pg_asr_tpu.models import bilstm_ctc
     from pg_asr_tpu.parallel.mesh import make_mesh, replicate, shard_batch_arrays
-    from pg_asr_tpu.train import make_optimizer, make_train_step
+    from pg_asr_tpu.train import make_optimizer
 
-    cfg = Config(
-        features=FeatureConfig(kind="logmel", n_mels=80),
-        model=ModelConfig(vocab_size=VOCAB, input_dim=80, input_proj_dim=512,
-                          hidden_size=256, num_layers=3, dropout=0.1,
-                          dtype="bfloat16"),
-        train=TrainConfig(batch_size=BATCH, warmup_steps=0),
-    )
+    cfg = _family_cfg("ctc")
     rng_np = np.random.default_rng(0)
     wave, ns, labels, label_lens = _workload(rng_np)
 
@@ -110,6 +313,7 @@ def bench_ours() -> dict:
     from pg_asr_tpu.utils.rand import training_rng
 
     rng = training_rng(0)
+    flagship_flops = _chain_flops(run_chain, params, opt_state, rng)
     t_compile0 = time.time()
     params, opt_state, losses = run_chain(params, opt_state, rng)
     _ = float(losses[-1])
@@ -121,10 +325,32 @@ def bench_ours() -> dict:
     dt = time.time() - t0
     utts_per_sec = BATCH * TIMED_STEPS / dt
 
+    device = jax.devices()[0]
+    peak = _peak_flops(device)
+
+    def mfu(flops_per_step, step_s):
+        if flops_per_step is None or peak is None or step_s <= 0:
+            return None
+        return flops_per_step / step_s / peak
+
+    out = {
+        "utts_per_sec": utts_per_sec,
+        "step_ms": 1000.0 * dt / TIMED_STEPS,
+        "compile_s": compile_s,
+        "loss": loss_val,
+        "flops_per_step": (flagship_flops / TIMED_STEPS
+                           if flagship_flops else None),
+        "mfu": mfu(flagship_flops / TIMED_STEPS if flagship_flops else None,
+                   dt / TIMED_STEPS),
+        "backend": jax.default_backend(),
+        "device": str(device),
+        "device_kind": getattr(device, "device_kind", None),
+        "peak_flops": peak,
+    }
+
     # informational: eval/serving throughput (featurize + forward + greedy
     # decode) on the same model/batch; failures must not break the primary
     # training metric
-    eval_ups = None
     try:
         from pg_asr_tpu.decoding.greedy import greedy_decode
 
@@ -145,64 +371,30 @@ def bench_ours() -> dict:
         _ = float(eval_chain(arrays[0]))  # compile
         t0 = time.time()
         _ = float(eval_chain(arrays[0]))
-        eval_ups = BATCH * TIMED_STEPS / (time.time() - t0)
-    except Exception:
-        pass
+        out["eval_greedy_utts_per_sec"] = BATCH * TIMED_STEPS / (time.time() - t0)
+    except Exception as e:
+        print(f"[bench] eval row failed: {e!r}", file=sys.stderr)
 
-    # informational: the non-recurrent transformer-CTC family at the same
-    # workload (models/transformer_ctc.py; docs/PERF.md) — guarded so a
-    # failure can't break the primary metric
-    tr_ups = None
-    try:
-        from pg_asr_tpu.config import TransformerConfig
-        from pg_asr_tpu.train import compute_loss, init_model_params
+    if skip_extras:
+        return out
 
-        cfg_tr = Config(
-            features=FeatureConfig(kind="logmel", n_mels=80),
-            model=ModelConfig(family="transformer", vocab_size=VOCAB,
-                              input_dim=80, dtype="bfloat16"),
-            transformer=TransformerConfig(),
-            train=TrainConfig(batch_size=BATCH, warmup_steps=0),
-        )
-        params_tr = init_model_params(jax.random.PRNGKey(0), cfg_tr)
-        opt_tr = make_optimizer(cfg_tr)
-        opt_state_tr = opt_tr.init(params_tr)
+    # every other family through the same generic compute_loss chain
+    for family in ("transformer", "conformer", "transducer", "seq2seq",
+                   "moe"):
+        r = _bench_family_chain(family, arrays)
+        if r is None:
+            continue
+        out[f"{family}_train_utts_per_sec"] = r["utts_per_sec"]
+        out[f"{family}_step_ms"] = r["step_ms"]
+        if r["flops_per_step"]:
+            out[f"{family}_flops_per_step"] = r["flops_per_step"]
+            out[f"{family}_mfu"] = mfu(r["flops_per_step"],
+                                       r["step_ms"] / 1000.0)
 
-        def tr_step(carry, _):
-            p, o, r = carry
-            r, drop = jax.random.split(r)
-            loss, grads = jax.value_and_grad(
-                lambda q: compute_loss(q, arrays[0], arrays[1], arrays[2],
-                                       arrays[3], cfg_tr, train=True,
-                                       dropout_rng=drop))(p)
-            updates, o = opt_tr.update(grads, o, p)
-            return (optax.apply_updates(p, updates), o, r), loss
-
-        @jax.jit
-        def tr_chain(p, o, r):
-            (p, o, r), losses = jax.lax.scan(tr_step, (p, o, r), None,
-                                             length=TIMED_STEPS)
-            return p, o, losses
-
-        p, o, losses = tr_chain(params_tr, opt_state_tr, rng)
-        _ = float(losses[-1])
-        t0 = time.time()
-        p, o, losses = tr_chain(params_tr, opt_state_tr, rng)
-        _ = float(losses[-1])
-        tr_ups = BATCH * TIMED_STEPS / (time.time() - t0)
-    except Exception:
-        pass
-
-    return {
-        "utts_per_sec": utts_per_sec,
-        "step_ms": 1000.0 * dt / TIMED_STEPS,
-        "compile_s": compile_s,
-        "loss": loss_val,
-        "eval_greedy_utts_per_sec": eval_ups,
-        "transformer_train_utts_per_sec": tr_ups,
-        "backend": jax.default_backend(),
-        "device": str(jax.devices()[0]),
-    }
+    e2e = _bench_e2e()
+    if e2e:
+        out["e2e_train_utts_per_sec"] = e2e
+    return out
 
 
 def bench_torch_cpu(timed_steps: int = 2) -> dict:
@@ -259,6 +451,8 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--remeasure", action="store_true",
                     help="re-run the torch CPU baseline")
+    ap.add_argument("--skip_extras", action="store_true",
+                    help="flagship + eval rows only (fast)")
     args = ap.parse_args()
 
     baseline = None
@@ -274,7 +468,7 @@ def main() -> int:
         with open(CACHE, "w") as fo:
             json.dump(baseline, fo, indent=2)
 
-    ours = bench_ours()
+    ours = bench_ours(skip_extras=args.skip_extras)
     result = {
         "metric": "train_throughput_bilstm_ctc",
         "value": round(ours["utts_per_sec"], 3),
@@ -284,12 +478,18 @@ def main() -> int:
         "baseline_utts_per_sec": round(baseline["utts_per_sec"], 3),
         "backend": ours["backend"],
     }
-    if ours.get("eval_greedy_utts_per_sec"):
-        result["eval_greedy_utts_per_sec"] = round(
-            ours["eval_greedy_utts_per_sec"], 1)
-    if ours.get("transformer_train_utts_per_sec"):
-        result["transformer_train_utts_per_sec"] = round(
-            ours["transformer_train_utts_per_sec"], 1)
+    for k in ("flops_per_step", "mfu", "device_kind", "peak_flops",
+              "eval_greedy_utts_per_sec", "e2e_train_utts_per_sec"):
+        if ours.get(k) is not None:
+            v = ours[k]
+            result[k] = round(v, 5) if isinstance(v, float) else v
+    for family in ("transformer", "conformer", "transducer", "seq2seq",
+                   "moe"):
+        for suffix in ("train_utts_per_sec", "step_ms", "flops_per_step",
+                       "mfu"):
+            k = f"{family}_{suffix}"
+            if ours.get(k) is not None:
+                result[k] = round(ours[k], 5)
     print(json.dumps(result))
     return 0
 

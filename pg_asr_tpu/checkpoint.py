@@ -10,10 +10,13 @@ from __future__ import annotations
 
 import json
 import os
+import queue
 import tempfile
+import threading
 from typing import Any
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from flax import serialization
 
@@ -55,6 +58,9 @@ class CheckpointManager:
         self.model_dir = model_dir
         os.makedirs(model_dir, exist_ok=True)
         self.best_val = float("inf")
+        self._q: queue.Queue | None = None
+        self._worker: threading.Thread | None = None
+        self._err: Exception | None = None
 
     @property
     def best_path(self) -> str:
@@ -68,16 +74,71 @@ class CheckpointManager:
         with open(os.path.join(self.model_dir, "config.json"), "w") as fo:
             fo.write(config_json)
 
-    def save(self, state: dict, val_loss: float | None = None) -> bool:
-        """Save `last`; promote to `best` if val improved. Returns is_best."""
+    def save(self, state: dict, val_loss: float | None = None,
+             background: bool = False) -> bool:
+        """Save `last`; promote to `best` if val improved. Returns is_best.
+
+        background=True (mid-epoch preemption-safety saves) snapshots the
+        device arrays with a cheap on-device copy and hands the D2H
+        transfer + serialization + atomic write to a single worker thread,
+        so save_every_steps=1 doesn't tax step time. The on-device copy is
+        what makes this safe against the train step DONATING the original
+        buffers on the very next call. Saves are written in submission
+        order; flush() joins the queue (and synchronous saves flush first,
+        so best/last ordering is preserved)."""
         is_best = val_loss is not None and val_loss < self.best_val
         if is_best:
             self.best_val = float(val_loss)
             state = dict(state, best_val_loss=self.best_val)
-        save_checkpoint(self.last_path, state)
-        if is_best:
-            save_checkpoint(self.best_path, state)
+        if not background:
+            self.flush()  # keep on-disk ordering with pending async saves
+            save_checkpoint(self.last_path, state)
+            if is_best:
+                save_checkpoint(self.best_path, state)
+            return is_best
+
+        def snap(x):
+            if isinstance(x, jax.Array):
+                return jnp.array(x, copy=True)
+            return x
+
+        snapshot = jax.tree_util.tree_map(snap, state)
+        self._ensure_worker()
+        self._q.put((snapshot, is_best))
         return is_best
+
+    def _ensure_worker(self) -> None:
+        if self._worker is not None:
+            return
+        self._q = queue.Queue()
+
+        def loop():
+            while True:
+                job = self._q.get()
+                if job is None:
+                    self._q.task_done()
+                    return
+                snapshot, is_best = job
+                try:
+                    save_checkpoint(self.last_path, snapshot)
+                    if is_best:
+                        save_checkpoint(self.best_path, snapshot)
+                except Exception as e:  # surfaced by flush()
+                    self._err = e
+                finally:
+                    self._q.task_done()
+
+        self._worker = threading.Thread(target=loop, daemon=True,
+                                        name="ckpt-writer")
+        self._worker.start()
+
+    def flush(self) -> None:
+        """Wait for all queued background saves; re-raise any write error."""
+        if self._q is not None:
+            self._q.join()
+        if self._err is not None:
+            err, self._err = self._err, None
+            raise err
 
     def try_restore(self, template: dict, prefer: str = "last") -> dict | None:
         path = self.last_path if prefer == "last" else self.best_path

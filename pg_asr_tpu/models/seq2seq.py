@@ -133,3 +133,103 @@ def greedy_generate(params: dict, feats: jnp.ndarray, frame_mask: jnp.ndarray,
             jnp.zeros((B, H), enc_out.dtype), jnp.zeros((B, H), enc_out.dtype))
     _, (toks, lps) = jax.lax.scan(step, init, None, length=max_steps)
     return jnp.swapaxes(toks, 0, 1), jnp.swapaxes(lps, 0, 1)
+
+
+def _attend_beam(h: jnp.ndarray, enc_out: jnp.ndarray,
+                 frame_mask: jnp.ndarray) -> jnp.ndarray:
+    """Beam-batched attention: (B,K,H),(B,Te,E) -> context (B,K,E)."""
+    scores = jnp.einsum("bkh,beh->bke", h, enc_out,
+                        preferred_element_type=jnp.float32)
+    scores = jnp.where(frame_mask[:, None, :] > 0, scores, -1e30)
+    attn = jax.nn.softmax(scores, axis=-1)
+    return jnp.einsum("bke,beh->bkh", attn, enc_out,
+                      preferred_element_type=h.dtype)
+
+
+@partial(jax.jit, static_argnames=("enc_cfg", "dec_cfg", "beam_size",
+                                   "max_steps"))
+def beam_generate(params: dict, feats: jnp.ndarray, frame_mask: jnp.ndarray,
+                  enc_cfg: ModelConfig, dec_cfg: Seq2SeqConfig,
+                  beam_size: int = 8, max_steps: int = 128,
+                  length_norm: float = 0.6):
+    """Batched beam search over the attention decoder — the decode the
+    reference's predict() assumed but never had (reference model.py:324
+    ran a CTC beam over seq2seq outputs; here the beam expands the
+    autoregressive decoder itself).
+
+    TPU-first: ALL beams of ALL utterances advance together — one
+    (B*K)-row LSTM gate step, one beam-batched attention einsum, one
+    top-k over the (K*A) candidate scores per utterance per step. EOS is
+    the pad id 0 (the contract losses.seq2seq_nll_loss trains); finished
+    beams propagate with a single zero-cost EOS continuation so their
+    scores freeze. Final ranking uses GNMT length normalization
+    score / ((5+L)/6)^length_norm.
+
+    Returns (tokens (B, max_steps) int32 zero-padded after EOS,
+    lens (B,) int32, scores (B,) f32 normalized best-beam scores).
+    """
+    enc_out = encode(params["encoder"], feats, frame_mask, enc_cfg)
+    B = feats.shape[0]
+    K = beam_size
+    A = dec_cfg.vocab_size
+    H = dec_cfg.dec_hidden
+    W, U, b = (params["dec_lstm"]["W"], params["dec_lstm"]["U"],
+               params["dec_lstm"]["b"])
+    dtype = enc_out.dtype
+    NEG = jnp.float32(-1e30)
+
+    def step(carry, t):
+        tok, h, c, scores, finished, buf = carry
+        # one fused gate step for all B*K beams
+        x = params["embed"][tok]  # (B, K, E)
+        pre = (x.reshape(B * K, -1) @ W + h.reshape(B * K, H) @ U + b)
+        h2, c2 = _gate_step(h.reshape(B * K, H), c.reshape(B * K, H), pre, H)
+        h2 = h2.reshape(B, K, H)
+        c2 = c2.reshape(B, K, H)
+        ctx = _attend_beam(h2, enc_out, frame_mask)
+        logits = linear(params["output"], jnp.concatenate([h2, ctx], -1))
+        lp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)  # (B,K,A)
+
+        # finished beams: only a zero-cost EOS continuation survives
+        eos_only = jnp.full((A,), NEG).at[0].set(0.0)
+        lp = jnp.where(finished[:, :, None], eos_only[None, None, :], lp)
+        cand = scores[:, :, None] + lp  # (B, K, A)
+        flat = cand.reshape(B, K * A)
+        top_scores, top_idx = jax.lax.top_k(flat, K)  # (B, K)
+        parent = top_idx // A  # (B, K)
+        new_tok = (top_idx % A).astype(jnp.int32)
+
+        take = jax.vmap(lambda a, i: a[i])  # gather beams per utterance
+        h2 = take(h2, parent)
+        c2 = take(c2, parent)
+        finished = take(finished, parent) | (new_tok == 0)
+        buf = take(buf, parent)
+        buf = jax.lax.dynamic_update_index_in_dim(
+            buf, new_tok[:, :, None], t, axis=2)
+        return (new_tok, h2, c2, top_scores, finished, buf), None
+
+    init = (jnp.zeros((B, K), jnp.int32),
+            jnp.zeros((B, K, H), dtype), jnp.zeros((B, K, H), dtype),
+            jnp.concatenate([jnp.zeros((B, 1), jnp.float32),
+                             jnp.full((B, K - 1), NEG)], axis=1)
+            if K > 1 else jnp.zeros((B, K), jnp.float32),
+            jnp.zeros((B, K), bool),
+            jnp.zeros((B, K, max_steps), jnp.int32))
+    (_, _, _, scores, _, buf), _ = jax.lax.scan(
+        step, init, jnp.arange(max_steps))
+
+    # per-beam lengths (first EOS), GNMT length-normalized re-ranking
+    is_eos = buf == 0  # (B, K, S)
+    lens = jnp.where(is_eos.any(axis=2),
+                     jnp.argmax(is_eos, axis=2), max_steps)  # (B, K)
+    penalty = jnp.power((5.0 + lens.astype(jnp.float32)) / 6.0,
+                        jnp.float32(length_norm))
+    normed = scores / jnp.maximum(penalty, 1e-6)
+    best = jnp.argmax(normed, axis=1)  # (B,)
+    pick = jax.vmap(lambda a, i: a[i])
+    tokens = pick(buf, best)  # (B, S)
+    out_lens = pick(lens, best).astype(jnp.int32)
+    # zero-pad everything after the first EOS
+    pos = jnp.arange(max_steps)[None, :]
+    tokens = jnp.where(pos < out_lens[:, None], tokens, 0)
+    return tokens, out_lens, pick(normed, best)

@@ -46,6 +46,21 @@ def _forward_seq2seq(params, wave, num_samples, cfg: Config):
 
 
 @partial(jax.jit, static_argnames=("cfg", "beam_size"))
+def _forward_seq2seq_beam(params, wave, num_samples, cfg: Config,
+                          beam_size: int = 8):
+    """Featurize + encode + batched attention-decoder beam search
+    (models/seq2seq.beam_generate), one jitted call. Returns
+    (tokens (B, S) zero-padded after EOS, lens (B,))."""
+    from .models import seq2seq
+
+    feats, mask, _ = extract_features(wave, num_samples, cfg.features)
+    tokens, lens, _ = seq2seq.beam_generate(
+        params, feats, mask, cfg.model, cfg.seq2seq, beam_size=beam_size,
+        max_steps=cfg.decode.max_label_len)
+    return tokens, lens
+
+
+@partial(jax.jit, static_argnames=("cfg", "beam_size"))
 def _forward_transducer(params, wave, num_samples, cfg: Config,
                         beam_size: int = 0):
     """Featurize + encode + batched transducer decode (greedy, or the
@@ -152,6 +167,9 @@ def predict(test_path: str, aud_path: str, alphabet_path: str, model_path: str,
             raise ValueError("LM shallow fusion is a CTC-beam feature; the "
                              "transducer's prediction network IS its "
                              "language model")
+        if cfg.model.family == "seq2seq":
+            raise ValueError("LM shallow fusion is a CTC-beam feature; the "
+                             "seq2seq decoder LSTM IS its language model")
         if decoder != "beam":
             raise ValueError("LM shallow fusion needs --decoder beam")
         if not lm_train_tsv:
@@ -181,20 +199,17 @@ def predict(test_path: str, aud_path: str, alphabet_path: str, model_path: str,
             predicted.extend(ids_to_strings(labels, lens, alphabet))
             continue
         if cfg.model.family == "seq2seq":
-            tokens, lps = _forward_seq2seq(params, batch.wave,
-                                           batch.num_samples, cfg)
             if decoder == "beam":
-                # reference-eval parity: CTC prefix beam + collapse applied
-                # to the decoder's per-step posteriors (reference
-                # model.py:314-326 runs CTCDecoder on seq2seq outputs)
-                from .decoding.beam import beam_decode
-
-                steps = np.full((lps.shape[0],), lps.shape[1], np.int32)
-                labels, lens, _ = beam_decode(lps, steps, beam_size=beam_size,
-                                              max_label_len=cfg.decode.max_label_len,
-                                              lm=lm_tab, lm_weight=lm_weight,
-                                              length_bonus=length_bonus)
+                # true attention-decoder beam search (the decode the
+                # reference's predict assumed, model.py:324, realized over
+                # the autoregressive decoder itself)
+                labels, lens = _forward_seq2seq_beam(
+                    params, batch.wave, batch.num_samples, cfg,
+                    beam_size=beam_size)
+                labels, lens = np.asarray(labels), np.asarray(lens)
             else:
+                tokens, _ = _forward_seq2seq(params, batch.wave,
+                                             batch.num_samples, cfg)
                 labels, lens = _cut_at_eos(np.asarray(tokens))
             hyps = ids_to_strings(labels, lens, alphabet)
             targets.extend(batch.texts)

@@ -621,9 +621,12 @@ def train(corpus_path: str, model_path: str, num_epochs: int | None = None,
                        "best_val_loss": ckpt.best_val}
                 if use_ema:
                     mid["ema_params"] = ema_params
-                ckpt.save(plan.canonical_state(mid))
+                # background=True: the D2H transfer + write happen on the
+                # checkpoint worker thread, off the training step
+                ckpt.save(plan.canonical_state(mid), background=True)
             if stop_after_steps and step >= stop_after_steps:
                 # preemption-simulation hook (tests): vanish mid-epoch
+                ckpt.flush()  # pending background saves land before exit
                 return {"train_losses": train_losses,
                         "val_losses": val_losses, "steps": step,
                         "best_path": ckpt.best_path,
@@ -686,6 +689,7 @@ def train(corpus_path: str, model_path: str, num_epochs: int | None = None,
                 name = "cer" if cur_cer is not None else "val"
                 print(f"[train] new best checkpoint ({name} {ckpt.best_val:.4f})")
 
+    ckpt.flush()  # any trailing background saves land before we return
     return {
         "train_losses": train_losses,
         "val_losses": val_losses,

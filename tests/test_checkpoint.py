@@ -86,3 +86,67 @@ def test_predict_beam_path_from_saved_model(tmp_path):
                     model_dir, batch_size=3, decoder="beam", beam_size=4)
     assert os.path.exists(os.path.join(model_dir, "predicted.txt"))
     assert stats["num_utts"] >= 1
+
+
+def test_background_save_snapshot_isolation(tmp_path):
+    """A background save must snapshot the device arrays BEFORE returning:
+    deleting (donating) the originals right after save() returns must not
+    corrupt the written checkpoint, and in-order writes mean the last
+    save wins."""
+    import jax.numpy as jnp
+
+    mgr = CheckpointManager(str(tmp_path))
+    final = None
+    for i in range(5):
+        x = jnp.full((16, 16), float(i))
+        st = {"params": {"w": x}, "step": i, "epoch": 0,
+              "best_val_loss": float("inf")}
+        mgr.save(st, background=True)
+        x.delete()  # simulate the train step donating the buffer
+        final = i
+    mgr.flush()
+    got = load_checkpoint(mgr.last_path,
+                          {"params": {"w": jnp.zeros((16, 16))}, "step": 0,
+                           "epoch": 0, "best_val_loss": 0.0})
+    assert int(got["step"]) == final
+    np.testing.assert_array_equal(np.asarray(got["params"]["w"]),
+                                  np.full((16, 16), float(final)))
+
+
+def test_background_then_sync_save_ordering(tmp_path):
+    """A synchronous save (epoch end) flushes pending background saves
+    first, so the sync state is what lands last on disk."""
+    import jax.numpy as jnp
+
+    mgr = CheckpointManager(str(tmp_path))
+    for i in range(3):
+        mgr.save({"params": {"w": jnp.full((4,), float(i))}, "step": i,
+                  "epoch": 0, "best_val_loss": float("inf")},
+                 background=True)
+    is_best = mgr.save({"params": {"w": jnp.full((4,), 99.0)}, "step": 99,
+                        "epoch": 1, "best_val_loss": float("inf")},
+                       val_loss=1.0)
+    assert is_best
+    got = load_checkpoint(mgr.last_path,
+                          {"params": {"w": jnp.zeros((4,))}, "step": 0,
+                           "epoch": 0, "best_val_loss": 0.0})
+    assert int(got["step"]) == 99
+    best = load_checkpoint(mgr.best_path,
+                           {"params": {"w": jnp.zeros((4,))}, "step": 0,
+                            "epoch": 0, "best_val_loss": 0.0})
+    assert int(best["step"]) == 99
+
+
+def test_background_save_error_surfaces_on_flush(tmp_path, monkeypatch):
+    """A failed background write must not be silently lost."""
+    import pg_asr_tpu.checkpoint as ck
+
+    mgr = ck.CheckpointManager(str(tmp_path))
+
+    def boom(path, state):
+        raise OSError("disk full")
+
+    monkeypatch.setattr(ck, "save_checkpoint", boom)
+    mgr.save({"step": 1}, background=True)
+    with pytest.raises(OSError, match="disk full"):
+        mgr.flush()

@@ -1,6 +1,6 @@
 """End-to-end seq2seq family through the train/predict drivers: synthetic
 corpus -> train --model seq2seq -> checkpoints/curves -> predict (greedy EOS
-cut + reference-parity beam over decoder posteriors).
+cut + batched attention-decoder beam search).
 
 The reference's train() targets exactly this model (reference
 model.py:200,232), but its decoder returns None (model.py:117); this
@@ -56,7 +56,7 @@ def test_seq2seq_train_and_predict(corpus, tmp_path):
     assert os.path.exists(os.path.join(model_dir, "predicted.txt"))
     assert stats["num_utts"] >= 1
 
-    # reference-parity eval: CTC prefix beam over decoder posteriors
+    # true attention-decoder beam search (models/seq2seq.beam_generate)
     stats_beam = predict(os.path.join(corpus, "test.tsv"),
                          os.path.join(corpus, "clips"),
                          os.path.join(corpus, "alphabet.txt"),
