@@ -130,6 +130,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "granularity)")
     p.add_argument("--right_context", type=int, default=32,
                    help="stream: lookahead frames (latency/accuracy dial)")
+    p.add_argument("--left_context", type=int, default=512,
+                   help="stream (transformer/conformer): exact left-context "
+                        "frames per window (accuracy/compute dial)")
     p.add_argument("--block_ms", type=int, default=100,
                    help="stream: audio push block size in milliseconds")
     return p
@@ -308,7 +311,8 @@ def main(argv=None) -> int:
         params, cfg = load_model(args.model_path, alphabet, cfg)
         st = StreamingTranscriber(params, cfg, alphabet,
                                   chunk_frames=args.chunk_frames,
-                                  right_context=args.right_context)
+                                  right_context=args.right_context,
+                                  left_context=args.left_context)
         wave, sr = load_audio(args.wav)
         if sr != cfg.features.sample_rate:
             from .data.dataset import _resample_linear

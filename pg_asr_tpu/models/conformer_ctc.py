@@ -151,12 +151,18 @@ def _conv_module(p: dict, x: jnp.ndarray, mask: jnp.ndarray,
 
 def encode(params: dict, feats: jnp.ndarray, frame_mask: jnp.ndarray,
            frame_lens: jnp.ndarray, mcfg: ModelConfig, ccfg: ConformerConfig,
-           train: bool = False, dropout_rng=None):
+           train: bool = False, dropout_rng=None,
+           pre_normalized: bool = False):
     """Encoder-only forward: (B, T, F) features -> (states (B, T', d),
-    out_mask (B, T') bool, out_lens (B,)) with T' = ceil(T / subsample)."""
+    out_mask (B, T') bool, out_lens (B,)) with T' = ceil(T / subsample).
+
+    pre_normalized=True (streaming, serving.py): the caller normalized with
+    running/CMVN stats. Rotary attention depends on positions only through
+    offsets, so windows need no absolute-position plumbing here."""
     dtype = jnp.dtype(mcfg.dtype)
     mask = frame_mask.astype(dtype)
-    x = normalize_features(feats.astype(dtype), mask)
+    x = (feats.astype(dtype) if pre_normalized
+         else normalize_features(feats.astype(dtype), mask))
 
     # frame stacking: (B, T, F) -> (B, T', s*F); zero-pad the time tail
     B, T, F = x.shape

@@ -85,9 +85,11 @@ def init_params(key, mcfg: ModelConfig, tcfg: TransformerConfig) -> dict:
     return params
 
 
-def _posenc(T: int, d: int, dtype) -> jnp.ndarray:
-    """Standard sinusoidal positional encoding, (T, d)."""
-    pos = jnp.arange(T, dtype=jnp.float32)[:, None]
+def _posenc(T: int, d: int, dtype, offset=0) -> jnp.ndarray:
+    """Standard sinusoidal positional encoding, (T, d). `offset` shifts the
+    absolute positions (streaming windows start mid-utterance; may be a
+    traced scalar)."""
+    pos = (jnp.arange(T, dtype=jnp.float32) + offset)[:, None]
     half = d // 2
     freq = jnp.exp(-jnp.log(10000.0) * jnp.arange(half, dtype=jnp.float32)
                    / half)
@@ -122,7 +124,8 @@ def subsampled_lens(frame_lens: jnp.ndarray, subsample: int) -> jnp.ndarray:
 
 def frontend(params: dict, feats: jnp.ndarray, frame_mask: jnp.ndarray,
              frame_lens: jnp.ndarray, mcfg: ModelConfig,
-             tcfg: TransformerConfig, pad_to_multiple: int = 1):
+             tcfg: TransformerConfig, pad_to_multiple: int = 1,
+             pos_offset=0, pre_normalized: bool = False):
     """Shared pre-block pipeline: masked normalization -> frame-stacking
     subsample -> input projection + sinusoidal positions. Reused by the
     sequence-parallel and MoE encoders (parallel/sequence.py,
@@ -130,10 +133,13 @@ def frontend(params: dict, feats: jnp.ndarray, frame_mask: jnp.ndarray,
 
     Returns (x (B, T', d), out_mask (B, T') bool, out_lens (B,)); T' is
     additionally padded up to pad_to_multiple (sequence parallelism needs
-    T' divisible by the mesh axis)."""
+    T' divisible by the mesh axis). Streaming (serving.py) passes
+    pre_normalized=True (it normalizes with running/CMVN stats) and a
+    pos_offset of the window's absolute first subframe."""
     dtype = jnp.dtype(mcfg.dtype)
     mask = frame_mask.astype(dtype)
-    x = normalize_features(feats.astype(dtype), mask)
+    x = (feats.astype(dtype) if pre_normalized
+         else normalize_features(feats.astype(dtype), mask))
 
     # frame stacking: (B, T, F) -> (B, T', s*F); zero-pad the time tail
     B, T, F = x.shape
@@ -150,17 +156,20 @@ def frontend(params: dict, feats: jnp.ndarray, frame_mask: jnp.ndarray,
         To = Ts
     out_lens = subsampled_lens(frame_lens, s)
     out_mask = (jnp.arange(To)[None, :] < out_lens[:, None])
-    x = linear(params["input_proj"], x) + _posenc(To, tcfg.d_model, dtype)
+    x = linear(params["input_proj"], x) + _posenc(To, tcfg.d_model, dtype,
+                                                  offset=pos_offset)
     return x, out_mask, out_lens
 
 
 def encode(params: dict, feats: jnp.ndarray, frame_mask: jnp.ndarray,
            frame_lens: jnp.ndarray, mcfg: ModelConfig, tcfg: TransformerConfig,
-           train: bool = False, dropout_rng=None):
+           train: bool = False, dropout_rng=None, pos_offset=0,
+           pre_normalized: bool = False):
     """Encoder-only forward: (B, T, F) features -> (states (B, T', d),
     out_mask (B, T') bool, out_lens (B,)) with T' = ceil(T / subsample)."""
     x, out_mask, out_lens = frontend(params, feats, frame_mask, frame_lens,
-                                     mcfg, tcfg)
+                                     mcfg, tcfg, pos_offset=pos_offset,
+                                     pre_normalized=pre_normalized)
     n_rngs = tcfg.num_layers * 2 + 1
     rngs = (jax.random.split(dropout_rng, n_rngs)
             if (train and dropout_rng is not None) else [None] * n_rngs)

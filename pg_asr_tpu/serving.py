@@ -32,19 +32,30 @@ model, built for how jit wants to run:
   * greedy CTC collapse carries its previous-id across chunks, so repeats
     spanning a boundary collapse correctly.
 
-Two streamable families share the LC-BLSTM encoder machinery:
-  * family="ctc" — greedy CTC collapse over each chunk's committed frames,
-    previous-id carried across chunk boundaries.
+Streamable families:
+  * family="ctc" (LC-BLSTM machinery above) — greedy CTC collapse over
+    each chunk's committed frames, previous-id carried across chunks.
   * family="transducer" with encoder="bilstm" — the frame-synchronous
     greedy transducer search continues across chunks by carrying the
     prediction-network state (h, c, joint-projected g); the transducer
     decodes strictly left-to-right, so given identical encoder states the
     streamed decode EQUALS the offline decode (parity-tested).
+  * family="transformer"/"conformer" — Emformer-style block processing
+    with OVERLAPPING windows (_chunk_step_attention): each committed chunk
+    is encoded together with `left_context` exact left frames and R
+    lookahead frames through the family's own encode() (absolute position
+    offset for the transformer's sinusoidal positions; the conformer's
+    rotary attention is offset-invariant, and its depthwise convs get
+    their receptive field from the same context margins). Left context is
+    recomputed per window — the simple-and-correct block scheme (compute
+    overhead (L+C+R)/C) rather than per-layer k/v caching; with context
+    covering the whole utterance the streamed outputs equal the offline
+    forward exactly (parity-tested).
 
-Restrictions (validated in __init__): recurrent encoder only (attention
-families/backbones need full left context), feature kind="logmel" (MFCC
-deltas use whole-utterance edge replication), Pallas kernels off (B=1
-windows; the lax.scan path is the right tool).
+Restrictions (validated in __init__): feature kind="logmel" (MFCC deltas
+use whole-utterance edge replication), Pallas kernels off (B=1 windows;
+the lax.scan path is the right tool), transducer streaming needs the
+bilstm backbone.
 """
 
 from __future__ import annotations
@@ -81,6 +92,105 @@ def _fwd_scan_from(xp: jnp.ndarray, U: jnp.ndarray, mask: jnp.ndarray,
     return jnp.swapaxes(ys, 0, 1), (h, c)
 
 
+def _window_features(window: jnp.ndarray, fcfg) -> jnp.ndarray:
+    """Featurization of one (1, L) sample window: identical math to
+    ops.features._frontend, VALID conv over the pre-padded host window (no
+    reflect here — the host already placed reflected/zero samples).
+    Returns (1, Wf, F) log-mel features."""
+    kern = jnp.asarray(dft_conv_kernel(fcfg.n_fft, fcfg.win_length))
+    spec = jax.lax.conv_general_dilated(
+        window[:, None, :], kern, window_strides=(fcfg.hop_length,),
+        padding="VALID", dimension_numbers=("NCW", "OIW", "NCW"),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)
+    K = fcfg.n_fft // 2 + 1
+    power = jnp.swapaxes(spec[:, :K, :] ** 2 + spec[:, K:, :] ** 2, 1, 2)
+    fb = jnp.asarray(mel_filterbank(fcfg.n_mels, fcfg.n_fft,
+                                    fcfg.sample_rate, fcfg.fmin, fcfg.fmax,
+                                    fcfg.mel_scale))
+    mel = jnp.einsum("bfk,km->bfm", power, fb,
+                     preferred_element_type=jnp.float32)
+    return jnp.log(jnp.maximum(mel, fcfg.log_floor))
+
+
+def _running_norm(feats: jnp.ndarray, valid: jnp.ndarray,
+                  committed: jnp.ndarray, stats, fixed_norm: bool, dtype):
+    """Shared streaming normalization: running scalar stats over committed
+    frames (or fixed CMVN (mean, var)); pools over frames x channels like
+    the offline models' normalize_features. Returns (x, new_stats)."""
+    s, ss, cnt = stats
+    if fixed_norm:
+        mean, var = s, ss
+        new_stats = stats
+    else:
+        cm = committed[:, :, None]
+        s = s + jnp.sum(feats * cm)
+        ss = ss + jnp.sum(jnp.square(feats) * cm)
+        cnt = cnt + jnp.sum(committed) * feats.shape[-1]
+        mean = s / jnp.maximum(cnt, 1.0)
+        var = jnp.maximum(ss / jnp.maximum(cnt, 1.0) - jnp.square(mean), 0.0)
+        new_stats = (s, ss, cnt)
+    x = ((feats - mean) * jax.lax.rsqrt(var + 1e-5)
+         * valid[:, :, None]).astype(dtype)
+    return x, new_stats
+
+
+@partial(jax.jit, static_argnames=("cfg", "n_ctx", "chunk", "fixed_norm"))
+def _chunk_step_attention(params, window: jnp.ndarray, stats,
+                          n_valid: jnp.ndarray, n_committed: jnp.ndarray,
+                          abs_frame0: jnp.ndarray, cfg: Config, n_ctx: int,
+                          chunk: int, fixed_norm: bool):
+    """One attention-family (transformer/conformer) streaming step.
+
+    Block processing with overlapping windows: the (1, L) sample window
+    covers n_ctx left-context + chunk committed + R lookahead raw frames,
+    ALL real audio (the host grows n_ctx chunk-by-chunk until the
+    configured left_context, so there is never an invalid prefix). The
+    window runs through the family's OWN encode() (pre_normalized=True;
+    transformer gets the absolute position offset, conformer's rotary
+    attention is offset-invariant), and only the chunk's committed
+    subframes are emitted. Each committed frame therefore sees n_ctx
+    exact left frames and up to R right frames — Emformer-style
+    limited-context semantics; with context covering the whole utterance
+    the outputs equal the offline forward exactly (parity-tested).
+
+    Returns (ids (chunk//s,) greedy argmax over committed subframes,
+    new_stats).
+    """
+    fcfg, mcfg = cfg.features, cfg.model
+    dtype = jnp.dtype(mcfg.dtype)
+    feats = _window_features(window, fcfg)  # (1, Wf, F)
+    Wf = feats.shape[1]
+    idx = jnp.arange(Wf)[None, :]
+    valid = (idx < n_valid).astype(jnp.float32)
+    committed = ((idx >= n_ctx)
+                 & (idx < n_ctx + n_committed)).astype(jnp.float32)
+    feats = feats * valid[:, :, None]
+    x, new_stats = _running_norm(feats, valid, committed, stats, fixed_norm,
+                                 dtype)
+
+    from .models.bilstm_ctc import linear
+
+    mask = valid.astype(dtype)
+    frame_lens = n_valid[None] if n_valid.ndim == 0 else n_valid
+    if mcfg.family == "conformer":
+        from .models import conformer_ctc
+
+        s = cfg.conformer.subsample
+        xs, _, _ = conformer_ctc.encode(params, x, mask, frame_lens, mcfg,
+                                        cfg.conformer, pre_normalized=True)
+    else:
+        from .models import transformer_ctc
+
+        s = cfg.transformer.subsample
+        xs, _, _ = transformer_ctc.encode(
+            params, x, mask, frame_lens, mcfg, cfg.transformer,
+            pos_offset=abs_frame0 // s, pre_normalized=True)
+    logits = linear(params["ctc_head"], xs)
+    ids = jnp.argmax(logits.astype(jnp.float32), axis=-1)[0]  # (Wf/s,)
+    return jax.lax.dynamic_slice_in_dim(ids, n_ctx // s, chunk // s), new_stats
+
+
 def _encode_window(enc_params, window: jnp.ndarray, stats, carries,
                    n_valid: jnp.ndarray, n_committed: jnp.ndarray,
                    cfg: Config, chunk: int, fixed_norm: bool):
@@ -97,25 +207,7 @@ def _encode_window(enc_params, window: jnp.ndarray, stats, carries,
 
     fcfg, mcfg = cfg.features, cfg.model
     dtype = jnp.dtype(mcfg.dtype)
-
-    # --- featurization: identical math to ops.features._frontend, VALID
-    # conv over the pre-padded host window (no reflect here — the host
-    # already placed reflected/zero samples)
-    kern = jnp.asarray(dft_conv_kernel(fcfg.n_fft, fcfg.win_length))
-    spec = jax.lax.conv_general_dilated(
-        window[:, None, :], kern, window_strides=(fcfg.hop_length,),
-        padding="VALID", dimension_numbers=("NCW", "OIW", "NCW"),
-        precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32)
-    K = fcfg.n_fft // 2 + 1
-    power = jnp.swapaxes(spec[:, :K, :] ** 2 + spec[:, K:, :] ** 2, 1, 2)
-    fb = jnp.asarray(mel_filterbank(fcfg.n_mels, fcfg.n_fft,
-                                    fcfg.sample_rate, fcfg.fmin, fcfg.fmax,
-                                    fcfg.mel_scale))
-    mel = jnp.einsum("bfk,km->bfm", power, fb,
-                     preferred_element_type=jnp.float32)
-    feats = jnp.log(jnp.maximum(mel, fcfg.log_floor))  # (1, Wf, F)
-
+    feats = _window_features(window, fcfg)  # (1, Wf, F)
     Wf = feats.shape[1]
     valid = (jnp.arange(Wf)[None, :] < n_valid).astype(jnp.float32)
     committed = (jnp.arange(Wf)[None, :] < n_committed).astype(jnp.float32)
@@ -123,20 +215,8 @@ def _encode_window(enc_params, window: jnp.ndarray, stats, carries,
 
     # --- normalization: running scalar stats over committed frames
     # (offline normalize_features pools over valid frames x channels)
-    s, ss, cnt = stats
-    if fixed_norm:
-        mean, var = s, ss
-        new_stats = stats
-    else:
-        cm = committed[:, :, None]
-        s = s + jnp.sum(feats * cm)
-        ss = ss + jnp.sum(jnp.square(feats) * cm)
-        cnt = cnt + jnp.sum(committed) * feats.shape[-1]
-        mean = s / jnp.maximum(cnt, 1.0)
-        var = jnp.maximum(ss / jnp.maximum(cnt, 1.0) - jnp.square(mean), 0.0)
-        new_stats = (s, ss, cnt)
-    x = ((feats - mean) * jax.lax.rsqrt(var + 1e-5)
-         * valid[:, :, None]).astype(dtype)
+    x, new_stats = _running_norm(feats, valid, committed, stats, fixed_norm,
+                                 dtype)
 
     # --- encoder (mirrors bilstm_ctc.encode at train=False)
     mask = valid.astype(dtype)
@@ -232,19 +312,26 @@ class StreamingTranscriber:
 
     def __init__(self, params, cfg: Config, alphabet,
                  chunk_frames: int = 64, right_context: int = 32,
-                 norm: str | tuple = "streaming"):
+                 norm: str | tuple = "streaming", left_context: int = 512):
         self.rnnt = cfg.model.family == "transducer"
+        # transformer/conformer stream via block processing with
+        # overlapping windows: left_context exact left frames + right
+        # lookahead per committed chunk (_chunk_step_attention)
+        self.attention = cfg.model.family in ("transformer", "conformer")
         if self.rnnt and cfg.transducer.encoder != "bilstm":
             raise ValueError(
                 "streaming transducer needs the recurrent encoder backbone "
                 f"(TransducerConfig.encoder='bilstm', got "
                 f"{cfg.transducer.encoder!r}): attention backbones require "
                 "full left context")
-        if cfg.model.family not in ("ctc", "transducer"):
+        if cfg.model.family not in ("ctc", "transducer", "transformer",
+                                    "conformer"):
             raise ValueError(
-                "streaming needs the recurrent family (--model ctc or a "
-                f"bilstm-backbone transducer): attention families "
-                f"({cfg.model.family!r}) require full left context")
+                f"family {cfg.model.family!r} has no streaming path "
+                "(--model ctc/transducer/transformer/conformer)")
+        if (self.attention and cfg.model.family == "transformer"
+                and cfg.transformer.num_experts > 0):
+            raise ValueError("MoE encoders have no streaming path yet")
         if cfg.features.kind != "logmel":
             raise ValueError("streaming supports logmel features only "
                              "(MFCC deltas use whole-utterance context)")
@@ -255,6 +342,18 @@ class StreamingTranscriber:
         self.alphabet = alphabet
         self.chunk = int(chunk_frames)
         self.right = int(right_context)
+        if self.attention:
+            # chunk boundaries must land on subsample boundaries so each
+            # chunk emits exactly chunk/s subframes
+            s = (cfg.conformer.subsample
+                 if cfg.model.family == "conformer"
+                 else cfg.transformer.subsample)
+            self.sub = s
+            self.chunk = -(-self.chunk // s) * s
+            self.right = -(-self.right // s) * s
+            # left context in whole chunks: n_ctx grows chunk-by-chunk, so
+            # only left_context/chunk + 1 jit specializations ever compile
+            self.left = -(-int(left_context) // self.chunk) * self.chunk
         self.fixed_norm = not isinstance(norm, str)
         if self.fixed_norm:
             self._norm0 = (jnp.float32(norm[0]), jnp.float32(norm[1]),
@@ -285,14 +384,15 @@ class StreamingTranscriber:
             self._dec_state = init_decode_state(self.params, 1, dt)
 
     # -- host-side exact window assembly ------------------------------------
-    def _window_samples(self, f0: int) -> np.ndarray:
-        """Samples backing frames [f0, f0 + C + R): absolute range
-        [f0*hop - pad, (f0 + C + R - 1)*hop + pad), reflect-padded at the
+    def _window_samples(self, f0: int, wf: int | None = None) -> np.ndarray:
+        """Samples backing frames [f0, f0 + wf): absolute range
+        [f0*hop - pad, (f0 + wf - 1)*hop + pad), reflect-padded at the
         stream start, zero past the stream end (= offline semantics, where
         batch zero-padding follows the utterance)."""
         fcfg = self.cfg.features
         pad = fcfg.n_fft // 2
-        wf = self.chunk + self.right
+        if wf is None:
+            wf = self.chunk + self.right
         lo = f0 * fcfg.hop_length - pad
         hi = (f0 + wf - 1) * fcfg.hop_length + pad
         out = np.zeros((hi - lo,), np.float32)
@@ -319,9 +419,11 @@ class StreamingTranscriber:
         return self._n_samples // self.cfg.features.hop_length + 1
 
     def _run_chunk(self, n_valid: int, n_committed: int) -> str:
+        piece = self.alphabet.piece  # tokenizer-aware (BPE marker -> space)
+        if self.attention:
+            return self._run_chunk_attention(n_valid, n_committed)
         window = jnp.asarray(
             self._window_samples(self._frames_done))[None, :]
-        piece = self.alphabet.piece  # tokenizer-aware (BPE marker -> space)
         if self.rnnt:
             ids, n_emit, self._stats, self._carries, self._dec_state = (
                 _chunk_step_rnnt(
@@ -355,6 +457,42 @@ class StreamingTranscriber:
         piece = "".join(out)
         self._text.append(piece)
         return piece
+
+    def _run_chunk_attention(self, n_valid: int, n_committed: int) -> str:
+        """Attention families: overlapping-window block processing. The
+        window covers [f0 - n_ctx, f0 + C + R) raw frames, all real audio
+        (n_ctx grows chunk-by-chunk up to left_context, so every window
+        prefix is valid); only the committed C subframes are emitted."""
+        f0 = self._frames_done
+        n_ctx = min(f0, self.left)  # multiple of chunk by construction
+        wf = n_ctx + self.chunk + self.right
+        window = jnp.asarray(self._window_samples(f0 - n_ctx, wf))[None, :]
+        ids, self._stats = _chunk_step_attention(
+            self.params, window, self._stats,
+            jnp.int32(n_ctx + n_valid), jnp.int32(n_committed),
+            jnp.int32(f0 - n_ctx), self.cfg, n_ctx, self.chunk,
+            self.fixed_norm)
+        n_emit = -(-n_committed // self.sub)  # ceil: offline out_lens parity
+        ids = np.asarray(ids)[:n_emit]
+        piece = self.alphabet.piece
+        out = []
+        for i in ids:
+            i = int(i)
+            if i != self._prev_id and i != 0:
+                out.append(piece(i))
+            self._prev_id = i
+        self._frames_done += n_committed
+        # drop samples no longer needed by any future window (which reaches
+        # back left_context frames before the next committed frame)
+        fcfg = self.cfg.features
+        keep_from = max((self._frames_done - self.left) * fcfg.hop_length
+                        - fcfg.n_fft // 2, 0)
+        if keep_from > self._buf_start:
+            self._buf = self._buf[keep_from - self._buf_start:]
+            self._buf_start = keep_from
+        text = "".join(out)
+        self._text.append(text)
+        return text
 
     # -- public API ----------------------------------------------------------
     def push(self, samples: np.ndarray) -> str:

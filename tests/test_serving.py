@@ -132,9 +132,17 @@ def test_reset_reuses_compilation(setup):
 def test_family_and_feature_validation(setup):
     cfg, params, alphabet, _ = setup
     bad_family = cfg.replace(model=cfg.model.__class__(
-        **{**cfg.model.__dict__, "family": "transformer"}))
-    with pytest.raises(ValueError, match="recurrent family"):
+        **{**cfg.model.__dict__, "family": "seq2seq"}))
+    with pytest.raises(ValueError, match="no streaming path"):
         StreamingTranscriber(params, bad_family, alphabet)
+    from pg_asr_tpu.config import TransformerConfig
+
+    bad_moe = cfg.replace(
+        model=cfg.model.__class__(**{**cfg.model.__dict__,
+                                     "family": "transformer"}),
+        transformer=TransformerConfig(num_experts=2))
+    with pytest.raises(ValueError, match="MoE"):
+        StreamingTranscriber(params, bad_moe, alphabet)
     bad_feats = cfg.replace(features=cfg.features.__class__(
         **{**cfg.features.__dict__, "kind": "mfcc"}))
     with pytest.raises(ValueError, match="logmel"):
@@ -255,3 +263,108 @@ def test_rnnt_emission_cap_matches_offline(rnnt_setup):
                               right_context=T,
                               norm=_offline_norm_stats(cfg, wave))
     assert st.push(wave) + st.flush() == offline
+
+
+# ---------------------------------------------------------------------------
+# Attention families (transformer/conformer): Emformer-style block
+# processing with overlapping windows (serving._chunk_step_attention)
+# ---------------------------------------------------------------------------
+
+def _attn_cfg(family: str) -> Config:
+    from pg_asr_tpu.config import ConformerConfig, TransformerConfig
+
+    return Config(
+        features=FeatureConfig(kind="logmel", n_mels=16, n_fft=128,
+                               win_length=128, hop_length=64),
+        model=ModelConfig(family=family, vocab_size=8, input_dim=16,
+                          dropout=0.0),
+        transformer=TransformerConfig(num_layers=2, d_model=32, num_heads=2,
+                                      ffn_dim=64, dropout=0.0, subsample=2),
+        conformer=ConformerConfig(num_layers=2, d_model=32, num_heads=2,
+                                  ffn_dim=64, conv_kernel=7, dropout=0.0,
+                                  subsample=2),
+    )
+
+
+def _attn_params(cfg):
+    from pg_asr_tpu.train import init_model_params
+
+    return init_model_params(jax.random.PRNGKey(7), cfg)
+
+
+def _attn_offline_text(cfg, params, alphabet, wave) -> str:
+    from pg_asr_tpu.models import acoustic_forward
+
+    w = jnp.asarray(np.pad(wave, (0, 512)))[None, :]
+    ns = jnp.asarray([len(wave)], jnp.int32)
+    feats, mask, flens = extract_features(w, ns, cfg.features)
+    lp, omask, olens = acoustic_forward(params, feats, mask, flens, cfg,
+                                        train=False)
+    ids, lens = greedy_decode(lp, omask)
+    return ids_to_strings(ids, lens, alphabet)[0]
+
+
+@pytest.fixture(scope="module", params=["transformer", "conformer"])
+def attn_setup(request):
+    cfg = _attn_cfg(request.param)
+    params = _attn_params(cfg)
+    alphabet = Alphabet.from_symbols(list("abcdefg"))
+    rng = np.random.default_rng(11)
+    wave = (rng.standard_normal(1600) * 0.3).astype(np.float32)
+    return cfg, params, alphabet, wave
+
+
+def test_attention_single_chunk_matches_offline(attn_setup):
+    """Whole utterance in one window, streaming norm: running stats see
+    every frame and the window IS the full context, so the streamed output
+    equals the offline forward exactly."""
+    cfg, params, alphabet, wave = attn_setup
+    T = len(wave) // cfg.features.hop_length + 1
+    st = StreamingTranscriber(params, cfg, alphabet, chunk_frames=T + 4,
+                              right_context=0)
+    out = st.push(wave) + st.flush()
+    assert out == _attn_offline_text(cfg, params, alphabet, wave)
+
+
+def test_attention_multi_chunk_full_context_matches_offline(attn_setup):
+    """chunk=8 with left and right context covering the whole utterance +
+    fixed CMVN: every window spans the full utterance, so each committed
+    chunk's outputs must equal the offline forward's."""
+    cfg, params, alphabet, wave = attn_setup
+    st = StreamingTranscriber(params, cfg, alphabet, chunk_frames=8,
+                              right_context=32, left_context=32,
+                              norm=_offline_norm_stats(cfg, wave))
+    out = st.push(wave) + st.flush()
+    assert out == _attn_offline_text(cfg, params, alphabet, wave)
+
+
+def test_attention_push_block_size_invariance(attn_setup):
+    """Limited context (the real streaming regime): emitted text must not
+    depend on how the audio is pushed."""
+    cfg, params, alphabet, wave = attn_setup
+
+    def run(block):
+        st = StreamingTranscriber(params, cfg, alphabet, chunk_frames=8,
+                                  right_context=4, left_context=16)
+        out = []
+        for i in range(0, len(wave), block):
+            out.append(st.push(wave[i:i + block]))
+        out.append(st.flush())
+        return "".join(out)
+
+    a = run(100)
+    b = run(700)
+    c = run(len(wave))
+    assert a == b == c
+
+
+def test_attention_frames_accounting(attn_setup):
+    """Every frame is committed exactly once; total emitted subframe count
+    equals the offline ceil(T/s)."""
+    cfg, params, alphabet, wave = attn_setup
+    st = StreamingTranscriber(params, cfg, alphabet, chunk_frames=8,
+                              right_context=4, left_context=16)
+    st.push(wave)
+    st.flush()
+    T = len(wave) // cfg.features.hop_length + 1
+    assert st._frames_done == T
