@@ -372,6 +372,75 @@ def make_synthetic_corpus(root: str, n_utts: int = 16, seed: int = 0,
     return root, alphabet
 
 
+def synth_phonetic_utterance(text: str, rng: np.random.Generator,
+                             sample_rate: int = 16000) -> np.ndarray:
+    """Waveform that ENCODES the transcript: each character is a fixed-
+    frequency tone segment (distinct per character), spaces are silence,
+    plus mild amplitude/phase jitter and noise. Unlike synth_utterance
+    (random tones, text-independent — only memorizable), a working ASR
+    model can genuinely LEARN this mapping and reach ~0 test CER, which is
+    what makes accuracy head-to-heads on synthetic data meaningful
+    (BASELINE.md)."""
+    char_n = int(0.090 * sample_rate)
+    gap_n = int(0.020 * sample_rate)
+    space_n = int(0.120 * sample_rate)
+    pieces = [np.zeros(gap_n, np.float32)]
+    for ch in text:
+        if ch == " ":
+            pieces.append(np.zeros(space_n, np.float32))
+            continue
+        f = 220.0 * 2.0 ** ((ord(ch) % 26) / 9.0)  # distinct per a-z
+        t = np.arange(char_n, dtype=np.float32) / sample_rate
+        amp = float(rng.uniform(0.25, 0.4))
+        phase = float(rng.uniform(0, 2 * np.pi))
+        tone = amp * np.sin(2 * np.pi * f * t + phase).astype(np.float32)
+        # 5 ms fade in/out against clicks
+        ramp = min(int(0.005 * sample_rate), char_n // 2)
+        env = np.ones(char_n, np.float32)
+        env[:ramp] = np.linspace(0, 1, ramp, dtype=np.float32)
+        env[-ramp:] = np.linspace(1, 0, ramp, dtype=np.float32)
+        pieces.append(tone * env)
+        pieces.append(np.zeros(gap_n, np.float32))
+    x = np.concatenate(pieces)
+    x = x + 0.01 * rng.standard_normal(len(x)).astype(np.float32)
+    return x
+
+
+def make_phonetic_corpus(root: str, n_utts: int = 96, seed: int = 0,
+                         sample_rate: int = 16000,
+                         words=("abba", "cad", "bad", "cab", "dada"),
+                         max_words: int = 3) -> tuple[str, Alphabet]:
+    """Learnable on-disk corpus (synth_phonetic_utterance audio), same
+    Common Voice-style layout as make_synthetic_corpus; train/dev/test
+    splits share the character->tone code but not utterances, so test
+    CER measures real generalization."""
+    rng = np.random.default_rng(seed)
+    clips = os.path.join(root, "clips")
+    os.makedirs(clips, exist_ok=True)
+    rows = []
+    for i in range(n_utts):
+        text = " ".join(rng.choice(words)
+                        for _ in range(rng.integers(1, max_words + 1)))
+        wav = synth_phonetic_utterance(text, rng, sample_rate)
+        fn = f"utt{i:04d}.wav"
+        write_wav(os.path.join(clips, fn), wav, sample_rate)
+        rows.append({"path": fn, "sentence": text})
+
+    alphabet = Alphabet.from_texts([r["sentence"] for r in rows])
+    alphabet.save(os.path.join(root, "alphabet.txt"))
+
+    from .text import write_tsv
+
+    n_dev = max(1, n_utts // 8)
+    write_tsv(os.path.join(root, "train.tsv"), ["path", "sentence"],
+              rows[: n_utts - 2 * n_dev])
+    write_tsv(os.path.join(root, "dev.tsv"), ["path", "sentence"],
+              rows[n_utts - 2 * n_dev: n_utts - n_dev])
+    write_tsv(os.path.join(root, "test.tsv"), ["path", "sentence"],
+              rows[n_utts - n_dev:])
+    return root, alphabet
+
+
 def synthetic_batch(rng: np.random.Generator, batch_size: int, alphabet: Alphabet,
                     duration_s: float = 1.0, sample_rate: int = 16000,
                     text_len: int = 12) -> Batch:

@@ -297,38 +297,47 @@ def _ema_update(ema_params, params, decay: float):
         ema_params, params)
 
 
-def _val_cer(params, dev_it, cfg: Config, alphabet, cap=None) -> float:
-    """Corpus CER of a greedy decode over the dev set (val_metric="cer").
-
-    Single-process only (the decode feeds process-local batches straight to
-    jit); train() falls back to val-loss selection on multi-host runs.
-    """
+def _batch_cer_counts(params, batch, cfg: Config, alphabet):
+    """Greedy-decode ONE batch and return (edit_distance_sum, ref_len_sum)
+    — the additive corpus-CER counts (val_metric="cer"). Decoding the
+    batch inside the normal dev iteration (and reducing counts across
+    hosts) replaces the old second full dev pass."""
     from .decoding.greedy import greedy_decode, ids_to_strings
-    from .metrics import evaluate_corpus
+    from .metrics import edit_dist
     from .predict import (_cut_at_eos, _forward, _forward_seq2seq,
                           _forward_transducer)
 
-    targets: list[str] = []
-    predicted: list[str] = []
-    n = 0
+    if cfg.model.family == "transducer":
+        labels, lens = _forward_transducer(params, batch.wave,
+                                           batch.num_samples, cfg)
+    elif cfg.model.family == "seq2seq":
+        tokens, _ = _forward_seq2seq(params, batch.wave,
+                                     batch.num_samples, cfg)
+        labels, lens = _cut_at_eos(np.asarray(tokens))
+    else:
+        log_probs, mask, _ = _forward(params, batch.wave,
+                                      batch.num_samples, cfg)
+        labels, lens = greedy_decode(log_probs, mask)
+    hyps = ids_to_strings(labels, lens, alphabet)
+    d_sum, l_sum = 0, 0
+    for ref, hyp in zip(batch.texts, hyps):
+        d, L = edit_dist(ref, hyp)
+        d_sum += d
+        l_sum += L
+    return d_sum, l_sum
+
+
+def _val_cer(params, dev_it, cfg: Config, alphabet, cap=None) -> float:
+    """Corpus CER of a greedy decode over a dev iterator (one pass)."""
+    d_sum, l_sum, n = 0, 0, 0
     for batch in dev_it:
-        if cfg.model.family == "transducer":
-            labels, lens = _forward_transducer(params, batch.wave,
-                                               batch.num_samples, cfg)
-        elif cfg.model.family == "seq2seq":
-            tokens, _ = _forward_seq2seq(params, batch.wave,
-                                         batch.num_samples, cfg)
-            labels, lens = _cut_at_eos(np.asarray(tokens))
-        else:
-            log_probs, mask, _ = _forward(params, batch.wave,
-                                          batch.num_samples, cfg)
-            labels, lens = greedy_decode(log_probs, mask)
-        predicted.extend(ids_to_strings(labels, lens, alphabet))
-        targets.extend(batch.texts)
+        d, L = _batch_cer_counts(params, batch, cfg, alphabet)
+        d_sum += d
+        l_sum += L
         n += 1
         if cap is not None and n >= cap:
             break
-    return float(evaluate_corpus(targets, predicted)["cer"])
+    return d_sum / max(l_sum, 1)
 
 
 def train(corpus_path: str, model_path: str, num_epochs: int | None = None,
@@ -443,11 +452,6 @@ def train(corpus_path: str, model_path: str, num_epochs: int | None = None,
     is_main = proc == 0
 
     select_on_cer = cfg.train.val_metric == "cer" and dev_it is not None
-    if select_on_cer and nproc > 1:
-        select_on_cer = False
-        if is_main:
-            print("[train] val_metric=cer is single-process only - "
-                  "falling back to val-loss checkpoint selection")
 
     if (cfg.train.lr_schedule == "warmup_cosine"
             and cfg.train.decay_steps <= 0):
@@ -648,10 +652,20 @@ def train(corpus_path: str, model_path: str, num_epochs: int | None = None,
         eval_params = ema_params if use_ema else params
         if dev_it is not None and epoch % cfg.train.eval_every_epochs == 0:
             tot, n = 0.0, 0
+            cer_d, cer_l = 0, 0
+            dec_params = (plan.canonical_params(eval_params)
+                          if select_on_cer else None)
             for batch in dev_it:
                 arrays = shard_batch_arrays(_batch_arrays(batch), mesh,
                                             plan.batch_multiple)
                 tot += float(eval_step(eval_params, *arrays))
+                if select_on_cer:
+                    # greedy decode folded into the SAME dev pass (each
+                    # host decodes its local rows); counts reduce below
+                    d, L = _batch_cer_counts(dec_params, batch, cfg,
+                                             alphabet)
+                    cer_d += d
+                    cer_l += L
                 n += 1
                 if dev_cap is not None and n >= dev_cap:
                     break  # equal collective counts across hosts
@@ -661,8 +675,16 @@ def train(corpus_path: str, model_path: str, num_epochs: int | None = None,
                 np.save(os.path.join(model_path, "val_losses.npy"),
                         np.array(val_losses))
             if select_on_cer:
-                cur_cer = _val_cer(plan.canonical_params(eval_params),
-                                   dev_it, cfg, alphabet, cap=dev_cap)
+                if nproc > 1:
+                    # corpus CER over ALL hosts' dev shards: sum the
+                    # additive (distance, ref_len) counts across processes
+                    from jax.experimental import multihost_utils
+
+                    counts = multihost_utils.process_allgather(
+                        np.array([cer_d, cer_l], np.int64))
+                    cer_d = int(np.sum(counts[..., 0]))
+                    cer_l = int(np.sum(counts[..., 1]))
+                cur_cer = cer_d / max(cer_l, 1)
 
         dt = time.time() - t0
         if is_main:
