@@ -74,17 +74,9 @@ _PEAK_FLOPS = (
 def _enable_compilation_cache():
     """Persistent XLA compile cache: conformer/transducer first-compiles
     survive across bench invocations (VERDICT r1 #4)."""
-    import jax
+    from pg_asr_tpu.utils.cache import enable_persistent_compilation_cache
 
-    cache_dir = os.environ.get("PGASR_JAX_CACHE",
-                               os.path.join(REPO, ".jax_cache"))
-    try:
-        os.makedirs(cache_dir, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-    except Exception:
-        pass  # older jax: cache is an optimization, not a requirement
+    enable_persistent_compilation_cache()
 
 
 def _peak_flops(device) -> float | None:

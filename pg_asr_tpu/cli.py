@@ -118,6 +118,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--profile_steps", type=int, default=0,
                    help="train: capture a device trace of N steady-state "
                         "steps to <model_path>/trace (TensorBoard/xprof)")
+    p.add_argument("--dtype", type=str, default=None,
+                   choices=["float32", "bfloat16"],
+                   help="compute dtype for activations (bfloat16 on TPU "
+                        "halves HBM traffic; LN/softmax/losses stay f32)")
+    p.add_argument("--remat", action="store_true",
+                   help="train: rematerialize attention-family encoder "
+                        "blocks in the backward pass (less activation "
+                        "memory, ~1/3 extra FLOPs)")
     p.add_argument("--specaugment", action="store_true",
                    help="train: enable on-device SpecAugment time/frequency "
                         "masking (Config.augment for widths/counts)")
@@ -160,6 +168,12 @@ def _config(args, from_model_path: bool = False):
                 args.moe_experts = 4
         cfg = cfg.replace(model=cfg.model.__class__(
             **{**cfg.model.__dict__, "family": family}))
+    if getattr(args, "dtype", None):
+        cfg = cfg.replace(model=cfg.model.__class__(
+            **{**cfg.model.__dict__, "dtype": args.dtype}))
+    if getattr(args, "remat", False):
+        cfg = cfg.replace(model=cfg.model.__class__(
+            **{**cfg.model.__dict__, "remat": True}))
     if getattr(args, "moe_experts", None) is not None:
         cfg = cfg.replace(transformer=cfg.transformer.__class__(
             **{**cfg.transformer.__dict__, "num_experts": args.moe_experts}))
@@ -222,6 +236,12 @@ def _config(args, from_model_path: bool = False):
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+
+    # persistent XLA compile cache: repeat runs (and irrelevant-flag
+    # changes) skip the tunnel's minutes-long server-side compiles
+    from .utils.cache import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()
 
     if os.environ.get("PGASR_DISTRIBUTED") == "1":
         # multi-host (DCN) training: initialize the process group before

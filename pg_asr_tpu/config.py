@@ -72,6 +72,11 @@ class ModelConfig:
     # needs shard_map integration to partition — future work).
     use_pallas_lstm: bool | str = "auto"
     dtype: str = "float32"  # compute dtype for activations ("bfloat16" on TPU)
+    # rematerialize each attention-family encoder block in the backward
+    # pass (jax.checkpoint): activation memory drops from O(layers) to
+    # O(1) blocks at ~1/3 extra FLOPs — the standard TPU memory/compute
+    # trade for long utterances / big batches
+    remat: bool = False
 
 
 @dataclass(frozen=True)

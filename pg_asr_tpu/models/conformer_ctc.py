@@ -184,21 +184,25 @@ def encode(params: dict, feats: jnp.ndarray, frame_mask: jnp.ndarray,
 
     key_bias = jnp.where(out_mask, 0.0, -1e9).astype(jnp.float32)[:, None, None, :]
     for i, blk in enumerate(params["blocks"]):
-        r = rngs[1 + 4 * i : 5 + 4 * i]
-        h = linear(blk["ffn1_out"],
-                   jax.nn.silu(linear(blk["ffn1_in"],
-                                      _layer_norm(blk["ln_ffn1"], x))))
-        x = x + 0.5 * _dropout(h, ccfg.dropout, r[0], train)
-        h = _mhsa_rotary(blk, _layer_norm(blk["ln_attn"], x), key_bias,
-                         ccfg.num_heads)
-        x = x + _dropout(h, ccfg.dropout, r[1], train)
-        h = _conv_module(blk, _layer_norm(blk["ln_conv"], x), omask,
-                         ccfg.conv_kernel)
-        x = x + _dropout(h, ccfg.dropout, r[2], train)
-        h = linear(blk["ffn2_out"],
-                   jax.nn.silu(linear(blk["ffn2_in"],
-                                      _layer_norm(blk["ln_ffn2"], x))))
-        x = x + 0.5 * _dropout(h, ccfg.dropout, r[3], train)
+        def block_fn(x, blk=blk, r=rngs[1 + 4 * i: 5 + 4 * i]):
+            h = linear(blk["ffn1_out"],
+                       jax.nn.silu(linear(blk["ffn1_in"],
+                                          _layer_norm(blk["ln_ffn1"], x))))
+            x = x + 0.5 * _dropout(h, ccfg.dropout, r[0], train)
+            h = _mhsa_rotary(blk, _layer_norm(blk["ln_attn"], x), key_bias,
+                             ccfg.num_heads)
+            x = x + _dropout(h, ccfg.dropout, r[1], train)
+            h = _conv_module(blk, _layer_norm(blk["ln_conv"], x), omask,
+                             ccfg.conv_kernel)
+            x = x + _dropout(h, ccfg.dropout, r[2], train)
+            h = linear(blk["ffn2_out"],
+                       jax.nn.silu(linear(blk["ffn2_in"],
+                                          _layer_norm(blk["ln_ffn2"], x))))
+            return x + 0.5 * _dropout(h, ccfg.dropout, r[3], train)
+
+        # --remat: recompute the block in the backward pass (O(1) blocks
+        # of live activations instead of O(layers))
+        x = jax.checkpoint(block_fn)(x) if mcfg.remat else block_fn(x)
 
     x = _layer_norm(params["ln_final"], x)
     return x, out_mask, out_lens

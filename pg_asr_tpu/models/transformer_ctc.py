@@ -177,12 +177,18 @@ def encode(params: dict, feats: jnp.ndarray, frame_mask: jnp.ndarray,
 
     key_bias = jnp.where(out_mask, 0.0, -1e9).astype(jnp.float32)[:, None, None, :]
     for i, blk in enumerate(params["blocks"]):
-        h = _mhsa(blk, _layer_norm(blk["ln1"], x), key_bias, tcfg.num_heads)
-        x = x + _dropout(h, tcfg.dropout, rngs[1 + 2 * i], train)
-        h = linear(blk["ffn_out"],
-                   jax.nn.gelu(linear(blk["ffn_in"],
-                                      _layer_norm(blk["ln2"], x))))
-        x = x + _dropout(h, tcfg.dropout, rngs[2 + 2 * i], train)
+        def block_fn(x, blk=blk, r1=rngs[1 + 2 * i], r2=rngs[2 + 2 * i]):
+            h = _mhsa(blk, _layer_norm(blk["ln1"], x), key_bias,
+                      tcfg.num_heads)
+            x = x + _dropout(h, tcfg.dropout, r1, train)
+            h = linear(blk["ffn_out"],
+                       jax.nn.gelu(linear(blk["ffn_in"],
+                                          _layer_norm(blk["ln2"], x))))
+            return x + _dropout(h, tcfg.dropout, r2, train)
+
+        # --remat: recompute the block in the backward pass instead of
+        # keeping its activations (O(1) blocks live instead of O(layers))
+        x = jax.checkpoint(block_fn)(x) if mcfg.remat else block_fn(x)
 
     x = _layer_norm(params["ln_final"], x)
     return x, out_mask, out_lens
