@@ -95,6 +95,13 @@ def main() -> int:
         print("[h2h] torch reference (fixed) ...", file=sys.stderr)
         results["torch_reference_fixed"] = train_and_eval(
             args.corpus, epochs=args.epochs, batch_size=args.batch_size)
+    if "torch_eos" not in skip:
+        from benchmarks.torch_reference import train_and_eval
+
+        print("[h2h] torch reference (fixed + EOS) ...", file=sys.stderr)
+        results["torch_reference_eos_fix"] = train_and_eval(
+            args.corpus, epochs=args.epochs, batch_size=args.batch_size,
+            eos_fix=True)
     for fam, key in (("seq2seq", "ours_seq2seq"), ("ctc", "ours_bilstm_ctc")):
         if fam in skip:
             continue

@@ -158,7 +158,25 @@ def summed_nll(log_probs, targets) -> "torch.Tensor":
     return total
 
 
-def _batches(feats, texts, char2ind, batch_size, rng=None):
+def summed_nll_eos(log_probs, targets) -> "torch.Tensor":
+    """EOS-fix variant: additionally supervise the FIRST pad slot of each
+    row (teaching pad 0 as end-of-sequence — the fix pg_asr_tpu's seq2seq
+    loss applies), so free-running decode can stop instead of babbling to
+    max length."""
+    import torch
+
+    B, U = targets.shape
+    lens = (targets != 0).sum(dim=1)  # first pad position per row
+    pos = torch.arange(U)[None, :]
+    w = ((targets != 0) | (pos == lens[:, None])).float()
+    lp = torch.gather(log_probs, 2, targets[:, :, None]).squeeze(2)
+    # per-step masked mean, summed over steps (parallel to summed_nll)
+    step_n = w.sum(dim=0).clamp(min=1.0)
+    return -((lp * w).sum(dim=0) / step_n).sum()
+
+
+def _batches(feats, texts, char2ind, batch_size, rng=None,
+             extra_pad: int = 0):
     order = np.arange(len(feats))
     if rng is not None:
         rng.shuffle(order)
@@ -169,7 +187,7 @@ def _batches(feats, texts, char2ind, batch_size, rng=None):
         fs = [feats[j] for j in idx]
         ys = [[char2ind[c] for c in texts[j]] for j in idx]
         T = max(f.shape[0] for f in fs)
-        U = max(len(y) for y in ys)
+        U = max(len(y) for y in ys) + extra_pad
         fb = torch.zeros((len(idx), T, fs[0].shape[1]))
         yb = torch.zeros((len(idx), U), dtype=torch.long)
         fl = torch.zeros((len(idx),), dtype=torch.long)
@@ -182,8 +200,14 @@ def _batches(feats, texts, char2ind, batch_size, rng=None):
 
 def train_and_eval(corpus: str, epochs: int = 40, batch_size: int = 8,
                    seed: int = 0, beam_size: int = 5,
-                   max_decode_steps: int = 64) -> dict:
-    """Full train + reference-semantics eval. Returns a metrics dict."""
+                   max_decode_steps: int = 64,
+                   eos_fix: bool = False) -> dict:
+    """Full train + reference-semantics eval. Returns a metrics dict.
+
+    eos_fix=True trains the first pad slot as EOS (summed_nll_eos) and
+    evaluates by cutting the free-running hypothesis at the first 0 —
+    the minimal extra fix that lets the intended architecture stop
+    generating; isolates architecture quality from the missing-EOS flaw."""
     import torch
 
     from pg_asr_tpu.data.text import Alphabet
@@ -206,16 +230,19 @@ def train_and_eval(corpus: str, epochs: int = 40, batch_size: int = 8,
     optim = torch.optim.Adam(model.parameters(), lr=5e-4)  # model.py:207
     rng = np.random.default_rng(seed)
 
+    loss_fn = summed_nll_eos if eos_fix else summed_nll
+    pad = 1 if eos_fix else 0
     best_val, best_state = float("inf"), None
     t0 = time.time()
     n_train = 0
     for epoch in range(1, epochs + 1):
         model.train()
         ep_loss, nb = 0.0, 0
-        for fb, fl, yb in _batches(tr_f, tr_t, char2ind, batch_size, rng):
+        for fb, fl, yb in _batches(tr_f, tr_t, char2ind, batch_size, rng,
+                                   extra_pad=pad):
             optim.zero_grad()
             lp = model(fb, fl, yb)
-            loss = summed_nll(lp, yb)
+            loss = loss_fn(lp, yb)
             loss.backward()
             optim.step()
             ep_loss += float(loss)
@@ -224,8 +251,9 @@ def train_and_eval(corpus: str, epochs: int = 40, batch_size: int = 8,
         model.eval()
         with torch.no_grad():
             val, nv = 0.0, 0
-            for fb, fl, yb in _batches(dv_f, dv_t, char2ind, batch_size):
-                val += float(summed_nll(model(fb, fl, yb), yb))
+            for fb, fl, yb in _batches(dv_f, dv_t, char2ind, batch_size,
+                                       extra_pad=pad):
+                val += float(loss_fn(model(fb, fl, yb), yb))
                 nv += 1
         val /= max(nv, 1)
         if val < best_val:  # fixed §3.6g: snapshot AFTER the epoch
@@ -244,6 +272,16 @@ def train_and_eval(corpus: str, epochs: int = 40, batch_size: int = 8,
     t_dec0 = time.time()
     for fb, fl, yb in _batches(te_f, te_t, char2ind, batch_size):
         lps = model.generate(fb, fl, max_decode_steps)
+        if eos_fix:
+            toks = lps.argmax(dim=-1).numpy()  # free-run greedy, cut at EOS
+            for row in toks:
+                out = []
+                for j in row:
+                    if j == 0:
+                        break
+                    out.append(alphabet.symbols[int(j)])
+                hyps.append("".join(out))
+            continue
         probs = torch.exp(lps).numpy()
         for i in range(fb.shape[0]):
             prefix, _ = dec.decode(probs[i], beam_size=beam_size, blank=0)
@@ -261,6 +299,7 @@ def train_and_eval(corpus: str, epochs: int = 40, batch_size: int = 8,
         "feature_precompute_s": feat_s,
         "decode_wall_s": decode_s,
         "best_val_loss": best_val,
+        "eos_fix": eos_fix,
         "threads": __import__("torch").get_num_threads(),
     }
 
