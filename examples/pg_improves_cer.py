@@ -1,0 +1,69 @@
+"""Reproducible PG-improves-CER demo (measured on one v5e chip).
+
+Supervised train -> REINFORCE fine-tune -> predict, the reference's
+intended workflow (/root/reference ana-kuznetsova/Policy-Gradient-ASR:
+main.py:20-24 dispatches finetune_pg after train; policy_grad.py:4-16 is
+the reward) that the reference itself could never run end-to-end.
+
+Measured result (v5e, seed 0): supervised test CER 0.453 / WER 1.00 ->
+after 120 PG steps CER 0.264 / WER 0.77 (-42% rel CER). The corpus is
+phonetic (audio encodes the transcript per-character) so the delta
+measures real learning, not memorization. Full numbers: docs/PERF.md
+"Policy-gradient fine-tuning improves CER on hardware".
+
+Run: python examples/pg_improves_cer.py [workdir]
+"""
+
+import json
+import os
+import sys
+import time
+
+from pg_asr_tpu.config import Config, FeatureConfig, ModelConfig, TrainConfig
+from pg_asr_tpu.data.dataset import make_phonetic_corpus
+from pg_asr_tpu.predict import predict
+from pg_asr_tpu.rl.reinforce import finetune_pg
+from pg_asr_tpu.train import train
+from pg_asr_tpu.utils.cache import enable_persistent_compilation_cache
+
+
+def main() -> int:
+    enable_persistent_compilation_cache()
+    work = sys.argv[1] if len(sys.argv) > 1 else "/tmp/pg_demo"
+    corpus = os.path.join(work, "corpus")
+    model = os.path.join(work, "model")
+    if not os.path.exists(os.path.join(corpus, "train.tsv")):
+        make_phonetic_corpus(corpus, n_utts=96, seed=0)
+
+    cfg = Config(
+        features=FeatureConfig(kind="logmel", n_mels=40, n_fft=256,
+                               win_length=256, hop_length=128),
+        model=ModelConfig(vocab_size=8, input_dim=40, input_proj_dim=128,
+                          hidden_size=64, num_layers=2, dropout=0.1),
+        train=TrainConfig(num_epochs=16, batch_size=8, learning_rate=3e-3,
+                          warmup_steps=50, log_every=10000,
+                          prefetch_depth=0),
+    )
+
+    t0 = time.time()
+    train(corpus, model, config=cfg, resume=False)
+    t_train = time.time() - t0
+
+    args = (os.path.join(corpus, "test.tsv"), os.path.join(corpus, "clips"),
+            os.path.join(corpus, "alphabet.txt"), model)
+    before = predict(*args, batch_size=8)
+
+    t0 = time.time()
+    finetune_pg(corpus, model, num_steps=120, batch_size=8, config=cfg)
+    t_pg = time.time() - t0
+    after = predict(*args, batch_size=8, which_ckpt="last")
+
+    print(json.dumps({
+        "cer_before": before["cer"], "wer_before": before["wer"],
+        "cer_after": after["cer"], "wer_after": after["wer"],
+        "train_s": round(t_train, 1), "pg_s": round(t_pg, 1)}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
