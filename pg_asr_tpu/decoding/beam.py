@@ -36,9 +36,49 @@ import jax.numpy as jnp
 
 NEG = -1.0e30
 
+# above this candidate count the O(C^2) rank computation costs more than
+# the sort it replaces; 1024 ~ the crossover given the measured sort cost
+# (~80 ns/element/frame) vs the pairwise compare throughput on v5e
+_RANK_TOPK_MAX_C = 1024
+
 
 def _lae(a, b):
     return jnp.logaddexp(a, b)
+
+
+def rank_topk(scores, K: int):
+    """Exact top-K selection as a one-hot matrix, semantically identical to
+    `lax.top_k` (descending scores, ties broken toward the lower index):
+    returns (top_scores (K,), oh (C, K) bool) with oh[c, j] true iff
+    candidate c is the j-th best.
+
+    rank[c] = #{c': s_c' > s_c} + #{c' < c: s_c' == s_c} is a PERMUTATION
+    of 0..C-1 (the tie-break totally orders equal scores), so
+    oh = (rank == j) selects exactly one candidate per output slot and
+    payloads follow by one-hot contraction instead of gathers.
+
+    Why not lax.top_k: inside a sequential scan its sort dominated the CTC
+    beam step (24.5 of 31.5 ms/batch at B=64 T=401 K=16 on v5e — measured
+    by ablation, benchmarks/beam_attr2.py), while the O(C^2) pairwise
+    compare is all-parallel VPU work that XLA fuses cleanly. Swapping the
+    sort+gathers for rank_topk + contractions took the production beam to
+    13.8 ms/batch (docs/PERF.md). Work grows as C^2, so beyond
+    _RANK_TOPK_MAX_C the selection itself falls back to lax.top_k and only
+    the one-hot CONTRACT is kept (payload combine still avoids gathers) —
+    e.g. the LM-fused step over a BPE vocab, where C = K(1+A) reaches
+    thousands and the pairwise compare would dwarf the sort it replaces.
+    """
+    C = scores.shape[0]
+    iota = jnp.arange(C)
+    if C > _RANK_TOPK_MAX_C:
+        top_scores, top_idx = jax.lax.top_k(scores, K)
+        return top_scores, iota[:, None] == top_idx[None, :]
+    beats = (scores[None, :] > scores[:, None]) | (
+        (scores[None, :] == scores[:, None]) & (iota[None, :] < iota[:, None]))
+    rank = jnp.sum(beats, axis=1)                        # (C,) int32
+    oh = rank[:, None] == jnp.arange(K)[None, :]         # (C, K) bool
+    top_scores = jnp.sum(oh.astype(scores.dtype) * scores[:, None], axis=0)
+    return top_scores, oh
 
 
 def _step(state, lp, *, K: int, A: int, Lmax: int, blank: int):
@@ -223,20 +263,35 @@ def _step_hash(state, lp, top_lp, top_sym, *, K: int, M: int, Lmax: int,
     ext_pnb = jnp.where(kill, NEG, ext_pnb)
 
     # ---- top-K over K stays + K*M extends ------------------------------------
+    # rank_topk + one-hot payload contractions instead of lax.top_k +
+    # gathers: the sort and the per-slot gathers were 78% of the step
+    # (benchmarks/beam_attr2.py ablation; docs/PERF.md).
     scores = jnp.concatenate([_lae(stay_pb, stay_pnb), ext_pnb.reshape(-1)])
-    top_scores, top_idx = jax.lax.top_k(scores, K)
+    top_scores, oh = rank_topk(scores, K)
 
-    is_stay = top_idx < K
-    parent = jnp.where(is_stay, top_idx, (top_idx - K) // M)
-    sym = jnp.where(is_stay, -1, top_sym[jnp.maximum(top_idx - K, 0) % M])
+    ohi = oh.astype(jnp.int32)
+    stay_ohi = ohi[:K]                                   # (K, K)
+    ext_ohi = ohi[K:].reshape(K, M, K)
+    par_ohi = stay_ohi + jnp.sum(ext_ohi, axis=1)        # (K, K) parent map
+    par_ohf = par_ohi.astype(scores.dtype)
+    is_stay = jnp.sum(stay_ohi, axis=0) > 0
+    parent = jnp.sum(par_ohi * jnp.arange(K)[:, None], axis=0)
+    sym_i = jnp.sum(ext_ohi * top_sym[None, :, None], axis=(0, 1))
+    sym = jnp.where(is_stay, -1, sym_i)
 
-    new_h = jnp.where(is_stay, h[parent],
-                      h[parent] * _HASH_M + (jnp.maximum(sym, 0) + 1))
-    new_last = jnp.where(is_stay, last[parent], sym)
-    new_lens = lens[parent] + (~is_stay).astype(lens.dtype)
+    new_h = jnp.sum(par_ohi * h[:, None], axis=0)
+    new_h = jnp.where(is_stay, new_h,
+                      new_h * _HASH_M + (jnp.maximum(sym, 0) + 1))
+    new_last = jnp.where(is_stay,
+                         jnp.sum(par_ohi * last[:, None], axis=0), sym)
+    new_lens = (jnp.sum(par_ohi * lens[:, None], axis=0)
+                + (~is_stay).astype(lens.dtype))
     # stays need (p_b, p_nb) split; an extend's whole mass is its score in p_nb
-    new_pb = jnp.where(is_stay, stay_pb[parent], NEG)
-    new_pnb = jnp.where(is_stay, stay_pnb[parent], top_scores)
+    new_pb = jnp.where(is_stay,
+                       jnp.sum(par_ohf * stay_pb[:, None], axis=0), NEG)
+    new_pnb = jnp.where(is_stay,
+                        jnp.sum(par_ohf * stay_pnb[:, None], axis=0),
+                        top_scores)
     dead = top_scores <= NEG / 2
     new_pb = jnp.where(dead, NEG, new_pb)
     new_pnb = jnp.where(dead, NEG, new_pnb)
@@ -354,21 +409,34 @@ def _step_hash_lm(state, lp, lmn, *, K: int, A: int, Lmax: int, blank: int,
         [lens, jnp.broadcast_to(lens[:, None] + 1, (K, A)).reshape(-1)])
     fused = cand_ac + lam * cand_lm + beta * cand_len.astype(cand_ac.dtype)
     fused = jnp.where(cand_ac <= NEG / 2, NEG, fused)
-    top_fused, top_idx = jax.lax.top_k(fused, K)
+    # rank_topk + one-hot contractions (same swap as _step_hash)
+    top_fused, oh = rank_topk(fused, K)
+    ohf = oh.astype(fused.dtype)
+    ohi = oh.astype(jnp.int32)
+    stay_ohi = ohi[:K]
+    ext_ohi = ohi[K:].reshape(K, A, K)
+    par_ohi = stay_ohi + jnp.sum(ext_ohi, axis=1)
+    par_ohf = par_ohi.astype(fused.dtype)
+    is_stay = jnp.sum(stay_ohi, axis=0) > 0
+    parent = jnp.sum(par_ohi * jnp.arange(K)[:, None], axis=0)
+    sym_i = jnp.sum(ext_ohi * jnp.arange(A)[None, :, None], axis=(0, 1))
+    sym = jnp.where(is_stay, -1, sym_i)
+    ac_sel = jnp.sum(ohf * cand_ac[:, None], axis=0)
+    lm_sel = jnp.sum(ohf * cand_lm[:, None], axis=0)
 
-    is_stay = top_idx < K
-    parent = jnp.where(is_stay, top_idx, (top_idx - K) // A)
-    sym = jnp.where(is_stay, -1, (top_idx - K) % A)
-    ac_sel = cand_ac[top_idx]
-    lm_sel = cand_lm[top_idx]
-
-    new_h = jnp.where(is_stay, h[parent],
-                      h[parent] * _HASH_M + (jnp.maximum(sym, 0) + 1))
-    new_last = jnp.where(is_stay, last[parent], sym)
-    new_last2 = jnp.where(is_stay, last2[parent], last[parent])
-    new_lens = lens[parent] + (~is_stay).astype(lens.dtype)
-    new_pb = jnp.where(is_stay, stay_pb[parent], NEG)
-    new_pnb = jnp.where(is_stay, stay_pnb[parent], ac_sel)
+    par_h = jnp.sum(par_ohi * h[:, None], axis=0)
+    new_h = jnp.where(is_stay, par_h,
+                      par_h * _HASH_M + (jnp.maximum(sym, 0) + 1))
+    par_last = jnp.sum(par_ohi * last[:, None], axis=0)
+    new_last = jnp.where(is_stay, par_last, sym)
+    new_last2 = jnp.where(is_stay,
+                          jnp.sum(par_ohi * last2[:, None], axis=0), par_last)
+    new_lens = (jnp.sum(par_ohi * lens[:, None], axis=0)
+                + (~is_stay).astype(lens.dtype))
+    new_pb = jnp.where(is_stay,
+                       jnp.sum(par_ohf * stay_pb[:, None], axis=0), NEG)
+    new_pnb = jnp.where(is_stay,
+                        jnp.sum(par_ohf * stay_pnb[:, None], axis=0), ac_sel)
     dead = ac_sel <= NEG / 2
     new_pb = jnp.where(dead, NEG, new_pb)
     new_pnb = jnp.where(dead, NEG, new_pnb)

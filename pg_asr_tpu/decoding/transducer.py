@@ -27,6 +27,7 @@ from ..config import Config
 from ..models.bilstm_ctc import linear
 from ..models.transducer import embed_labels
 from ..ops.lstm import _gate_step
+from .beam import rank_topk
 
 
 def _pred_step(params: dict, sym: jnp.ndarray, h: jnp.ndarray,
@@ -175,6 +176,7 @@ def _beam_frame(params, carry, e_t, valid_t, *, K: int, A: int, Lmax: int,
                 max_symbols: int):
     """One frame of the beam search for ONE utterance. e_t: (J,)."""
     labels0, lens0, score0, hash0, h0, c0, g0 = carry
+    dt = h0.dtype
 
     # the frame's done pool starts empty (all-dead slots)
     d = dict(labels=jnp.zeros_like(labels0), lens=jnp.zeros_like(lens0),
@@ -198,9 +200,18 @@ def _beam_frame(params, carry, e_t, valid_t, *, K: int, A: int, Lmax: int,
         comb_alive = comb_score > NEG / 2
         merged = _merge_pool(comb_score, comb["hash"], comb["lens"],
                              comb_alive)
-        top_s, top_i = jax.lax.top_k(merged, K)
-        d = {k: comb[k][top_i] for k in ("labels", "lens", "hash",
-                                         "h", "c", "g")}
+        # rank_topk + one-hot payload contractions instead of top_k +
+        # gathers (the CTC beam's round-2 selection rewrite, docs/PERF.md)
+        top_s, oh = rank_topk(merged, K)                 # (2K, K) bool
+        ohi = oh.astype(jnp.int32)
+        ohf = oh.astype(dt)
+        d = {k: jnp.sum(ohi[:, :, None] * comb[k][:, None, :], axis=0)
+             if comb[k].ndim == 2 else
+             jnp.sum(ohi * comb[k][:, None], axis=0)
+             for k in ("labels", "lens", "hash")}
+        for k in ("h", "c", "g"):
+            d[k] = jnp.einsum("ck,cp->kp", ohf, comb[k],
+                              preferred_element_type=dt)
         d["score"] = top_s
 
         # ---- label outcomes -> next round's actives -----------------------
@@ -208,13 +219,22 @@ def _beam_frame(params, carry, e_t, valid_t, *, K: int, A: int, Lmax: int,
             ext = a["score"][:, None] + lp[:, 1:]  # (K, A-1)
             ext = jnp.where(alive[:, None] & (a["lens"] < Lmax)[:, None],
                             ext, NEG)
-            e_s, e_i = jax.lax.top_k(ext.reshape(-1), K)
-            parent = e_i // (A - 1)
-            sym = (e_i % (A - 1) + 1).astype(jnp.int32)
+            e_s, oh2 = rank_topk(ext.reshape(-1), K)     # (K(A-1), K)
+            ext_ohi = oh2.astype(jnp.int32).reshape(K, A - 1, K)
+            par_ohi = jnp.sum(ext_ohi, axis=1)           # (K, K) parent map
+            par_ohf = par_ohi.astype(dt)
+            # dead slots have an all-zero one-hot column: sym 0, zero state
+            sym = jnp.sum(ext_ohi * jnp.arange(1, A)[None, :, None],
+                          axis=(0, 1))
             dead = e_s <= NEG / 2
-            nh, nc = _pred_step(params, sym, a["h"][parent], a["c"][parent])
-            new_labels = a["labels"][parent]
-            plens = a["lens"][parent]
+            ph = jnp.einsum("ck,cp->kp", par_ohf, a["h"],
+                            preferred_element_type=dt)
+            pc = jnp.einsum("ck,cp->kp", par_ohf, a["c"],
+                            preferred_element_type=dt)
+            nh, nc = _pred_step(params, sym, ph, pc)
+            new_labels = jnp.sum(
+                par_ohi[:, :, None] * a["labels"][:, None, :], axis=0)
+            plens = jnp.sum(par_ohi * a["lens"][:, None], axis=0)
             write = (jnp.arange(Lmax)[None, :] == plens[:, None])
             new_labels = jnp.where(write & ~dead[:, None], sym[:, None],
                                    new_labels)
@@ -222,7 +242,8 @@ def _beam_frame(params, carry, e_t, valid_t, *, K: int, A: int, Lmax: int,
                 labels=new_labels,
                 lens=plens + (~dead).astype(plens.dtype),
                 score=e_s,
-                hash=a["hash"][parent] * _HASH_M + sym + 1,
+                hash=(jnp.sum(par_ohi * a["hash"][:, None], axis=0)
+                      * _HASH_M + sym + 1),
                 h=nh, c=nc,
                 g=linear(params["joint_pred"], nh),
             )
