@@ -367,6 +367,35 @@ def bench_ours(skip_extras: bool = False) -> dict:
     except Exception as e:
         print(f"[bench] eval row failed: {e!r}", file=sys.stderr)
 
+    # informational: the north-star eval config (BASELINE.json config 4) —
+    # featurize + forward + width-16 on-device prefix beam
+    try:
+        from pg_asr_tpu.decoding.beam import beam_decode
+
+        def beam_one(w):
+            feats, mask, _ = extract_features(w, arrays[1], cfg.features)
+            lp = bilstm_ctc.apply(params, feats, mask, cfg.model, train=False)
+            flens = jnp.sum(mask, axis=1).astype(jnp.int32)
+            _, lens, nll = beam_decode(lp.astype(jnp.float32), flens,
+                                       beam_size=16, max_label_len=256)
+            return jnp.sum(nll)
+
+        @jax.jit
+        def beam_chain(w):
+            def body(w, _):
+                out = beam_one(w)
+                return w + 1e-12 * out, out
+            w, outs = jax.lax.scan(body, w, None, length=TIMED_STEPS)
+            return outs[-1]
+
+        _ = float(beam_chain(arrays[0]))  # compile
+        t0 = time.time()
+        _ = float(beam_chain(arrays[0]))
+        out["eval_beam16_utts_per_sec"] = (BATCH * TIMED_STEPS
+                                           / (time.time() - t0))
+    except Exception as e:
+        print(f"[bench] beam eval row failed: {e!r}", file=sys.stderr)
+
     if skip_extras:
         return out
 
@@ -471,7 +500,8 @@ def main() -> int:
         "backend": ours["backend"],
     }
     for k in ("flops_per_step", "mfu", "device_kind", "peak_flops",
-              "eval_greedy_utts_per_sec", "e2e_train_utts_per_sec"):
+              "eval_greedy_utts_per_sec", "eval_beam16_utts_per_sec",
+              "e2e_train_utts_per_sec"):
         if ours.get(k) is not None:
             v = ours[k]
             result[k] = round(v, 5) if isinstance(v, float) else v
