@@ -15,10 +15,16 @@ through the right strategy library —
   expert    switch-MoE expert parallelism  parallel/moe.py (pjit/GSPMD)
 
 Composition: 'data' composes with any one other axis (dp x tp, dp x pp,
-dp x sp, dp x ep) — the loss num/den and gradients reduce over both axes
-so the composed mesh computes exactly the global-batch step (parity tests
-in tests/test_mesh_driver.py). Checkpoints are ALWAYS written in the
-family-canonical parameter layout (the pipeline's stage-stacked layout is
+dp x sp, dp x ep), and two THREE-axis topologies compose on top:
+dp x pp x tp (Megatron column/row splits inside every GPipe stage — one
+psum over 'model' per sublayer, qkv columns permuted to the
+rank-contiguous layout by pipeline.permute_qkv_for_tp) and dp x tp x ep
+(GSPMD: expert stacks sharded 'expert' x 'model', dense leaves per the
+Megatron rules). The loss num/den and gradients reduce over every live
+axis so any composed mesh computes exactly the global-batch step (parity
+tests in tests/test_mesh_driver.py, tests/test_pipeline.py). Checkpoints
+are ALWAYS written in the family-canonical parameter layout (the
+pipeline's stage-stacked layout — and its tp column permutation — is
 converted on save/restore), so a model trained on any mesh is loadable by
 predict/stream/finetune_pg and resumable on any other mesh.
 """
@@ -114,12 +120,21 @@ class ParallelPlan:
         self.mesh = mesh
         live = [a for a in ("model", "pipe", "seq", "expert")
                 if _live(mesh, a)]
-        if len(live) > 1:
+        composable = (
+            {"model", "expert"},  # dp x tp x ep (GSPMD sharding rules)
+            {"model", "pipe"},    # dp x pp x tp (Megatron inside GPipe)
+        )
+        if len(live) > 1 and set(live) not in composable:
             raise ValueError(
                 f"mesh composes {live} — 'data' composes with any ONE of "
-                "model/pipe/seq/expert; deeper compositions are not "
-                "supported")
-        self.strategy = live[0] if live else "data"
+                "model/pipe/seq/expert (plus the GSPMD pair "
+                "model+expert); other compositions are not supported")
+        # primary routing key: the strategy that owns parameter layout and
+        # the train/eval steps ('model' rides along via sharding rules)
+        non_model = [a for a in live if a != "model"]
+        self.strategy = (non_model[0] if non_model
+                         else (live[0] if live else "data"))
+        self.tp = "model" in live
         self._canon_def = None  # set on first place_params
         self._run_def = None
         is_moe = (cfg.model.family == "transformer"
@@ -139,6 +154,14 @@ class ParallelPlan:
                     f"transformer.num_layers={L} not divisible into "
                     f"{S} pipeline stages")
             self.microbatches = cfg.train.pipeline_microbatches or S
+            if self.tp:
+                t = mesh.shape["model"]
+                if (cfg.transformer.num_heads % t
+                        or cfg.transformer.ffn_dim % t):
+                    raise ValueError(
+                        f"model axis size {t} must divide num_heads="
+                        f"{cfg.transformer.num_heads} and ffn_dim="
+                        f"{cfg.transformer.ffn_dim}")
         if self.strategy == "expert":
             E = cfg.transformer.num_experts
             n = mesh.shape["expert"]
@@ -180,10 +203,15 @@ class ParallelPlan:
     def canonical_params(self, params):
         if self.strategy != "pipe":
             return params
-        from .pipeline import pipeline_params_to_canonical
+        from .pipeline import (permute_qkv_for_tp,
+                               pipeline_params_to_canonical)
 
-        return pipeline_params_to_canonical(
+        out = pipeline_params_to_canonical(
             params, self.cfg.transformer.num_layers)
+        if self.tp:
+            out = permute_qkv_for_tp(out, self.cfg.transformer.num_heads,
+                                     self.mesh.shape["model"], inverse=True)
+        return out
 
     def canonical_state(self, state: dict) -> dict:
         """Checkpoint-bound state dict -> canonical layout for every
@@ -202,8 +230,12 @@ class ParallelPlan:
     def _to_run(self, params):
         mesh, cfg = self.mesh, self.cfg
         if self.strategy == "pipe":
-            from .pipeline import shard_pipeline_params, stack_pipeline_params
+            from .pipeline import (permute_qkv_for_tp, shard_pipeline_params,
+                                   stack_pipeline_params)
 
+            if self.tp:
+                params = permute_qkv_for_tp(params, cfg.transformer.num_heads,
+                                            mesh.shape["model"])
             return shard_pipeline_params(
                 stack_pipeline_params(params, mesh.shape["pipe"]), mesh)
         if self.strategy == "expert":

@@ -255,13 +255,47 @@ def make_moe_loss(cfg: Config, num_experts: int, capacity: int,
     return loss_fn
 
 
+def moe_param_specs(mesh: Mesh):
+    """PartitionSpec rules for the MoE parameter tree, composing the
+    'expert' axis with Megatron tensor parallelism when the mesh also
+    carries a live 'model' axis (dp x tp x ep): the expert stacks shard
+    their leading E dim on 'expert' AND their ffn dim on 'model'
+    (w1 column-parallel, w2 row-parallel — GSPMD inserts the one
+    all-reduce per block at the combine), while the dense leaves (qkv /
+    attn_out / input_proj / ctc_head) follow mesh.param_sharding_rules.
+    The router stays replicated: its (d, E) output feeds an argmax over
+    E, which must see all logits."""
+    from .mesh import param_sharding_rules
+
+    tp = "model" in mesh.axis_names and mesh.shape.get("model", 1) > 1
+    expert_specs = {
+        "w1": P("expert", None, "model") if tp else P("expert"),
+        "b1": P("expert", "model") if tp else P("expert"),
+        "w2": P("expert", "model", None) if tp else P("expert"),
+        "b2": P("expert"),
+    }
+    dense = param_sharding_rules(mesh)
+
+    def spec_for(path: tuple[str, ...]) -> P:
+        leaf = path[-1]
+        if leaf in expert_specs:
+            return expert_specs[leaf]
+        if len(path) >= 2 and path[-2] == "router":
+            return P()
+        return dense(path)
+
+    return spec_for
+
+
 def shard_moe_params(params: dict, mesh: Mesh) -> dict:
-    """Expert-stacked leaves (w1/b1/w2/b2) sharded on 'expert', everything
-    else replicated."""
+    """Place the MoE tree on the mesh per moe_param_specs (expert stacks
+    on 'expert', dense leaves per the Megatron rules when 'model' is
+    live, the rest replicated)."""
+    spec_for = moe_param_specs(mesh)
+
     def place(path, leaf):
-        leafname = str(getattr(path[-1], "key", ""))
-        spec = (P("expert") if leafname in ("w1", "b1", "w2", "b2")
-                else P())
-        return jax.device_put(leaf, NamedSharding(mesh, spec))
+        names = tuple(str(getattr(k, "key", getattr(k, "idx", "")))
+                      for k in path)
+        return jax.device_put(leaf, NamedSharding(mesh, spec_for(names)))
 
     return jax.tree_util.tree_map_with_path(place, params)

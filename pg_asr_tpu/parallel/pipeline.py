@@ -29,8 +29,12 @@ Design (TPU-first):
     train.make_train_step): stage-parameter grads stay device-local
     (out_spec P('pipe')), replicated-parameter grads psum over 'pipe'.
 
-Scope: transformer family, train-mode math without dropout (the parity
-anchor runs dropout-free; dropout would need per-stage rng plumbing).
+Scope: transformer family; dropout rides along via per-(shard, stage,
+microbatch) fold_in streams. The mesh may compose 'data' (dp x pp) and
+'model' (dp x pp x tp): with a live 'model' axis every stage runs
+Megatron column/row-split sublayers — this rank's attention heads and ffn
+slice — completed by one psum over 'model' per sublayer (see
+_stage_apply / pipeline_stage_specs / permute_qkv_for_tp).
 """
 
 from __future__ import annotations
@@ -88,33 +92,154 @@ def pipeline_params_to_canonical(pparams: dict, num_layers: int) -> dict:
     return out
 
 
-def shard_pipeline_params(pparams: dict, mesh: Mesh) -> dict:
-    """Place stage stacks on 'pipe', the rest replicated."""
-    def place(path, leaf):
-        top = str(getattr(path[0], "key", ""))
-        spec = (P("pipe") if top == "stages"
-                else P())
-        return jax.device_put(leaf, NamedSharding(mesh, spec))
+def _tp_live(mesh: Mesh) -> bool:
+    return "model" in mesh.axis_names and mesh.shape.get("model", 1) > 1
 
-    return jax.tree_util.tree_map_with_path(place, pparams)
+
+def permute_qkv_for_tp(params: dict, num_heads: int, tp: int,
+                       inverse: bool = False) -> dict:
+    """Reorder each block's fused qkv weight columns from the canonical
+    [3][h][dh] layout to [tp][3][h/tp][dh] so a contiguous 1/tp slice of
+    the last dim is exactly one tensor-parallel rank's q/k/v heads — the
+    layout shard_map's P(..., 'model') slicing needs. Operates on the
+    canonical (blocks-as-list) tree; pure permutation, exactly inverted
+    by inverse=True (checkpoints always store the canonical order)."""
+    if tp <= 1:
+        return params
+
+    def perm(x, cols):
+        hl = num_heads // tp
+        dh = cols // (3 * num_heads)
+        shp = x.shape[:-1]
+        if inverse:
+            y = x.reshape(*shp, tp, 3, hl, dh)
+            y = jnp.moveaxis(y, -4, -3)  # [3][tp][hl][dh]
+        else:
+            y = x.reshape(*shp, 3, tp, hl, dh)
+            y = jnp.moveaxis(y, -3, -4)  # [tp][3][hl][dh]
+        return y.reshape(*shp, cols)
+
+    out = {k: v for k, v in params.items() if k != "blocks"}
+    out["blocks"] = []
+    for blk in params["blocks"]:
+        b = dict(blk)
+        b["qkv"] = {"w": perm(blk["qkv"]["w"], blk["qkv"]["w"].shape[-1]),
+                    "b": perm(blk["qkv"]["b"], blk["qkv"]["b"].shape[-1])}
+        out["blocks"].append(b)
+    return out
+
+
+def pipeline_stage_specs(mesh: Mesh) -> dict:
+    """Per-leaf PartitionSpecs for the stacked (S, k, ...) stage tree.
+    Pure pipe meshes shard only the leading stage axis; with a live
+    'model' axis the Megatron pattern composes in: qkv / ffn_in
+    column-parallel (last dim on 'model'), attn_out / ffn_out
+    row-parallel (contraction dim on 'model', bias replicated — it adds
+    once after the psum), LayerNorms replicated across 'model'."""
+    if not _tp_live(mesh):
+        p = P("pipe")
+        return {"ln1": {"scale": p, "bias": p},
+                "qkv": {"w": p, "b": p},
+                "attn_out": {"w": p, "b": p},
+                "ln2": {"scale": p, "bias": p},
+                "ffn_in": {"w": p, "b": p},
+                "ffn_out": {"w": p, "b": p}}
+    return {
+        "ln1": {"scale": P("pipe"), "bias": P("pipe")},
+        "qkv": {"w": P("pipe", None, None, "model"),
+                "b": P("pipe", None, "model")},
+        "attn_out": {"w": P("pipe", None, "model", None),
+                     "b": P("pipe")},
+        "ln2": {"scale": P("pipe"), "bias": P("pipe")},
+        "ffn_in": {"w": P("pipe", None, None, "model"),
+                   "b": P("pipe", None, "model")},
+        "ffn_out": {"w": P("pipe", None, "model", None),
+                    "b": P("pipe")},
+    }
+
+
+def shard_pipeline_params(pparams: dict, mesh: Mesh) -> dict:
+    """Place stage stacks on 'pipe' (x 'model' when composed), the rest
+    replicated."""
+    specs = pipeline_stage_specs(mesh)
+
+    def place_stage(path, leaf):
+        node = specs
+        for k in path:
+            node = node[str(getattr(k, "key", ""))]
+        return jax.device_put(leaf, NamedSharding(mesh, node))
+
+    out = {}
+    for k, v in pparams.items():
+        if k == "stages":
+            out[k] = jax.tree_util.tree_map_with_path(place_stage, v)
+        else:
+            out[k] = jax.device_put(v, NamedSharding(mesh, P()))
+    return out
+
+
+def _mhsa_tp_partial(blk: dict, x: jnp.ndarray, key_bias: jnp.ndarray,
+                     heads_local: int, head_dim: int) -> jnp.ndarray:
+    """This rank's heads of masked self-attention, Megatron column/row
+    split: the local qkv slice (permute_qkv_for_tp layout) produces
+    heads_local heads, and the local attn_out rows yield a PARTIAL
+    (mb, T, d) output — the caller psums over 'model' and adds the
+    (replicated) attn_out bias once."""
+    B, T, _ = x.shape
+    qkv = (jnp.einsum("btd,df->btf", x, blk["qkv"]["w"],
+                      preferred_element_type=x.dtype)
+           + blk["qkv"]["b"]).reshape(B, T, 3, heads_local, head_dim)
+    q = jnp.swapaxes(qkv[:, :, 0], 1, 2)  # (B, hl, T, dh)
+    k = jnp.swapaxes(qkv[:, :, 1], 1, 2)
+    v = jnp.swapaxes(qkv[:, :, 2], 1, 2)
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                        preferred_element_type=jnp.float32)
+    scores = scores * (1.0 / head_dim ** 0.5) + key_bias
+    attn = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+    ctx = jnp.einsum("bhqk,bhkd->bhqd", attn, v,
+                     preferred_element_type=x.dtype)
+    ctx = jnp.swapaxes(ctx, 1, 2).reshape(B, T, heads_local * head_dim)
+    return jnp.einsum("btf,fd->btd", ctx, blk["attn_out"]["w"],
+                      preferred_element_type=x.dtype)
 
 
 def _stage_apply(stage_blocks, x, key_bias, num_heads: int,
-                 p_drop: float = 0.0, rkey=None):
+                 p_drop: float = 0.0, rkey=None, tp: int = 1,
+                 head_dim: int = 0):
     """Apply this stage's k stacked blocks to x (mb, T', d). With a
     dropout rate and rng key, each block consumes two fold_in subkeys
-    (post-attention + post-FFN), mirroring the dense encoder."""
+    (post-attention + post-FFN), mirroring the dense encoder.
+
+    tp > 1 composes Megatron tensor parallelism over the 'model' axis:
+    num_heads is then the LOCAL head count, the block weights are this
+    rank's column/row slices, and each sublayer output is completed by
+    one psum over 'model' before the (replicated) bias + residual add —
+    so dropout masks and activations stay identical across model ranks
+    (rkey is never folded by model index)."""
     from ..models.bilstm_ctc import _dropout
 
     def body(carry, blk):
         x, j = carry
-        h = _mhsa(blk, _layer_norm(blk["ln1"], x), key_bias, num_heads)
+        if tp > 1:
+            h = _mhsa_tp_partial(blk, _layer_norm(blk["ln1"], x), key_bias,
+                                 num_heads, head_dim)
+            h = jax.lax.psum(h, "model") + blk["attn_out"]["b"]
+        else:
+            h = _mhsa(blk, _layer_norm(blk["ln1"], x), key_bias, num_heads)
         if rkey is not None and p_drop > 0.0:
             h = _dropout(h, p_drop, jax.random.fold_in(rkey, 2 * j), True)
         x = x + h
-        h = linear(blk["ffn_out"],
-                   jax.nn.gelu(linear(blk["ffn_in"],
-                                      _layer_norm(blk["ln2"], x))))
+        xn = _layer_norm(blk["ln2"], x)
+        if tp > 1:
+            f = jax.nn.gelu(jnp.einsum("btd,df->btf", xn,
+                                       blk["ffn_in"]["w"],
+                                       preferred_element_type=x.dtype)
+                            + blk["ffn_in"]["b"])
+            h = jnp.einsum("btf,fd->btd", f, blk["ffn_out"]["w"],
+                           preferred_element_type=x.dtype)
+            h = jax.lax.psum(h, "model") + blk["ffn_out"]["b"]
+        else:
+            h = linear(blk["ffn_out"], jax.nn.gelu(linear(blk["ffn_in"], xn)))
         if rkey is not None and p_drop > 0.0:
             h = _dropout(h, p_drop, jax.random.fold_in(rkey, 2 * j + 1),
                          True)
@@ -149,6 +274,14 @@ def make_pipeline_loss(cfg: Config, mesh: Mesh, num_microbatches: int,
     M = num_microbatches
     has_data = "data" in mesh.axis_names
     red = _reduce_axes(mesh)
+    tpn = mesh.shape.get("model", 1)
+    if tpn > 1:
+        if tcfg.num_heads % tpn or tcfg.ffn_dim % tpn:
+            raise ValueError(
+                f"tensor-parallel degree {tpn} must divide num_heads="
+                f"{tcfg.num_heads} and ffn_dim={tcfg.ffn_dim}")
+    heads_local = tcfg.num_heads // tpn
+    head_dim = tcfg.d_model // tcfg.num_heads
 
     def local(pparams, wave, num_samples, labels, label_lens, drng):
         s_idx = jax.lax.axis_index("pipe")
@@ -202,10 +335,12 @@ def make_pipeline_loss(cfg: Config, mesh: Mesh, num_microbatches: int,
                 # unique stream per (data shard, stage, microbatch)
                 rkey = jax.random.fold_in(
                     jax.random.fold_in(base_rng, 1 + s_idx), ic)
-                y = _stage_apply(stages, x_in, kb, tcfg.num_heads,
-                                 p_drop=tcfg.dropout, rkey=rkey)
+                y = _stage_apply(stages, x_in, kb, heads_local,
+                                 p_drop=tcfg.dropout, rkey=rkey, tp=tpn,
+                                 head_dim=head_dim)
             else:
-                y = _stage_apply(stages, x_in, kb, tcfg.num_heads)
+                y = _stage_apply(stages, x_in, kb, heads_local, tp=tpn,
+                                 head_dim=head_dim)
             y = jnp.where(valid, y, jnp.zeros_like(y))
 
             # last stage only: head + CTC loss terms for its current
@@ -250,8 +385,9 @@ def make_pipeline_loss(cfg: Config, mesh: Mesh, num_microbatches: int,
     bspec = P("data") if has_data else P()
     sharded = _shard_map(
         local, mesh,
-        in_specs=({"stages": P("pipe"), "input_proj": P(), "ln_final": P(),
-                   "ctc_head": P()}, bspec, bspec, bspec, bspec, P()),
+        in_specs=({"stages": pipeline_stage_specs(mesh), "input_proj": P(),
+                   "ln_final": P(), "ctc_head": P()},
+                  bspec, bspec, bspec, bspec, P()),
         out_specs=P())
     if dropout:
         return sharded

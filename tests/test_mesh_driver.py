@@ -224,3 +224,61 @@ def test_cli_mesh_flag(corpus, tmp_path):
                "--model_path", model, "--batch_size", "4"])
     assert rc == 0
     assert os.path.exists(os.path.join(model, "predicted.txt"))
+
+
+def test_plan_composed_pairs():
+    """model+pipe and model+expert compose; other pairs still refuse."""
+    devices = jax.devices()[:8]
+    cfg = _cfg()
+    plan = ParallelPlan(cfg, make_mesh((2, 2, 2), ("data", "pipe", "model"),
+                                       devices=devices))
+    assert plan.strategy == "pipe" and plan.tp
+    moe = _cfg(num_experts=2)
+    plan = ParallelPlan(moe, make_mesh((2, 2, 2), ("data", "model", "expert"),
+                                       devices=devices))
+    assert plan.strategy == "expert" and plan.tp
+    with pytest.raises(ValueError, match="composes"):
+        ParallelPlan(cfg, make_mesh((2, 2, 2), ("data", "seq", "model"),
+                                    devices=devices))
+    # tp degree must divide heads/ffn for the pipeline composition
+    bad = cfg.replace(transformer=cfg.transformer.__class__(
+        **{**cfg.transformer.__dict__, "num_heads": 3, "d_model": 33}))
+    with pytest.raises(ValueError, match="divide"):
+        ParallelPlan(bad, make_mesh((2, 2, 2), ("data", "pipe", "model"),
+                                    devices=devices))
+
+
+def test_train_dp_pp_tp_composed_matches_dp(corpus, tmp_path):
+    """3-axis ('data','pipe','model') = (2,2,2) training through train()
+    reproduces the pure-dp run (VERDICT r1 #3: composed meshes), writes
+    canonical checkpoints (qkv column permutation inverted on save), and
+    predict consumes them."""
+    ref = _train_losses(corpus, str(tmp_path / "dp"), _cfg(mesh="data=2"))
+    got = _train_losses(corpus, str(tmp_path / "pptp"),
+                        _cfg(mesh="data=2,pipe=2,model=2"))
+    np.testing.assert_allclose(got["train_losses"], ref["train_losses"],
+                               rtol=1e-4)
+    np.testing.assert_allclose(got["val_losses"], ref["val_losses"],
+                               rtol=1e-4)
+    _assert_params_close(got["params"], ref["params"])
+
+    from pg_asr_tpu.predict import predict
+
+    stats = predict(os.path.join(corpus, "test.tsv"),
+                    os.path.join(corpus, "clips"),
+                    os.path.join(corpus, "alphabet.txt"),
+                    str(tmp_path / "pptp"), batch_size=4, which_ckpt="last")
+    assert stats["num_utts"] >= 1
+
+
+def test_train_dp_tp_ep_composed_matches_single(corpus, tmp_path):
+    """3-axis ('data','model','expert') = (2,2,2) MoE training (GSPMD:
+    expert stacks sharded expert x model, dense leaves Megatron-sharded)
+    reproduces the single-device MoE run."""
+    ref = _train_losses(corpus, str(tmp_path / "one"),
+                        _cfg(mesh="data=1", num_experts=2))
+    got = _train_losses(corpus, str(tmp_path / "tpep"),
+                        _cfg(mesh="data=2,model=2,expert=2", num_experts=2))
+    np.testing.assert_allclose(got["train_losses"], ref["train_losses"],
+                               rtol=1e-4)
+    _assert_params_close(got["params"], ref["params"])
