@@ -17,6 +17,7 @@
 // Error codes: -1 open failed, -2 malformed header, -3 unsupported format.
 
 #include <atomic>
+#include <cmath>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
@@ -256,6 +257,90 @@ int pgasr_load_batch(const char** paths, int n, float* out, long stride,
                      int* lens, int* srs, long max_samples, int n_threads) {
   return pgasr_load_batch_rs(paths, n, out, stride, lens, srs, max_samples,
                              n_threads, 0);
+}
+
+// int16 batch loader: fills a padded (n, stride) int16 buffer. For the
+// dominant case — mono 16-bit PCM at the target rate — each row is ONE
+// fread straight from the data chunk (no float conversion at all); other
+// formats/rates decode to float (+ resample) and quantize to int16
+// (round-half-away, clamped). The TPU converts back with x/32768 inside
+// the jitted step (ops/features.extract_features), so 16-bit sources
+// round-trip bit-exactly while host decode cost and host->device transfer
+// bytes are HALVED vs the float32 path.
+int pgasr_load_batch_i16(const char** paths, int n, int16_t* out, long stride,
+                         int* lens, int* srs, long max_samples, int n_threads,
+                         int target_rate) {
+  if (n <= 0) return 0;
+  if (n_threads < 1) n_threads = 1;
+  if (n_threads > n) n_threads = n;
+
+  std::atomic<int> next(0);
+  std::atomic<int> errors(0);
+  auto worker = [&]() {
+    std::vector<float> tmp, tmp2;
+    for (;;) {
+      int i = next.fetch_add(1);
+      if (i >= n) return;
+      int16_t* row = out + (size_t)i * stride;
+      memset(row, 0, sizeof(int16_t) * (size_t)stride);
+      long cap = stride < max_samples || max_samples <= 0 ? stride : max_samples;
+      int sr = 0;
+
+      Riff w;
+      int rc = open_wav(paths[i], &w);
+      long got = rc;
+      if (rc == 0) {
+        sr = (int)w.sample_rate;
+        bool rate_ok = target_rate <= 0 || sr == target_rate || sr <= 0;
+        if (rate_ok && w.format == 1 && w.bits == 16 && w.channels == 1) {
+          // fast path: raw PCM frames ARE the row
+          long frames = w.data_bytes / 2;
+          if (frames > cap) frames = cap;
+          fseek(w.f, w.data_offset, SEEK_SET);
+          size_t rd = fread(row, 2, (size_t)frames, w.f);
+          got = (long)rd;
+        } else {
+          long frames = w.data_bytes / ((w.bits / 8) * w.channels);
+          tmp.resize((size_t)frames);
+          got = decode(&w, tmp.data(), frames);
+          const float* src = tmp.data();
+          if (got > 0 && !rate_ok) {
+            long n_out = (long)((double)got * target_rate / sr + 0.5);
+            if (n_out > cap) n_out = cap;
+            tmp2.resize((size_t)n_out);
+            resample_linear(tmp.data(), got, tmp2.data(), n_out);
+            src = tmp2.data();
+            got = n_out;
+            sr = target_rate;
+          }
+          if (got > cap) got = cap;
+          for (long j = 0; j < got; ++j) {
+            float v = src[j] * 32768.0f;
+            long q = lrintf(v);
+            if (q > 32767) q = 32767;
+            if (q < -32768) q = -32768;
+            row[j] = (int16_t)q;
+          }
+        }
+        fclose(w.f);
+      }
+
+      if (got < 0) {
+        lens[i] = 0;
+        srs[i] = 0;
+        errors.fetch_add(1);
+      } else {
+        lens[i] = (int)got;
+        srs[i] = sr;
+      }
+    }
+  };
+
+  std::vector<std::thread> pool;
+  for (int t = 0; t < n_threads - 1; ++t) pool.emplace_back(worker);
+  worker();
+  for (auto& th : pool) th.join();
+  return -errors.load();
 }
 
 }  // extern "C"

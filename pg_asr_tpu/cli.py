@@ -113,6 +113,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="train: exponential moving average of the params "
                         "(validation/predict use the averaged weights; "
                         "0 = off)")
+    p.add_argument("--cache_audio_mb", type=float, default=None,
+                   help="train: RAM budget (MB) for caching built batches "
+                        "across epochs — corpora that fit pay WAV "
+                        "decode/padding only in epoch 1 (0 = off)")
     p.add_argument("--pg_steps", type=int, default=200,
                    help="finetune_pg: number of REINFORCE steps")
     p.add_argument("--profile_steps", type=int, default=0,
@@ -217,6 +221,10 @@ def _config(args, from_model_path: bool = False):
         if args.save_every_steps < 0:
             raise SystemExit("--save_every_steps must be >= 0")
         tr["save_every_steps"] = args.save_every_steps
+    if getattr(args, "cache_audio_mb", None) is not None:
+        if args.cache_audio_mb < 0:
+            raise SystemExit("--cache_audio_mb must be >= 0")
+        tr["cache_audio_mb"] = args.cache_audio_mb
     if getattr(args, "mesh", None):
         from .parallel.driver import parse_mesh_spec
 

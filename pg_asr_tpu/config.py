@@ -232,6 +232,11 @@ class TrainConfig:
     log_every: int = 10
     eval_every_epochs: int = 1
     prefetch_depth: int = 2  # host batches built ahead of the device (0 = off)
+    # built-batch RAM cache budget (MB, 0 = off): bucketed batch composition
+    # is identical across epochs, so corpora that fit the budget pay disk
+    # read + WAV decode + padding only in epoch 1 — steady-state epochs
+    # stream straight from memory (data/dataset.BatchIterator)
+    cache_audio_mb: float = 0.0
     # device mesh for the training step; the CLI surfaces this as
     # --mesh data=2,pipe=2 (parallel/driver.py routes the step through the
     # data/model/pipe/seq/expert strategy libraries per the live axes)

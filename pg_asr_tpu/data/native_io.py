@@ -85,6 +85,15 @@ def _load():
                 ctypes.POINTER(ctypes.c_float), ctypes.c_long]
         except AttributeError:  # stale .so without the resample ABI
             pass
+        try:
+            lib.pgasr_load_batch_i16.restype = ctypes.c_int
+            lib.pgasr_load_batch_i16.argtypes = [
+                ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
+                ctypes.POINTER(ctypes.c_int16), ctypes.c_long,
+                ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+                ctypes.c_long, ctypes.c_int, ctypes.c_int]
+        except AttributeError:  # stale .so without the int16 ABI
+            pass
         _lib = lib
         return _lib
 
@@ -162,6 +171,34 @@ def load_batch(paths: list[str], stride: int, max_samples: int = 0,
             stride, lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
             srs.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
             stride, threads)
+    if rc < 0:
+        bad = [paths[i] for i in range(n) if lens[i] == 0]
+        raise IOError(f"native batch load: {-rc} file(s) failed, e.g. {bad[:3]}")
+    return out, lens, srs
+
+
+def load_batch_i16(paths: list[str], stride: int, n_threads: int | None = None,
+                   target_rate: int = 0):
+    """Decode `paths` into a fresh zero-padded (N, stride) int16 buffer —
+    mono 16-bit PCM at the target rate is ONE fread per row (no float
+    conversion); other formats/rates decode+resample in float and quantize.
+    The model converts back with x/32768 on-device
+    (ops/features.extract_features), halving host decode work and
+    host->device transfer bytes. Returns (batch, lens, sample_rates)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "pgasr_load_batch_i16"):
+        raise RuntimeError("native int16 IO unavailable")
+    n = len(paths)
+    out = np.zeros((n, stride), np.int16)
+    lens = np.zeros(n, np.int32)
+    srs = np.zeros(n, np.int32)
+    arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    threads = n_threads or min(8, os.cpu_count() or 1)
+    rc = lib.pgasr_load_batch_i16(
+        arr, n, out.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        stride, lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        srs.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        stride, threads, target_rate)
     if rc < 0:
         bad = [paths[i] for i in range(n) if lens[i] == 0]
         raise IOError(f"native batch load: {-rc} file(s) failed, e.g. {bad[:3]}")

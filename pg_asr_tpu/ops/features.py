@@ -197,9 +197,16 @@ def _frontend(wave: jnp.ndarray, num_samples: jnp.ndarray, cfg: FeatureConfig):
 def extract_features(wave, num_samples, cfg: FeatureConfig):
     """Batched waveforms -> (features (B,T,C), frame_mask (B,T), frame_lens (B,)).
 
-    `wave` is a zero-padded (B, N) float array; `num_samples` the true sample
-    counts. Fully on-device; jit-cached per (shape, cfg).
+    `wave` is a zero-padded (B, N) float array in [-1, 1] — or int16 PCM,
+    which is converted on-device with x/32768 (exactly the host decoders'
+    scaling, native/pgasr_io.cpp decode / data/audio.py): shipping PCM
+    halves the host->device transfer and lets the host skip the float
+    conversion entirely. `num_samples` holds the true sample counts.
+    Fully on-device; jit-cached per (shape, dtype, cfg).
     """
-    wave = jnp.asarray(wave, dtype=jnp.float32)
+    wave = jnp.asarray(wave)
+    if jnp.issubdtype(wave.dtype, jnp.integer):
+        wave = wave.astype(jnp.float32) * (1.0 / 32768.0)
+    wave = wave.astype(jnp.float32)
     num_samples = jnp.asarray(num_samples, dtype=jnp.int32)
     return _frontend(wave, num_samples, cfg)

@@ -289,6 +289,21 @@ def _batch_arrays(batch: Batch):
     return (batch.wave, batch.num_samples, batch.labels, batch.label_lens)
 
 
+class _InlineStage:
+    """prefetch_depth=0 fallback: same (Batch, arrays) item contract as the
+    transform-equipped PrefetchIterator, staging synchronously."""
+
+    def __init__(self, source, stage):
+        self.source, self.stage = source, stage
+
+    def __len__(self):
+        return len(self.source)
+
+    def __iter__(self):
+        for b in self.source:
+            yield self.stage(b)
+
+
 @partial(jax.jit, static_argnames=("decay",), donate_argnums=(0,))
 def _ema_update(ema_params, params, decay: float):
     """ema <- decay*ema + (1-decay)*params (elementwise, one fused pass)."""
@@ -430,9 +445,11 @@ def train(corpus_path: str, model_path: str, num_epochs: int | None = None,
     train_it_base = train_it = BatchIterator(
         train_manifest, alphabet, per_host_bs,
         sample_rate=cfg.features.sample_rate,
-        seed=cfg.train.seed, shard_index=proc, shard_count=nproc)
-    if cfg.train.prefetch_depth > 0:
-        train_it = PrefetchIterator(train_it, depth=cfg.train.prefetch_depth)
+        seed=cfg.train.seed, shard_index=proc, shard_count=nproc,
+        cache_mb=cfg.train.cache_audio_mb)
+    # (the PrefetchIterator wrap happens below, once the mesh/plan exist:
+    # its producer thread stages each batch onto the device so H2D
+    # transfers overlap step dispatch instead of blocking the loop)
     dev_tsv = os.path.join(corpus_path, "dev.tsv")
     dev_it = None
     dev_cap = None
@@ -468,6 +485,17 @@ def train(corpus_path: str, model_path: str, num_epochs: int | None = None,
     from .parallel.driver import make_plan
 
     plan = make_plan(cfg, mesh)
+
+    def _stage(batch: Batch):
+        """Producer-thread device staging: (Batch, placed device arrays)."""
+        return batch, shard_batch_arrays(_batch_arrays(batch), mesh,
+                                         plan.batch_multiple)
+
+    if cfg.train.prefetch_depth > 0:
+        train_it = PrefetchIterator(train_it, depth=cfg.train.prefetch_depth,
+                                    transform=_stage)
+    else:
+        train_it = _InlineStage(train_it, _stage)
     # init stays threefry (backend-independent params); the step loop uses
     # the backend's fastest generator for dropout masks (utils/rand.py)
     init_rng = jax.random.split(jax.random.PRNGKey(cfg.train.seed))[1]
@@ -578,7 +606,7 @@ def train(corpus_path: str, model_path: str, num_epochs: int | None = None,
         batch_pos = resume_skip_batches
         resume_skip_batches = 0
         t0 = time.time()
-        for batch in train_it:
+        for batch, arrays in train_it:
             # stop BEFORE running the step: a resumed batch_pos may already
             # sit at the cap, and training one extra batch would diverge
             # from the uninterrupted run
@@ -596,8 +624,6 @@ def train(corpus_path: str, model_path: str, num_epochs: int | None = None,
                 # works on resumed runs where `step` continues)
                 jax.profiler.start_trace(os.path.join(model_path, "trace"))
                 tracing = True
-            arrays = shard_batch_arrays(_batch_arrays(batch), mesh,
-                                        plan.batch_multiple)
             params, opt_state, rng, loss = train_step(params, opt_state, rng, *arrays)
             if use_ema:
                 ema_params = _ema_update(ema_params, params,

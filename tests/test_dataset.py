@@ -2,13 +2,15 @@
 quantization, synthetic corpus layout."""
 
 import os
+import time
 
 import numpy as np
+import pytest
 
 from pg_asr_tpu.data.audio import write_wav
-from pg_asr_tpu.data.dataset import (BatchIterator, load_manifest,
-                                     make_synthetic_corpus, scan_librispeech,
-                                     synthetic_batch)
+from pg_asr_tpu.data.dataset import (BatchIterator, PrefetchIterator,
+                                     load_manifest, make_synthetic_corpus,
+                                     scan_librispeech, synthetic_batch)
 from pg_asr_tpu.data.text import Alphabet
 
 
@@ -36,7 +38,9 @@ def test_batch_iterator_shapes_quantized(tmp_path):
     for batch in it:
         assert batch.wave.shape[1] % 8000 == 0
         assert batch.labels.shape[1] % 8 == 0
-        assert batch.wave.dtype == np.float32
+        # default transfer dtype is int16 PCM (converted on-device with
+        # x/32768 by ops/features.extract_features)
+        assert batch.wave.dtype == np.int16
         # padding is zero beyond each utterance's length
         for i in range(batch.size):
             assert np.all(batch.wave[i, batch.num_samples[i]:] == 0.0)
@@ -169,3 +173,119 @@ def test_librispeech_to_corpus(tmp_path):
     assert all(os.path.isabs(u.audio_path) and os.path.exists(u.audio_path)
                for u in utts)
     assert utts[0].text == "hello there"
+
+
+def test_int16_transfer_parity_and_fallbacks(tmp_path):
+    """The int16 wave path (native fread fast-path OR the Python quantize
+    fallback) reproduces the float32 path bit-exactly for 16-bit WAV
+    sources, both raw and after on-device conversion."""
+    import jax.numpy as jnp
+
+    from pg_asr_tpu.config import FeatureConfig
+    from pg_asr_tpu.ops.features import extract_features
+
+    root = str(tmp_path)
+    _, alphabet = make_synthetic_corpus(root, n_utts=6, seed=3,
+                                        min_dur=0.1, max_dur=0.4)
+    utts = load_manifest(os.path.join(root, "train.tsv"),
+                         os.path.join(root, "clips"))
+    kw = dict(batch_size=3, shuffle=False)
+    bf = next(iter(BatchIterator(utts, alphabet, wave_dtype="float32", **kw)))
+    bi = next(iter(BatchIterator(utts, alphabet, wave_dtype="int16", **kw)))
+    assert bi.wave.dtype == np.int16 and bf.wave.dtype == np.float32
+    np.testing.assert_array_equal(bi.num_samples, bf.num_samples)
+    np.testing.assert_array_equal(bi.wave.astype(np.float32) / 32768.0,
+                                  bf.wave)
+
+    cfg = FeatureConfig(n_fft=256, win_length=256, hop_length=128, n_mels=8)
+    f_f = extract_features(jnp.asarray(bf.wave),
+                           jnp.asarray(bf.num_samples), cfg)[0]
+    f_i = extract_features(jnp.asarray(bi.wave),
+                           jnp.asarray(bi.num_samples), cfg)[0]
+    np.testing.assert_array_equal(np.asarray(f_f), np.asarray(f_i))
+
+    # pure-Python fallback (custom loader bypasses the native tier) agrees
+    from pg_asr_tpu.data.audio import load_audio
+
+    bp = next(iter(BatchIterator(utts, alphabet, wave_dtype="int16",
+                                 loader=load_audio, **kw)))
+    np.testing.assert_array_equal(bp.wave, bi.wave)
+
+    with pytest.raises(ValueError):
+        BatchIterator(utts, alphabet, wave_dtype="f64", **kw)
+
+
+def test_batch_cache_across_epochs(tmp_path):
+    """cache_mb > 0: epoch 2 serves the SAME Batch objects (no reload),
+    the budget bounds what gets cached, and cache_mb=0 disables it."""
+    root = str(tmp_path)
+    _, alphabet = make_synthetic_corpus(root, n_utts=6, seed=4,
+                                        min_dur=0.1, max_dur=0.3)
+    utts = load_manifest(os.path.join(root, "train.tsv"),
+                         os.path.join(root, "clips"))
+    it = BatchIterator(utts, alphabet, batch_size=3, shuffle=False,
+                       cache_mb=64.0)
+    e1 = list(it)
+    e2 = list(it)
+    assert len(e1) == len(e2) >= 2
+    for a, b in zip(e1, e2):
+        assert a is b  # served from cache, not rebuilt
+
+    it0 = BatchIterator(utts, alphabet, batch_size=3, shuffle=False)
+    a1 = list(it0)
+    a2 = list(it0)
+    for a, b in zip(a1, a2):
+        assert a is not b
+        np.testing.assert_array_equal(a.wave, b.wave)
+
+    # tiny budget: caching stops once the budget is spent, batches still flow
+    it_small = BatchIterator(utts, alphabet, batch_size=3, shuffle=False,
+                             cache_mb=1e-4)
+    b1 = list(it_small)
+    b2 = list(it_small)
+    assert len(b1) == len(b2)
+    assert all(a is not b for a, b in zip(b1, b2))
+
+
+def test_header_only_length_probe(tmp_path):
+    """Bucketing establishes num_samples from the WAV header (no decode);
+    the values match what a full load reports."""
+    root = str(tmp_path)
+    _, alphabet = make_synthetic_corpus(root, n_utts=5, seed=6,
+                                        min_dur=0.1, max_dur=0.5)
+    utts = load_manifest(os.path.join(root, "train.tsv"),
+                         os.path.join(root, "clips"))
+    it = BatchIterator(utts, alphabet, batch_size=2, shuffle=False)
+    lens_probe = [it._ensure_len(i) for i in range(len(utts))]
+    from pg_asr_tpu.data.audio import load_audio
+
+    for u, n in zip(utts, lens_probe):
+        w, sr = load_audio(u.audio_path)
+        assert sr == 16000 and len(w) == n
+
+
+def test_prefetch_transform_and_early_break(tmp_path):
+    """transform runs in the producer thread; breaking the consumer loop
+    mid-epoch terminates the producer (no stuck threads across epochs)."""
+    import threading
+
+    root = str(tmp_path)
+    _, alphabet = make_synthetic_corpus(root, n_utts=8, seed=7,
+                                        min_dur=0.1, max_dur=0.2)
+    utts = load_manifest(os.path.join(root, "train.tsv"),
+                         os.path.join(root, "clips"))
+    base = BatchIterator(utts, alphabet, batch_size=2, shuffle=False)
+    tagged = PrefetchIterator(base, depth=1,
+                              transform=lambda b: ("staged", b))
+    before = threading.active_count()
+    for tag, b in tagged:
+        assert tag == "staged"
+        break  # abandon the epoch after one batch
+    # the producer notices within its 0.1 s put timeout and exits
+    deadline = time.time() + 5.0
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before
+    # a fresh epoch still works after the abandoned one
+    out = [b for _, b in tagged]
+    assert len(out) == len(base)
