@@ -90,7 +90,19 @@ def _peak_flops(device) -> float | None:
 
 
 def _chain_flops(jitted, *args) -> float | None:
-    """Total FLOPs of the compiled executable per XLA's cost analysis."""
+    """FLOPs of ONE train step per XLA's cost analysis of the compiled
+    step chain.
+
+    XLA's cost analysis counts a while-loop BODY once — it does not
+    multiply by the trip count (verified: a jitted lax.scan of a 512^3
+    matmul body reports 2*512^3 = 268435456 flops at both length=1 and
+    length=8). Since our chains are `lax.scan(one_step, ..., length=N)`,
+    the whole-executable flops ARE the per-step flops (ops outside the
+    loop are negligible), so callers use this value per-step directly.
+    Cross-check: the 202M-param transformer_large row reports 7.99 TFLOP
+    vs the 6*params*tokens analytic estimate of 7.76 TFLOP (+3% for
+    attention/loss/optimizer) — consistent.
+    """
     try:
         cost = jitted.lower(*args).compile().cost_analysis()
         if isinstance(cost, (list, tuple)):
@@ -121,6 +133,15 @@ def _family_cfg(family: str):
         fam = "transformer"
         kw["transformer"] = TransformerConfig(num_experts=4,
                                               capacity_factor=1.25)
+    if family == "transformer_large":
+        # production-scale encoder (~0.2B params): shows the framework's
+        # MFU ceiling when the matmuls are MXU-sized — the reference-scale
+        # rows above are bandwidth/latency-bound by model size, not by the
+        # framework (docs/PERF.md roofline notes)
+        fam = "transformer"
+        kw["transformer"] = TransformerConfig(num_layers=16, d_model=1024,
+                                              num_heads=16, ffn_dim=4096,
+                                              subsample=4)
     return Config(
         features=FeatureConfig(kind="logmel", n_mels=80),
         model=ModelConfig(family=fam, vocab_size=VOCAB, input_dim=80,
@@ -174,7 +195,7 @@ def _bench_family_chain(family: str, arrays, steps: int = FAMILY_STEPS):
         return {
             "utts_per_sec": BATCH * steps / dt,
             "step_ms": 1000.0 * dt / steps,
-            "flops_per_step": (flops / steps) if flops else None,
+            "flops_per_step": flops,  # cost analysis counts the scan body once
         }
     except Exception as e:
         print(f"[bench] family {family} failed: {e!r}", file=sys.stderr)
@@ -345,10 +366,8 @@ def bench_ours(skip_extras: bool = False) -> dict:
         "step_ms": 1000.0 * dt / TIMED_STEPS,
         "compile_s": compile_s,
         "loss": loss_val,
-        "flops_per_step": (flagship_flops / TIMED_STEPS
-                           if flagship_flops else None),
-        "mfu": mfu(flagship_flops / TIMED_STEPS if flagship_flops else None,
-                   dt / TIMED_STEPS),
+        "flops_per_step": flagship_flops,  # scan body counted once (see _chain_flops)
+        "mfu": mfu(flagship_flops, dt / TIMED_STEPS),
         "backend": jax.default_backend(),
         "device": str(device),
         "device_kind": getattr(device, "device_kind", None),
@@ -416,7 +435,7 @@ def bench_ours(skip_extras: bool = False) -> dict:
 
     # every other family through the same generic compute_loss chain
     for family in ("transformer", "conformer", "transducer", "seq2seq",
-                   "moe"):
+                   "moe", "transformer_large"):
         r = _bench_family_chain(family, arrays)
         if r is None:
             continue
@@ -524,7 +543,7 @@ def main() -> int:
             v = ours[k]
             result[k] = round(v, 5) if isinstance(v, float) else v
     for family in ("transformer", "conformer", "transducer", "seq2seq",
-                   "moe"):
+                   "moe", "transformer_large"):
         for suffix in ("train_utts_per_sec", "step_ms", "flops_per_step",
                        "mfu"):
             k = f"{family}_{suffix}"
