@@ -117,6 +117,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="train: RAM budget (MB) for caching built batches "
                         "across epochs — corpora that fit pay WAV "
                         "decode/padding only in epoch 1 (0 = off)")
+    p.add_argument("--init_from_torch", type=str, default=None,
+                   help="train: warm-start from a reference torch "
+                        "checkpoint (model_best.pth) when no pg_asr_tpu "
+                        "checkpoint exists — migration path for reference "
+                        "users (families: ctc/transducer/seq2seq; train "
+                        "with --features mfcc to match the 120-dim input)")
     p.add_argument("--pg_steps", type=int, default=200,
                    help="finetune_pg: number of REINFORCE steps")
     p.add_argument("--profile_steps", type=int, default=0,
@@ -225,6 +231,8 @@ def _config(args, from_model_path: bool = False):
         if args.cache_audio_mb < 0:
             raise SystemExit("--cache_audio_mb must be >= 0")
         tr["cache_audio_mb"] = args.cache_audio_mb
+    if getattr(args, "init_from_torch", None):
+        tr["init_from_torch"] = args.init_from_torch
     if getattr(args, "mesh", None):
         from .parallel.driver import parse_mesh_spec
 

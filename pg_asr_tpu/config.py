@@ -226,6 +226,10 @@ class TrainConfig:
     # checkpoint selection, and predict then use the EMA weights
     ema_decay: float = 0.0
     seed: int = 0
+    # path to a reference torch checkpoint (model_best.pth) to warm-start
+    # from when no pg_asr_tpu checkpoint exists (models/torch_import.py) —
+    # the migration path for reference users' trained models
+    init_from_torch: str = ""
     max_frames: int = 1600  # padded-length cap (frames)
     max_label_len: int = 256
     bucket_frame_quantum: int = 128  # pad T up to a multiple -> few jit shapes

@@ -582,6 +582,19 @@ def train(corpus_path: str, model_path: str, num_epochs: int | None = None,
             train_it_base.skip_epochs(start_epoch - 1)
             if resume_skip_batches:
                 train_it_base.skip_batches(resume_skip_batches)
+    if cfg.train.init_from_torch and step == 0 and start_epoch == 1:
+        # warm-start from a reference torch checkpoint (migration path);
+        # a restored pg_asr_tpu checkpoint always wins over the import
+        from .models.torch_import import init_from_torch_checkpoint
+
+        params, report = init_from_torch_checkpoint(
+            cfg.train.init_from_torch, params, cfg)
+        opt_state = optimizer.init(params)
+        if use_ema:
+            ema_params = jax.tree_util.tree_map(
+                lambda x: jnp.array(x, copy=True), params)
+        print(f"[train] {report}")
+
     # written only after a successful restore attempt: a failed resume must
     # not leave config.json overwritten with a mismatched run's settings
     if is_main:
