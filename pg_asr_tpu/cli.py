@@ -17,9 +17,10 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="TPU-native policy-gradient ASR")
     p.add_argument("--mode", required=True,
                    choices=["train", "predict", "preproc", "finetune_pg",
-                            "stream"],
+                            "stream", "export"],
                    help="train | predict | preproc | finetune_pg | stream "
-                        "(incremental transcription of one WAV)")
+                        "(incremental transcription of one WAV) | export "
+                        "(serialize wave->ids serving fn, weights baked in)")
     p.add_argument("--corpus_path", type=str,
                    help="corpus dir (train/dev/test.tsv, clips/, alphabet.txt)")
     p.add_argument("--model_path", type=str,
@@ -117,6 +118,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="train: RAM budget (MB) for caching built batches "
                         "across epochs — corpora that fit pay WAV "
                         "decode/padding only in epoch 1 (0 = off)")
+    p.add_argument("--export_batch", type=int, default=8,
+                   help="export: static batch size of the serving artifact")
+    p.add_argument("--export_seconds", type=float, default=20.0,
+                   help="export: max audio length (s) the artifact accepts")
+    p.add_argument("--export_platforms", type=str, default=None,
+                   help="export: comma list (e.g. cpu,tpu) for one "
+                        "multi-platform artifact; default = current backend")
     p.add_argument("--init_from_torch", type=str, default=None,
                    help="train: warm-start from a reference torch "
                         "checkpoint (model_best.pth) when no pg_asr_tpu "
@@ -322,6 +330,19 @@ def main(argv=None) -> int:
                 lm_weight=args.lm_weight, length_bonus=args.length_bonus,
                 lm_train_tsv=(os.path.join(corpus, "train.tsv")
                               if (args.lm_order and corpus) else None))
+        return 0
+
+    if args.mode == "export":
+        from .exporting import export_model
+
+        platforms = tuple(s.strip() for s in
+                          (args.export_platforms or "").split(",") if s.strip())
+        export_model(args.model_path, corpus_path=args.corpus_path,
+                     batch_size=args.export_batch,
+                     max_seconds=args.export_seconds,
+                     decoder=args.decoder,
+                     beam_size=(args.beam_size or 0),
+                     platforms=platforms)
         return 0
 
     if args.mode == "stream":
