@@ -125,6 +125,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--export_platforms", type=str, default=None,
                    help="export: comma list (e.g. cpu,tpu) for one "
                         "multi-platform artifact; default = current backend")
+    p.add_argument("--export_quantize", type=str, default=None,
+                   choices=["int8"],
+                   help="export: weight-only per-channel int8 (~4x smaller "
+                        "artifact, near-lossless; latency unchanged on "
+                        "current XLA/TPU — see ops/quant.py)")
     p.add_argument("--init_from_torch", type=str, default=None,
                    help="train: warm-start from a reference torch "
                         "checkpoint (model_best.pth) when no pg_asr_tpu "
@@ -342,7 +347,8 @@ def main(argv=None) -> int:
                      max_seconds=args.export_seconds,
                      decoder=args.decoder,
                      beam_size=(args.beam_size or 0),
-                     platforms=platforms)
+                     platforms=platforms,
+                     quantize=args.export_quantize or "")
         return 0
 
     if args.mode == "stream":

@@ -39,21 +39,44 @@ MANIFEST = "manifest.json"
 
 
 def make_serving_fn(params, cfg: Config, decoder: str = "greedy",
-                    beam_size: int = 0):
+                    beam_size: int = 0, quantize: str = ""):
     """(wave (B, N) float32, num_samples (B,) int32) -> (ids (B, L) int32
     0-padded, lens (B,) int32), with `params` closed over (baked into the
-    export as constants). Dispatches exactly like predict does."""
+    export as constants). Dispatches exactly like predict does.
+
+    quantize="int8": weight-only per-channel int8 (ops/quant.py) — the
+    baked-in constants are int8, ~4x smaller artifact vs f32; latency on
+    current XLA/TPU is a wash (measured — see ops/quant.py docstring)."""
+    if quantize == "int8":
+        from .ops.quant import dequantize_tree, quantize_tree
+
+        qparams = quantize_tree(params)
+        inner = make_serving_fn_from(lambda: dequantize_tree(qparams),
+                                     cfg, decoder, beam_size)
+        return inner
+    if quantize:
+        raise ValueError(f"unknown quantize mode {quantize!r} "
+                         "(supported: 'int8')")
+    return make_serving_fn_from(lambda: params, cfg, decoder, beam_size)
+
+
+def make_serving_fn_from(get_params, cfg: Config, decoder: str = "greedy",
+                         beam_size: int = 0):
+    """Serving fn where the parameter tree is produced by `get_params()`
+    inside the trace (identity for float params; dequantization for
+    quantized trees)."""
     family = cfg.model.family
     if family == "seq2seq":
         from .predict import _forward_seq2seq, _forward_seq2seq_beam
 
         if decoder == "beam" and beam_size > 1:
             def fn(wave, num_samples):
-                return _forward_seq2seq_beam(params, wave, num_samples, cfg,
-                                             beam_size=beam_size)
+                return _forward_seq2seq_beam(get_params(), wave, num_samples,
+                                             cfg, beam_size=beam_size)
         else:
             def fn(wave, num_samples):
-                tokens, _ = _forward_seq2seq(params, wave, num_samples, cfg)
+                tokens, _ = _forward_seq2seq(get_params(), wave, num_samples,
+                                             cfg)
                 # cut at the first EOS (= pad id 0), on device
                 S = tokens.shape[1]
                 is_eos = tokens == 0
@@ -66,7 +89,7 @@ def make_serving_fn(params, cfg: Config, decoder: str = "greedy",
         from .predict import _forward_transducer
 
         def fn(wave, num_samples):
-            return _forward_transducer(params, wave, num_samples, cfg,
+            return _forward_transducer(get_params(), wave, num_samples, cfg,
                                        beam_size=beam_size if decoder == "beam" else 0)
         return fn
 
@@ -79,7 +102,7 @@ def make_serving_fn(params, cfg: Config, decoder: str = "greedy",
         feats, mask, frame_lens = extract_features(wave, num_samples,
                                                    cfg.features)
         log_probs, out_mask, out_lens = acoustic_forward(
-            params, feats, mask, frame_lens, cfg, train=False)
+            get_params(), feats, mask, frame_lens, cfg, train=False)
         if decoder == "beam" and beam_size > 1:
             from .decoding.beam import beam_decode
 
@@ -94,7 +117,8 @@ def make_serving_fn(params, cfg: Config, decoder: str = "greedy",
 def export_model(model_path: str, corpus_path: str | None = None,
                  batch_size: int = 8, max_seconds: float = 20.0,
                  decoder: str = "greedy", beam_size: int = 0,
-                 which: str = "best", platforms: tuple[str, ...] = ()) -> dict:
+                 which: str = "best", platforms: tuple[str, ...] = (),
+                 quantize: str = "") -> dict:
     """Export a trained model dir for deployment. Returns the manifest."""
     from jax import export as jax_export
 
@@ -107,7 +131,8 @@ def export_model(model_path: str, corpus_path: str | None = None,
     alphabet = load_tokenizer(tok_root, cfg.text.units)
     params, cfg = load_model(model_path, alphabet, config=cfg, which=which)
 
-    fn = make_serving_fn(params, cfg, decoder=decoder, beam_size=beam_size)
+    fn = make_serving_fn(params, cfg, decoder=decoder, beam_size=beam_size,
+                         quantize=quantize)
     n = int(max_seconds * cfg.features.sample_rate)
     wave_t = jax.ShapeDtypeStruct((batch_size, n), jnp.float32)
     ns_t = jax.ShapeDtypeStruct((batch_size,), jnp.int32)
@@ -135,6 +160,7 @@ def export_model(model_path: str, corpus_path: str | None = None,
                    "num_samples": ["int32", [batch_size]]},
         "outputs": {"ids": "int32 (B, L) 0-padded", "lens": "int32 (B,)"},
         "platforms": list(exp.platforms),
+        "quantize": quantize or "none",
         "blank_id": 0,
         "units": cfg.text.units,
         "alphabet": [alphabet.piece(i) for i in range(alphabet.size)],
