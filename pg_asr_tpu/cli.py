@@ -137,7 +137,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "users (families: ctc/transducer/seq2seq; train "
                         "with --features mfcc to match the 120-dim input)")
     p.add_argument("--pg_steps", type=int, default=200,
-                   help="finetune_pg: number of REINFORCE steps")
+                   help="finetune_pg: number of fine-tune steps")
+    p.add_argument("--pg_objective", type=str, default=None,
+                   choices=["reinforce", "mwer"],
+                   help="finetune_pg: REINFORCE over sampled alignment "
+                        "paths (reference-style) or expected-CER over the "
+                        "on-device K-best list (MWER)")
+    p.add_argument("--mwer_beam", type=int, default=None,
+                   help="finetune_pg: n-best width K for --pg_objective "
+                        "mwer (default 4)")
     p.add_argument("--profile_steps", type=int, default=0,
                    help="train: capture a device trace of N steady-state "
                         "steps to <model_path>/trace (TensorBoard/xprof)")
@@ -223,6 +231,14 @@ def _config(args, from_model_path: bool = False):
     if getattr(args, "specaugment", False):
         cfg = cfg.replace(augment=cfg.augment.__class__(
             **{**cfg.augment.__dict__, "enabled": True}))
+    if getattr(args, "pg_objective", None):
+        cfg = cfg.replace(rl=cfg.rl.__class__(
+            **{**cfg.rl.__dict__, "objective": args.pg_objective}))
+    if getattr(args, "mwer_beam", None) is not None:
+        if args.mwer_beam < 2:
+            raise SystemExit("--mwer_beam must be >= 2")
+        cfg = cfg.replace(rl=cfg.rl.__class__(
+            **{**cfg.rl.__dict__, "mwer_beam": args.mwer_beam}))
     tr = dict(cfg.train.__dict__)
     tr["num_epochs"] = args.num_epochs
     tr["batch_size"] = args.batch_size

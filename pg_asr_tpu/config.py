@@ -194,6 +194,11 @@ class RLConfig:
     entropy_weight: float = 0.01
     ctc_mix_weight: float = 0.1  # supervised CTC anchor mixed into the PG loss
     reward: str = "neg_cer"  # "neg_cer" | "neg_wer" | "stepwise_ed" (reference parity)
+    # "reinforce" (sampled alignment paths, the reference's sketched loop) |
+    # "mwer" (expected CER over the on-device K-best list, renormalized
+    # posteriors — the standard production discriminative objective)
+    objective: str = "reinforce"
+    mwer_beam: int = 4  # K of the n-best list when objective="mwer"
 
 
 @dataclass(frozen=True)

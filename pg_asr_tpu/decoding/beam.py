@@ -301,10 +301,11 @@ def _step_hash(state, lp, top_lp, top_sym, *, K: int, M: int, Lmax: int,
     return (new_h, new_last, new_lens, new_pb, new_pnb), (parent, sym)
 
 
-def _decode_one_hash(log_probs, frame_len, *, K: int, A: int, Lmax: int,
-                     blank: int):
-    """Backpointer variant of _decode_one. Same return contract."""
-    T = log_probs.shape[0]
+def _scan_hash(log_probs, frame_len, *, K: int, A: int, Lmax: int,
+               blank: int):
+    """Forward pass of the hash-impl beam: runs the frame scan and returns
+    the final per-slot (lens, scores) plus the (T, K) backpointer records
+    every slot can be reconstructed from."""
     h = jnp.zeros((K,), jnp.int32)
     last = jnp.full((K,), -1, jnp.int32)
     lens = jnp.zeros((K,), jnp.int32)
@@ -330,28 +331,73 @@ def _decode_one_hash(log_probs, frame_len, *, K: int, A: int, Lmax: int,
         sym = jnp.where(active, sym, -1)
         return state, (parent, sym)
 
-    ts = jnp.arange(T)
+    ts = jnp.arange(log_probs.shape[0])
     (h, last, lens, p_b, p_nb), (parents, syms) = jax.lax.scan(
         body, (h, last, lens, p_b, p_nb), (log_probs, top_lp, top_sym, ts))
+    return lens, _lae(p_b, p_nb), parents, syms
 
-    scores = _lae(p_b, p_nb)
-    best = jnp.argmax(scores)
 
-    # backtrack: walk t = T-1..0 from the best slot, emitting extends
-    def back(slot, rec):
+def _backtrack_slot(slot, parents, syms, Lmax: int):
+    """Reconstruct one slot's prefix by walking t = T-1..0, emitting
+    extends (sym >= 0) and compacting them into a (Lmax,) 0-padded row."""
+    def back(s, rec):
         parent, sym = rec
-        s = sym[slot]
-        nxt = parent[slot]
-        return nxt, s  # s = -1 when this frame was a stay for `slot`
+        return parent[s], sym[s]  # sym = -1 when this frame was a stay
 
-    _, emitted = jax.lax.scan(back, best, (parents, syms), reverse=True)
+    _, emitted = jax.lax.scan(back, slot, (parents, syms), reverse=True)
     # emitted (T,) in forward-time order; compact the non-(-1) entries
     is_sym = emitted >= 0
     pos = jnp.cumsum(is_sym.astype(jnp.int32)) - 1  # target index per emission
-    prefix = jnp.zeros((Lmax,), jnp.int32)
     onehot = (pos[:, None] == jnp.arange(Lmax)[None, :]) & is_sym[:, None]
     prefix = jnp.sum(jnp.where(onehot, emitted[:, None], 0), axis=0)
-    return prefix.astype(jnp.int32), lens[best], -scores[best], (None, lens, scores)
+    return prefix.astype(jnp.int32)
+
+
+def _decode_one_hash(log_probs, frame_len, *, K: int, A: int, Lmax: int,
+                     blank: int):
+    """Backpointer variant of _decode_one. Same return contract."""
+    lens, scores, parents, syms = _scan_hash(log_probs, frame_len, K=K, A=A,
+                                             Lmax=Lmax, blank=blank)
+    best = jnp.argmax(scores)
+    prefix = _backtrack_slot(best, parents, syms, Lmax)
+    return prefix, lens[best], -scores[best], (None, lens, scores)
+
+
+def _nbest_one(log_probs, frame_len, *, K: int, A: int, Lmax: int,
+               blank: int):
+    """All K beam slots, sorted by score descending. Dead slots (never
+    populated) carry score NEG -> they sort last with nll ~ +1e30."""
+    lens, scores, parents, syms = _scan_hash(log_probs, frame_len, K=K, A=A,
+                                             Lmax=Lmax, blank=blank)
+    order = jnp.argsort(-scores)  # stable: ties keep slot order
+    prefixes = jax.vmap(
+        lambda s: _backtrack_slot(s, parents, syms, Lmax))(order)
+    return prefixes, lens[order], -scores[order]
+
+
+@partial(jax.jit, static_argnames=("beam_size", "max_label_len", "blank"))
+def beam_decode_nbest(log_probs: jnp.ndarray, frame_lens: jnp.ndarray,
+                      beam_size: int = 8, max_label_len: int = 256,
+                      blank: int = 0):
+    """Batched K-best CTC prefix beam search (hash impl).
+
+    Returns:
+      labels: (B, K, max_label_len) int32 prefixes (0-padded), slot 0 the
+        best — bit-identical to beam_decode's top-1;
+      lens: (B, K) int32,
+      nll: (B, K) float32 ascending; dead slots ~ +1e30 (mask with
+        nll < 1e29). Live slots are DISTINCT label sequences (the beam
+        merges by prefix hash), so the set is a true n-best list for
+        MWER-style discriminative training (rl/reinforce.py).
+    """
+    B, T, A = log_probs.shape
+    Lmax = min(max_label_len, T)
+    fn = partial(_nbest_one, K=beam_size, A=A, Lmax=Lmax, blank=blank)
+    labels, lens, nll = jax.vmap(fn)(log_probs.astype(jnp.float32),
+                                     frame_lens.astype(jnp.int32))
+    if Lmax < max_label_len:
+        labels = jnp.pad(labels, ((0, 0), (0, 0), (0, max_label_len - Lmax)))
+    return labels, lens, nll
 
 
 def _step_hash_lm(state, lp, lmn, *, K: int, A: int, Lmax: int, blank: int,

@@ -75,6 +75,56 @@ def _path_rewards(paths, frame_mask, labels, label_lens, kind: str):
     return R.reshape(S, B), None, hyp_lens.reshape(S, B)
 
 
+def _mwer_terms(log_probs, mask, frame_lens, labels, label_lens, rl):
+    """Minimum-expected-CER over the on-device K-best list (the standard
+    production discriminative objective, cf. MWER training for seq2seq/CTC
+    ASR): decode K distinct hypotheses with the prefix beam, score each
+    with its DIFFERENTIABLE sequence log-likelihood log P(h|x) (the CTC
+    forward DP), renormalize over the list, and minimize
+    sum_k w_k * (CER_k - CER_bar). The baseline subtraction changes no
+    gradient (sum_k grad w_k = 0) but keeps the reported loss centered."""
+    from ..decoding.beam import beam_decode_nbest
+    from ..ops.ctc import ctc_loss
+    from ..ops.edit_distance import cer_from_ids
+
+    K = rl.mwer_beam
+    hyp, hyp_lens, dec_nll = beam_decode_nbest(
+        jax.lax.stop_gradient(log_probs), frame_lens, beam_size=K,
+        max_label_len=labels.shape[1])
+    live = dec_nll < 1e29  # (B, K); dead slots never populated
+
+    # differentiable sequence log-lik of every hypothesis under the model
+    nll = jax.vmap(
+        lambda h, hl: ctc_loss(log_probs, frame_lens, h, hl),
+        in_axes=(1, 1), out_axes=1)(hyp, hyp_lens)  # (B, K)
+    logp = jnp.where(live & (nll < 0.5e30), -nll, -jnp.inf)
+    w = jax.nn.softmax(logp, axis=1)  # renormalized over the n-best
+
+    cer = jax.lax.stop_gradient(jax.vmap(
+        lambda h, hl: cer_from_ids(labels, label_lens, h, hl),
+        in_axes=(1, 1), out_axes=1)(hyp, hyp_lens))  # (B, K)
+    cer = jnp.where(live, cer, 0.0)
+    cer_bar = jnp.sum(w * cer, axis=1, keepdims=True)
+    utt_loss = jnp.sum(w * (cer - cer_bar), axis=1)  # (B,)
+
+    valid = (label_lens > 0) & (jnp.sum(mask, 1) > 0) & jnp.any(
+        jnp.isfinite(logp), axis=1)
+    num = jnp.sum(jnp.where(valid, utt_loss, 0.0))
+    den = jnp.sum(valid.astype(jnp.float32))
+    expected_cer = (jnp.sum(jnp.where(valid, cer_bar[:, 0], 0.0))
+                    / jnp.maximum(den, 1.0))
+    metrics = {
+        "expected_cer": expected_cer,
+        # the reward analogue the finetune_pg driver logs/curves
+        "reward_mean": -expected_cer,
+        "oracle_cer": jnp.sum(jnp.where(
+            valid, jnp.min(jnp.where(live, cer, jnp.inf), axis=1), 0.0))
+        / jnp.maximum(den, 1.0),
+        "nbest_live": jnp.mean(jnp.sum(live.astype(jnp.float32), axis=1)),
+    }
+    return num, den, metrics
+
+
 def pg_loss_terms(params, wave, num_samples_arr, labels, label_lens, rng,
                   cfg: Config):
     """PG loss as (numerators, denominators, metrics). Each loss component
@@ -94,6 +144,24 @@ def pg_loss_terms(params, wave, num_samples_arr, labels, label_lens, rng,
     log_probs, mask, frame_lens = acoustic_forward(params, feats, fmask,
                                                    flens, cfg, train=False)
     B, T, A = log_probs.shape
+
+    if rl.objective == "mwer":
+        pg_num, pg_den, mwer_metrics = _mwer_terms(
+            log_probs, mask, frame_lens, labels, label_lens, rl)
+        ent_num = jnp.sum(-jnp.sum(jnp.exp(log_probs) * log_probs, -1) * mask)
+        ent_den = jnp.sum(mask)
+        from ..ops.ctc import ctc_loss_terms
+
+        ctc_num, ctc_den = ctc_loss_terms(log_probs, frame_lens, labels,
+                                          label_lens)
+        nums = {"pg": pg_num, "ent": ent_num, "ctc": ctc_num}
+        dens = {"pg": pg_den, "ent": ent_den, "ctc": ctc_den}
+        metrics = dict(mwer_metrics,
+                       entropy=ent_num / jnp.maximum(ent_den, 1.0))
+        return nums, dens, metrics
+    if rl.objective != "reinforce":
+        raise ValueError(f"unknown rl.objective {rl.objective!r} "
+                         "(supported: reinforce, mwer)")
 
     paths = _sample_paths(rng, jax.lax.stop_gradient(log_probs),
                           rl.num_samples, rl.temperature)  # (S, B, T)
