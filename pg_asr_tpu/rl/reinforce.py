@@ -98,7 +98,11 @@ def _mwer_terms(log_probs, mask, frame_lens, labels, label_lens, rl):
         lambda h, hl: ctc_loss(log_probs, frame_lens, h, hl),
         in_axes=(1, 1), out_axes=1)(hyp, hyp_lens)  # (B, K)
     logp = jnp.where(live & (nll < 0.5e30), -nll, -jnp.inf)
-    w = jax.nn.softmax(logp, axis=1)  # renormalized over the n-best
+    # all-dead rows (excluded by `valid` below) would make softmax emit
+    # nan AND poison the backward pass through the 0-cotangent (0 * nan);
+    # substitute a finite row before the softmax (double-where discipline)
+    row_ok = jnp.any(jnp.isfinite(logp), axis=1, keepdims=True)
+    w = jax.nn.softmax(jnp.where(row_ok, logp, 0.0), axis=1)
 
     cer = jax.lax.stop_gradient(jax.vmap(
         lambda h, hl: cer_from_ids(labels, label_lens, h, hl),

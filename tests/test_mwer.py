@@ -193,6 +193,25 @@ def test_finetune_pg_mwer_end_to_end(tmp_path):
     assert all(-1.5 <= r <= 0.0 for r in out["rewards"])  # -expected_cer
 
 
+def test_mwer_grads_finite_with_ragged_padding_rows():
+    """A zero-frame padding row (SPMD ragged batches) must not poison the
+    backward pass through the n-best softmax (double-where regression)."""
+    from pg_asr_tpu.rl.reinforce import pg_loss_fn
+    from pg_asr_tpu.train import init_model_params
+
+    cfg = _mwer_cfg()
+    params = init_model_params(jax.random.PRNGKey(0), cfg)
+    wave, ns, labels, label_lens = _toy_batch(cfg, B=3)
+    ns = ns.at[1].set(0)  # padding row: no frames
+    labels = labels.at[1].set(0)
+    label_lens = label_lens.at[1].set(0)
+    (loss, _), grads = jax.value_and_grad(pg_loss_fn, has_aux=True)(
+        params, wave, ns, labels, label_lens, jax.random.PRNGKey(0), cfg)
+    assert np.isfinite(float(loss))
+    assert all(np.all(np.isfinite(np.asarray(g)))
+               for g in jax.tree_util.tree_leaves(grads))
+
+
 def test_unknown_objective_rejected():
     from pg_asr_tpu.rl.reinforce import pg_loss_fn
     from pg_asr_tpu.train import init_model_params
