@@ -157,6 +157,17 @@ def build_parser() -> argparse.ArgumentParser:
                    help="train: rematerialize attention-family encoder "
                         "blocks in the backward pass (less activation "
                         "memory, ~1/3 extra FLOPs)")
+    p.add_argument("--speed_perturb", type=str, default=None,
+                   metavar="MIN,MAX",
+                   help="train: per-utterance speed perturbation factor "
+                        "range, e.g. 0.9,1.1 (on-device resample; implies "
+                        "augmentation enabled)")
+    p.add_argument("--wave_noise", type=float, default=None,
+                   help="train: additive white-noise std relative to each "
+                        "utterance's RMS (implies augmentation enabled)")
+    p.add_argument("--wave_gain_db", type=float, default=None,
+                   help="train: random per-utterance gain in [-g, +g] dB "
+                        "(implies augmentation enabled)")
     p.add_argument("--specaugment", action="store_true",
                    help="train: enable on-device SpecAugment time/frequency "
                         "masking (Config.augment for widths/counts)")
@@ -231,6 +242,31 @@ def _config(args, from_model_path: bool = False):
     if getattr(args, "specaugment", False):
         cfg = cfg.replace(augment=cfg.augment.__class__(
             **{**cfg.augment.__dict__, "enabled": True}))
+    aug_kw = {}
+    if getattr(args, "speed_perturb", None):
+        try:
+            lo, hi = (float(x) for x in args.speed_perturb.split(","))
+        except ValueError:
+            raise SystemExit("--speed_perturb expects MIN,MAX (e.g. 0.9,1.1)")
+        if not (0.5 <= lo <= hi <= 2.0):
+            raise SystemExit("--speed_perturb factors must satisfy "
+                             "0.5 <= MIN <= MAX <= 2.0")
+        aug_kw.update(speed_min=lo, speed_max=hi)
+    if getattr(args, "wave_noise", None) is not None:
+        if args.wave_noise < 0:
+            raise SystemExit("--wave_noise must be >= 0")
+        aug_kw["noise_std"] = args.wave_noise
+    if getattr(args, "wave_gain_db", None) is not None:
+        if args.wave_gain_db < 0:
+            raise SystemExit("--wave_gain_db must be >= 0")
+        aug_kw["gain_db"] = args.wave_gain_db
+    if aug_kw:
+        # waveform augmentation implies the augment section is live; the
+        # SpecAugment feature masks stay off unless --specaugment was given
+        if not getattr(args, "specaugment", False):
+            aug_kw.update(time_masks=0, freq_masks=0)
+        cfg = cfg.replace(augment=cfg.augment.__class__(
+            **{**cfg.augment.__dict__, "enabled": True, **aug_kw}))
     if getattr(args, "pg_objective", None):
         cfg = cfg.replace(rl=cfg.rl.__class__(
             **{**cfg.rl.__dict__, "objective": args.pg_objective}))

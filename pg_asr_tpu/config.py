@@ -89,6 +89,12 @@ class SpecAugmentConfig:
     time_width: int = 40  # max frames per time mask
     freq_masks: int = 2
     freq_width: int = 15  # max channels per frequency mask
+    # waveform-level augmentation (ops/augment.wave_augment, applied before
+    # the on-device frontend when `enabled`); all off at these defaults
+    speed_min: float = 1.0  # per-utterance resample factor ~ U[min, max]
+    speed_max: float = 1.0  # Kaldi-style 0.9/1.1 typical
+    noise_std: float = 0.0  # additive white noise, std relative to RMS
+    gain_db: float = 0.0  # per-utterance gain ~ U[-g, +g] dB
 
 
 @dataclass(frozen=True)

@@ -89,12 +89,20 @@ def compute_loss(params, wave, num_samples, labels, label_lens, cfg: Config,
                  train: bool, dropout_rng=None, terms: bool = False):
     """Scalar loss (terms=False) or (numerator, denominator) arrays
     (terms=True — same-shaped, for SPMD psum reduction of ragged batches)."""
+    aug = cfg.augment
+    wave_aug = aug.enabled and (aug.speed_min != 1.0 or aug.speed_max != 1.0
+                                or aug.noise_std > 0.0 or aug.gain_db > 0.0)
+    if train and wave_aug and dropout_rng is not None:
+        from .ops.augment import wave_augment
+
+        dropout_rng, wa_rng = jax.random.split(dropout_rng)
+        wave, num_samples = wave_augment(wave, num_samples, wa_rng, aug)
     feats, mask, frame_lens = extract_features(wave, num_samples, cfg.features)
-    if train and cfg.augment.enabled and dropout_rng is not None:
+    if train and aug.enabled and dropout_rng is not None:
         from .ops.augment import spec_augment
 
         dropout_rng, sa_rng = jax.random.split(dropout_rng)
-        feats = spec_augment(feats, mask, sa_rng, cfg.augment)
+        feats = spec_augment(feats, mask, sa_rng, aug)
     if cfg.model.family == "seq2seq":
         from .losses import seq2seq_nll_loss, seq2seq_nll_terms
         from .models import seq2seq
