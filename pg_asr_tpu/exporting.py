@@ -25,7 +25,6 @@ from __future__ import annotations
 
 import json
 import os
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -128,8 +127,19 @@ def export_model(model_path: str, corpus_path: str | None = None,
     cfg_path = os.path.join(model_path, "config.json")
     cfg = Config.from_json(open(cfg_path).read()) if os.path.exists(cfg_path) else Config()
     tok_root = corpus_path or model_path
-    alphabet = load_tokenizer(tok_root, cfg.text.units)
+    try:
+        alphabet = load_tokenizer(tok_root, cfg.text.units)
+    except FileNotFoundError as e:
+        if not corpus_path:
+            raise FileNotFoundError(
+                f"{e} — tokenizer artifacts (alphabet.txt / bpe.vocab) live "
+                "in the CORPUS dir, not the model dir; pass --corpus_path")
+        raise
     params, cfg = load_model(model_path, alphabet, config=cfg, which=which)
+    if decoder == "beam" and beam_size <= 1:
+        # match predict's fallback (predict.py) so --decoder beam without
+        # --beam_size exports an actual beam artifact, not a silent greedy
+        beam_size = cfg.decode.beam_size
 
     fn = make_serving_fn(params, cfg, decoder=decoder, beam_size=beam_size,
                          quantize=quantize)

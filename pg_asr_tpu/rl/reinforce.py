@@ -81,8 +81,11 @@ def _mwer_terms(log_probs, mask, frame_lens, labels, label_lens, rl):
     ASR): decode K distinct hypotheses with the prefix beam, score each
     with its DIFFERENTIABLE sequence log-likelihood log P(h|x) (the CTC
     forward DP), renormalize over the list, and minimize
-    sum_k w_k * (CER_k - CER_bar). The baseline subtraction changes no
-    gradient (sum_k grad w_k = 0) but keeps the reported loss centered."""
+    sum_k w_k * (CER_k - sg(CER_bar)). The baseline MUST be
+    stop-gradiented: since sum_k w_k == 1 exactly, a differentiable
+    CER_bar = sum w*CER makes the loss identically zero (L = CER_bar -
+    CER_bar) with identically-zero gradients — measured grad norm ~1e-6
+    cancellation noise vs O(0.1) with the guard (caught in review)."""
     from ..decoding.beam import beam_decode_nbest
     from ..ops.ctc import ctc_loss
     from ..ops.edit_distance import cer_from_ids
@@ -108,7 +111,7 @@ def _mwer_terms(log_probs, mask, frame_lens, labels, label_lens, rl):
         lambda h, hl: cer_from_ids(labels, label_lens, h, hl),
         in_axes=(1, 1), out_axes=1)(hyp, hyp_lens))  # (B, K)
     cer = jnp.where(live, cer, 0.0)
-    cer_bar = jnp.sum(w * cer, axis=1, keepdims=True)
+    cer_bar = jax.lax.stop_gradient(jnp.sum(w * cer, axis=1, keepdims=True))
     utt_loss = jnp.sum(w * (cer - cer_bar), axis=1)  # (B,)
 
     valid = (label_lens > 0) & (jnp.sum(mask, 1) > 0) & jnp.any(
@@ -150,19 +153,10 @@ def pg_loss_terms(params, wave, num_samples_arr, labels, label_lens, rng,
     B, T, A = log_probs.shape
 
     if rl.objective == "mwer":
-        pg_num, pg_den, mwer_metrics = _mwer_terms(
+        pg_num, pg_den, obj_metrics = _mwer_terms(
             log_probs, mask, frame_lens, labels, label_lens, rl)
-        ent_num = jnp.sum(-jnp.sum(jnp.exp(log_probs) * log_probs, -1) * mask)
-        ent_den = jnp.sum(mask)
-        from ..ops.ctc import ctc_loss_terms
-
-        ctc_num, ctc_den = ctc_loss_terms(log_probs, frame_lens, labels,
-                                          label_lens)
-        nums = {"pg": pg_num, "ent": ent_num, "ctc": ctc_num}
-        dens = {"pg": pg_den, "ent": ent_den, "ctc": ctc_den}
-        metrics = dict(mwer_metrics,
-                       entropy=ent_num / jnp.maximum(ent_den, 1.0))
-        return nums, dens, metrics
+        return _shared_terms(pg_num, pg_den, obj_metrics, log_probs, mask,
+                             frame_lens, labels, label_lens)
     if rl.objective != "reinforce":
         raise ValueError(f"unknown rl.objective {rl.objective!r} "
                          "(supported: reinforce, mwer)")
@@ -202,7 +196,19 @@ def pg_loss_terms(params, wave, num_samples_arr, labels, label_lens, rng,
         pg_den = jnp.asarray(float(rl.num_samples)) * jnp.sum(
             (jnp.sum(mask, 1) > 0).astype(jnp.float32))
 
-    # entropy bonus over valid frames (keeps the policy from collapsing)
+    obj_metrics = {
+        "reward_mean": jnp.mean(R),
+        "baseline_mean": jnp.mean(base),
+        "advantage_mean": jnp.mean(R - base),
+    }
+    return _shared_terms(pg_num, pg_den, obj_metrics, log_probs, mask,
+                         frame_lens, labels, label_lens)
+
+
+def _shared_terms(pg_num, pg_den, obj_metrics, log_probs, mask, frame_lens,
+                  labels, label_lens):
+    """Entropy bonus + supervised CTC anchor, shared by every objective."""
+    # entropy over valid frames (keeps the policy from collapsing)
     ent_num = jnp.sum(-jnp.sum(jnp.exp(log_probs) * log_probs, -1) * mask)
     ent_den = jnp.sum(mask)
 
@@ -212,12 +218,7 @@ def pg_loss_terms(params, wave, num_samples_arr, labels, label_lens, rng,
 
     nums = {"pg": pg_num, "ent": ent_num, "ctc": ctc_num}
     dens = {"pg": pg_den, "ent": ent_den, "ctc": ctc_den}
-    metrics = {
-        "reward_mean": jnp.mean(R),
-        "baseline_mean": jnp.mean(base),
-        "advantage_mean": jnp.mean(R - base),
-        "entropy": ent_num / jnp.maximum(ent_den, 1.0),
-    }
+    metrics = dict(obj_metrics, entropy=ent_num / jnp.maximum(ent_den, 1.0))
     return nums, dens, metrics
 
 

@@ -135,15 +135,22 @@ def test_mwer_step_reduces_expected_cer():
             pg_loss_fn, has_aux=True)(p, wave, ns, labels, label_lens,
                                       rng, cfg)
         updates, o = opt.update(grads, o, p)
-        return optax.apply_updates(p, updates), o, metrics
+        gnorm = optax.global_norm(grads)
+        return optax.apply_updates(p, updates), o, metrics, gnorm
 
-    _, _, m0 = step(params, opt_state)
+    _, _, m0, gnorm0 = step(params, opt_state)
+    # regression guard for the identically-zero-gradient form (a
+    # differentiable baseline makes sum w_k (cer_k - cer_bar) == 0): the
+    # pure-MWER gradient must be a real training signal, not float noise
+    assert float(gnorm0) > 1e-3, f"MWER gradient collapsed: {float(gnorm0)}"
     before = float(m0["expected_cer"])
     for _ in range(12):
-        params, opt_state, m = step(params, opt_state)
+        params, opt_state, m, _ = step(params, opt_state)
     after = float(m["expected_cer"])
     assert np.isfinite(before) and np.isfinite(after)
-    assert after < before  # discriminative objective does its job
+    # demand a MEANINGFUL drop (numerical drift of a no-op objective is
+    # orders of magnitude below this)
+    assert after < before - 0.02, (before, after)
     assert float(m["oracle_cer"]) <= after + 1e-6
 
 
