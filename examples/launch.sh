@@ -53,3 +53,28 @@ python main.py --mode predict --corpus_path "$CORPUS" --model_path "$MODEL" \
 # LibriSpeech tree -> corpus manifests
 # python main.py --mode preproc --librispeech_root /data/LibriSpeech \
 #     --corpus_path /data/ls-corpus
+
+# migrate a reference-repo torch checkpoint (model_best.pth) into a warm
+# start; the reference consumed 120-dim MFCC features, so match with
+# --features mfcc (models/torch_import.py maps Linear/BiLSTM/embedding
+# tensors exactly; heads the reference never built stay fresh)
+python main.py --mode train --corpus_path "$CORPUS" --model_path "$MODEL.mig" \
+    --features mfcc --init_from_torch /path/to/model_best.pth \
+    --num_epochs 5 --batch_size 32
+
+# waveform + SpecAugment train-time augmentation (all on-device)
+python main.py --mode train --corpus_path "$CORPUS" --model_path "$MODEL.aug" \
+    --specaugment --speed_perturb 0.9,1.1 --wave_noise 0.1 --wave_gain_db 3 \
+    --num_epochs 10 --batch_size 32
+
+# MWER discriminative fine-tuning over the on-device 8-best (the
+# production alternative to REINFORCE; same driver + checkpoints)
+python main.py --mode finetune_pg --corpus_path "$CORPUS" --model_path "$MODEL" \
+    --pg_objective mwer --mwer_beam 8 --pg_steps 500 --batch_size 32
+
+# deployment export: one self-contained StableHLO artifact (weights baked
+# in; loadable via jax.export.deserialize with no pg_asr_tpu dependency),
+# optionally weight-only int8 (~4x smaller file)
+python main.py --mode export --corpus_path "$CORPUS" --model_path "$MODEL" \
+    --export_batch 8 --export_seconds 20 --export_platforms cpu,tpu \
+    --export_quantize int8
