@@ -11,13 +11,17 @@ phonetic (audio encodes the transcript per-character) so the delta
 measures real learning, not memorization. Full numbers: docs/PERF.md
 "Policy-gradient fine-tuning improves CER on hardware".
 
-Run: python examples/pg_improves_cer.py [workdir]
+Run: python examples/pg_improves_cer.py [workdir] [objective]
+objective = "reinforce" (default) or "mwer" (expected-CER over the
+on-device n-best, --pg_objective mwer equivalent).
 """
 
 import json
 import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pg_asr_tpu.config import Config, FeatureConfig, ModelConfig, TrainConfig
 from pg_asr_tpu.data.dataset import make_phonetic_corpus
@@ -30,6 +34,7 @@ from pg_asr_tpu.utils.cache import enable_persistent_compilation_cache
 def main() -> int:
     enable_persistent_compilation_cache()
     work = sys.argv[1] if len(sys.argv) > 1 else "/tmp/pg_demo"
+    objective = sys.argv[2] if len(sys.argv) > 2 else "reinforce"
     corpus = os.path.join(work, "corpus")
     model = os.path.join(work, "model")
     if not os.path.exists(os.path.join(corpus, "train.tsv")):
@@ -44,6 +49,9 @@ def main() -> int:
                           warmup_steps=50, log_every=10000,
                           prefetch_depth=0),
     )
+    if objective != "reinforce":
+        cfg = cfg.replace(rl=cfg.rl.__class__(
+            **{**cfg.rl.__dict__, "objective": objective, "mwer_beam": 8}))
 
     t0 = time.time()
     train(corpus, model, config=cfg, resume=False)
@@ -61,6 +69,7 @@ def main() -> int:
     print(json.dumps({
         "cer_before": before["cer"], "wer_before": before["wer"],
         "cer_after": after["cer"], "wer_after": after["wer"],
+        "objective": objective,
         "train_s": round(t_train, 1), "pg_s": round(t_pg, 1)}))
     return 0
 

@@ -204,7 +204,13 @@ def _decode_one(log_probs, frame_len, *, K: int, A: int, Lmax: int, blank: int):
 # is tested, and the buffer path remains available via impl="buffer".
 # ---------------------------------------------------------------------------
 
-_HASH_M = jnp.int32(1000003)
+# plain Python int, NOT jnp.int32: a module-level jax array would be
+# created UNDER an active trace when this module is first imported from
+# inside a traced function (rl/reinforce._mwer_terms does a lazy import),
+# permanently binding a leaked tracer that every later trace then captures
+# as a phantom lowering input ("Computation compiled for N+1 inputs but
+# called with N"). int32 * python-int keeps int32 wraparound semantics.
+_HASH_M = 1000003
 
 
 def _step_hash(state, lp, top_lp, top_sym, *, K: int, M: int, Lmax: int,

@@ -152,7 +152,10 @@ def transducer_greedy_decode(params: dict, enc: jnp.ndarray,
 # share a state, so merging never mixes states. Frames at t >= out_len pass
 # the state through unchanged.
 
-_HASH_M = jnp.int32(1_000_003)
+# plain Python int, NOT jnp.int32 — see decoding/beam.py:_HASH_M (a
+# module-level jax array binds a leaked tracer when the module is first
+# imported inside a traced function)
+_HASH_M = 1_000_003
 
 
 def _merge_pool(scores, hashes, lens, alive):

@@ -24,7 +24,10 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-BIG = jnp.int32(1 << 20)
+# plain Python int, NOT jnp.int32 — a module-level jax array binds a
+# leaked tracer if this module's first import happens inside a traced
+# function (see decoding/beam.py:_HASH_M); int32 math semantics unchanged
+BIG = 1 << 20
 
 
 def _row_scan(ref: jnp.ndarray, ref_len: jnp.ndarray,

@@ -347,7 +347,8 @@ def finetune_pg(corpus_path: str, model_path: str, num_steps: int = 200,
     while step < num_steps:
         for batch in it:
             arrays = shard_batch_arrays(
-                (batch.wave, batch.num_samples, batch.labels, batch.label_lens), mesh)
+                (batch.wave, batch.num_samples, batch.labels,
+                 batch.label_lens), mesh)
             params, opt_state, rng, loss, metrics = pg_step(
                 params, opt_state, rng, *arrays)
             if use_ema:
