@@ -136,6 +136,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "checkpoint exists — migration path for reference "
                         "users (families: ctc/transducer/seq2seq; train "
                         "with --features mfcc to match the 120-dim input)")
+    p.add_argument("--trust_torch_pickle", action="store_true",
+                   help="init_from_torch: allow full unpickling when the "
+                        "safe weights_only load fails (pickled nn.Module "
+                        "checkpoints) — executes code embedded in the "
+                        "file, use ONLY for trusted sources")
     p.add_argument("--pg_steps", type=int, default=200,
                    help="finetune_pg: number of fine-tune steps")
     p.add_argument("--pg_objective", type=str, default=None,
@@ -298,6 +303,8 @@ def _config(args, from_model_path: bool = False):
         tr["cache_audio_mb"] = args.cache_audio_mb
     if getattr(args, "init_from_torch", None):
         tr["init_from_torch"] = args.init_from_torch
+    if getattr(args, "trust_torch_pickle", False):
+        tr["trust_torch_pickle"] = True
     if getattr(args, "mesh", None):
         from .parallel.driver import parse_mesh_spec
 

@@ -241,6 +241,10 @@ class TrainConfig:
     # from when no pg_asr_tpu checkpoint exists (models/torch_import.py) —
     # the migration path for reference users' trained models
     init_from_torch: str = ""
+    # allow full (arbitrary-code) unpickling of init_from_torch when the
+    # safe weights_only load fails — ONLY for checkpoints from trusted
+    # sources (torch.save(model, ...) pickles whole modules)
+    trust_torch_pickle: bool = False
     max_frames: int = 1600  # padded-length cap (frames)
     max_label_len: int = 256
     bucket_frame_quantum: int = 128  # pad T up to a multiple -> few jit shapes

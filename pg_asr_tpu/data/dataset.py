@@ -204,7 +204,12 @@ class BatchIterator:
                 # linear resample (native C++ when available; np.interp
                 # fallback — identical semantics). Heavy corpora should
                 # still be resampled offline.
-                n_out = int(round(len(w) * self.sample_rate / sr))
+                # +0.5 truncation, NOT round() (half-to-even): must match
+                # the native resampler's output-length arithmetic exactly
+                # (native/pgasr_io.cpp) or the header-only probe in
+                # _ensure_len can under-count by one sample on exact-tie
+                # lengths and silently clip the last sample
+                n_out = int(len(w) * self.sample_rate / sr + 0.5)
                 w = _resample_linear(w, n_out)
             if self.max_samples:
                 w = w[: self.max_samples]
@@ -280,7 +285,10 @@ class BatchIterator:
                     if native_io.native_available():
                         sr, n = native_io.wav_info(u.audio_path)
                         if sr != self.sample_rate:
-                            n = int(round(n * self.sample_rate / sr))
+                            # same +0.5 truncation as the resamplers (native
+                            # and Python): the probe must equal the decoded
+                            # post-resample length exactly
+                            n = int(n * self.sample_rate / sr + 0.5)
                         if self.max_samples:
                             n = min(n, self.max_samples)
                         u.num_samples = max(int(n), 0)
@@ -420,8 +428,18 @@ class PrefetchIterator:
                 yield item
         finally:
             # breaking out of the epoch mid-stream: unblock + end the
-            # producer so queued (device-staged) batches are released
+            # producer, then drain the queue and join so queued
+            # (device-staged) batches are released DETERMINISTICALLY before
+            # a restarted epoch spawns its producer — otherwise up to
+            # `depth` device buffers linger until GC alongside the new
+            # epoch's staging
             stop.set()
+            t.join(timeout=5.0)
+            try:
+                while True:
+                    q.get_nowait()
+            except queue.Empty:
+                pass
 
 
 # ---------------------------------------------------------------------------

@@ -43,16 +43,33 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def load_torch_state_dict(path: str) -> dict[str, np.ndarray]:
+def load_torch_state_dict(path: str,
+                          allow_pickle: bool = False) -> dict[str, np.ndarray]:
     """Read a reference checkpoint into {name: float32 ndarray}.
 
     Accepts either a raw state_dict (what the reference's fixed-up train
-    saves) or a pickled nn.Module (what `torch.save(model, ...)` produces);
-    strips the DataParallel `module.` prefix.
+    saves) or — only with allow_pickle=True — a pickled nn.Module (what
+    `torch.save(model, ...)` produces); strips the DataParallel `module.`
+    prefix.
+
+    Security: loads with weights_only=True by default, which rejects
+    arbitrary pickled objects. Full unpickling executes arbitrary code
+    embedded in the file, so a third-party .pth must only be loaded with
+    allow_pickle=True if its source is trusted (CLI: --trust_torch_pickle).
     """
     import torch
 
-    obj = torch.load(path, map_location="cpu", weights_only=False)
+    try:
+        obj = torch.load(path, map_location="cpu", weights_only=True)
+    except Exception as e:
+        if not allow_pickle:
+            raise ValueError(
+                f"{path!r} is not a plain-tensor checkpoint "
+                "(weights_only load failed). If it is a pickled nn.Module "
+                "from a TRUSTED source, re-run with allow_pickle=True "
+                "(CLI: --trust_torch_pickle); unpickling an untrusted file "
+                f"executes arbitrary code. Original error: {e}") from e
+        obj = torch.load(path, map_location="cpu", weights_only=False)
     if hasattr(obj, "state_dict") and callable(obj.state_dict):
         obj = obj.state_dict()
     if not isinstance(obj, dict):
@@ -128,7 +145,8 @@ def import_encoder(sd: dict, enc_params: dict, used: set,
     return out
 
 
-def init_from_torch_checkpoint(path: str, params: dict, cfg: Any
+def init_from_torch_checkpoint(path: str, params: dict, cfg: Any,
+                               allow_pickle: bool = False
                                ) -> tuple[dict, str]:
     """Warm-start `params` (a fresh init for cfg.model.family) from a
     reference torch checkpoint. Returns (new_params, report string).
@@ -145,7 +163,7 @@ def init_from_torch_checkpoint(path: str, params: dict, cfg: Any
     counterpart in the reference and are refused.
     """
     family = cfg.model.family
-    sd = load_torch_state_dict(path)
+    sd = load_torch_state_dict(path, allow_pickle=allow_pickle)
     used: set[str] = set()
     new = dict(params)
     fresh: list[str] = []

@@ -596,7 +596,8 @@ def train(corpus_path: str, model_path: str, num_epochs: int | None = None,
         from .models.torch_import import init_from_torch_checkpoint
 
         params, report = init_from_torch_checkpoint(
-            cfg.train.init_from_torch, params, cfg)
+            cfg.train.init_from_torch, params, cfg,
+            allow_pickle=cfg.train.trust_torch_pickle)
         opt_state = optimizer.init(params)
         if use_ema:
             ema_params = jax.tree_util.tree_map(

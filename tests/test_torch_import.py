@@ -189,7 +189,12 @@ def test_dataparallel_prefix_and_pickled_module(tmp_path):
 
     p2 = str(tmp_path / "module.pth")
     torch.save(ref, p2)
-    sd2 = load_torch_state_dict(p2)
+    # pickled modules are rejected by default (weights_only safety) ...
+    import pytest
+    with pytest.raises(ValueError, match="trust_torch_pickle"):
+        load_torch_state_dict(p2)
+    # ... and load only behind the explicit opt-in
+    sd2 = load_torch_state_dict(p2, allow_pickle=True)
     assert set(sd1) == set(sd2)
     np.testing.assert_array_equal(sd1["encoder.input_layer.weight"],
                                   sd2["encoder.input_layer.weight"])
