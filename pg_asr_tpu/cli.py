@@ -151,6 +151,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mwer_beam", type=int, default=None,
                    help="finetune_pg: n-best width K for --pg_objective "
                         "mwer (default 4)")
+    p.add_argument("--pg_reward", type=str, default=None,
+                   choices=["neg_cer", "neg_wer", "stepwise_ed"],
+                   help="finetune_pg: reward granularity — negative CER, "
+                        "negative WER (on-chip word segmentation, the "
+                        "north-star reward), or the reference's per-step "
+                        "edit-distance deltas")
     p.add_argument("--profile_steps", type=int, default=0,
                    help="train: capture a device trace of N steady-state "
                         "steps to <model_path>/trace (TensorBoard/xprof)")
@@ -280,6 +286,9 @@ def _config(args, from_model_path: bool = False):
             raise SystemExit("--mwer_beam must be >= 2")
         cfg = cfg.replace(rl=cfg.rl.__class__(
             **{**cfg.rl.__dict__, "mwer_beam": args.mwer_beam}))
+    if getattr(args, "pg_reward", None):
+        cfg = cfg.replace(rl=cfg.rl.__class__(
+            **{**cfg.rl.__dict__, "reward": args.pg_reward}))
     tr = dict(cfg.train.__dict__)
     tr["num_epochs"] = args.num_epochs
     tr["batch_size"] = args.batch_size

@@ -200,6 +200,9 @@ class RLConfig:
     entropy_weight: float = 0.01
     ctc_mix_weight: float = 0.1  # supervised CTC anchor mixed into the PG loss
     reward: str = "neg_cer"  # "neg_cer" | "neg_wer" | "stepwise_ed" (reference parity)
+    # alphabet id of " " — required by reward="neg_wer" (word segmentation
+    # on-chip); finetune_pg resolves it from the loaded alphabet
+    space_id: int = -1
     # "reinforce" (sampled alignment paths, the reference's sketched loop) |
     # "mwer" (expected CER over the on-device K-best list, renormalized
     # posteriors — the standard production discriminative objective)

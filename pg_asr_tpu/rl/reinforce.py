@@ -48,7 +48,8 @@ def _sample_paths(rng, log_probs, num_samples: int, temperature: float):
     return jax.vmap(lambda k: jax.random.categorical(k, logits))(keys)
 
 
-def _path_rewards(paths, frame_mask, labels, label_lens, kind: str):
+def _path_rewards(paths, frame_mask, labels, label_lens, kind: str,
+                  space_id: int = -1):
     """Collapse sampled paths and score them. paths: (S, B, T).
     Returns (R (S,B), frame_r (S,B,T) or None, hyp_lens (S,B))."""
     S, B, T = paths.shape
@@ -71,7 +72,7 @@ def _path_rewards(paths, frame_mask, labels, label_lens, kind: str):
                 jnp.maximum(ref_lens.astype(jnp.float32), 1.0).reshape(S, B, 1),
                 hyp_lens.reshape(S, B))
 
-    R = sequence_reward(ref, ref_lens, hyp, hyp_lens)  # (S*B,) = -CER
+    R = sequence_reward(ref, ref_lens, hyp, hyp_lens, kind, space_id)
     return R.reshape(S, B), None, hyp_lens.reshape(S, B)
 
 
@@ -88,7 +89,15 @@ def _mwer_terms(log_probs, mask, frame_lens, labels, label_lens, rl):
     cancellation noise vs O(0.1) with the guard (caught in review)."""
     from ..decoding.beam import beam_decode_nbest
     from ..ops.ctc import ctc_loss
-    from ..ops.edit_distance import cer_from_ids
+    from ..ops.edit_distance import cer_from_ids, wer_from_ids
+
+    # risk granularity follows rl.reward: CER (default) or word-level WER
+    if rl.reward == "neg_wer":
+        def risk_fn(h, hl):
+            return wer_from_ids(labels, label_lens, h, hl, rl.space_id)
+    else:
+        def risk_fn(h, hl):
+            return cer_from_ids(labels, label_lens, h, hl)
 
     K = rl.mwer_beam
     hyp, hyp_lens, dec_nll = beam_decode_nbest(
@@ -108,8 +117,7 @@ def _mwer_terms(log_probs, mask, frame_lens, labels, label_lens, rl):
     w = jax.nn.softmax(jnp.where(row_ok, logp, 0.0), axis=1)
 
     cer = jax.lax.stop_gradient(jax.vmap(
-        lambda h, hl: cer_from_ids(labels, label_lens, h, hl),
-        in_axes=(1, 1), out_axes=1)(hyp, hyp_lens))  # (B, K)
+        risk_fn, in_axes=(1, 1), out_axes=1)(hyp, hyp_lens))  # (B, K)
     cer = jnp.where(live, cer, 0.0)
     cer_bar = jax.lax.stop_gradient(jnp.sum(w * cer, axis=1, keepdims=True))
     utt_loss = jnp.sum(w * (cer - cer_bar), axis=1)  # (B,)
@@ -163,13 +171,17 @@ def pg_loss_terms(params, wave, num_samples_arr, labels, label_lens, rng,
 
     paths = _sample_paths(rng, jax.lax.stop_gradient(log_probs),
                           rl.num_samples, rl.temperature)  # (S, B, T)
-    R, frame_r, _ = _path_rewards(paths, mask, labels, label_lens, rl.reward)
+    R, frame_r, _ = _path_rewards(paths, mask, labels, label_lens, rl.reward,
+                                  rl.space_id)
     R = jax.lax.stop_gradient(R)
 
     # baseline (row-local: greedy self-critic or mean over the S samples)
     if rl.baseline == "greedy":
         greedy_ids, greedy_lens = greedy_decode(log_probs, mask)
-        base = sequence_reward(labels, label_lens, greedy_ids, greedy_lens)  # (B,)
+        # self-critic MUST score with the same reward kind as the samples
+        base_kind = rl.reward if rl.reward != "stepwise_ed" else "neg_cer"
+        base = sequence_reward(labels, label_lens, greedy_ids, greedy_lens,
+                               base_kind, rl.space_id)  # (B,)
         base = jax.lax.stop_gradient(base)[None, :]
     elif rl.baseline == "mean":
         base = jnp.mean(R, axis=0, keepdims=True)
@@ -302,6 +314,16 @@ def finetune_pg(corpus_path: str, model_path: str, num_steps: int = 200,
 
     alphabet = load_tokenizer(corpus_path, cfg.text.units)
     params, cfg = load_model(model_path, alphabet, cfg, which="best")
+
+    # resolve the word delimiter for WER-granularity rewards (neg_wer)
+    import dataclasses
+
+    space_id = alphabet.char2ind.get(" ", -1)
+    cfg = cfg.replace(rl=dataclasses.replace(cfg.rl, space_id=space_id))
+    if cfg.rl.reward == "neg_wer" and space_id < 0:
+        raise ValueError(
+            "--pg_reward neg_wer needs an alphabet with a space symbol "
+            "(character units); this corpus/tokenizer has none")
 
     # multi-host: same per-host manifest sharding discipline as train() —
     # each process feeds only its rows; num_steps counts GLOBAL steps, so

@@ -17,11 +17,27 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..ops.edit_distance import edit_distance, edit_distance_prefixes
+from ..ops.edit_distance import (edit_distance, edit_distance_prefixes,
+                                 wer_from_ids)
 
 
-def sequence_reward(ref, ref_lens, hyp, hyp_lens) -> jnp.ndarray:
-    """(B,) reward = negative CER (reference-length normalized)."""
+def sequence_reward(ref, ref_lens, hyp, hyp_lens, kind: str = "neg_cer",
+                    space_id: int = -1) -> jnp.ndarray:
+    """(B,) sequence-level reward.
+
+    kind="neg_cer": -ED/len(ref) at character granularity.
+    kind="neg_wer": -word-ED/ref-word-count — the BASELINE north star's
+      reward granularity ("sampled CTC paths scored by negative-WER
+      rewards"), computed fully on-chip via the word-hash DP
+      (ops/edit_distance.wer_from_ids; host contract reference
+      metrics.py:27-30). Requires the alphabet's space id.
+    """
+    if kind == "neg_wer":
+        if space_id < 0:
+            raise ValueError(
+                "neg_wer reward needs the alphabet's space id "
+                "(rl.space_id) — use character units with a space symbol")
+        return -wer_from_ids(ref, ref_lens, hyp, hyp_lens, space_id)
     d = edit_distance(ref, ref_lens, hyp, hyp_lens)
     return -d.astype(jnp.float32) / jnp.maximum(ref_lens.astype(jnp.float32), 1.0)
 
