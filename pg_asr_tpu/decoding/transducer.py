@@ -257,8 +257,10 @@ def _beam_frame(params, carry, e_t, valid_t, *, K: int, A: int, Lmax: int,
     return tuple(jnp.where(valid_t, n, o) for n, o in zip(new, carry))
 
 
-def _beam_one(params, E, out_len, state0, *, K, A, Lmax, max_symbols):
-    """Beam search over one utterance's (T, J) projected encoder frames."""
+def _beam_all(params, E, out_len, state0, *, K, A, Lmax, max_symbols):
+    """Beam search over one utterance's (T, J) projected encoder frames.
+    Returns the FULL surviving pool: (labels (K,Lmax), lens (K,),
+    score (K,) log-lik, dead slots ~-1e30)."""
     T = E.shape[0]
     h1, c1, g1 = state0  # (1, P)/(1, J) empty-history state
     P, J = h1.shape[1], g1.shape[1]
@@ -279,7 +281,13 @@ def _beam_one(params, E, out_len, state0, *, K, A, Lmax, max_symbols):
                            Lmax=Lmax, max_symbols=max_symbols), None
 
     carry, _ = jax.lax.scan(frame, carry, (E, jnp.arange(T)))
-    labels, lens, score = carry[0], carry[1], carry[2]
+    return carry[0], carry[1], carry[2]
+
+
+def _beam_one(params, E, out_len, state0, *, K, A, Lmax, max_symbols):
+    """Best-hypothesis beam search over one utterance (see _beam_all)."""
+    labels, lens, score = _beam_all(params, E, out_len, state0, K=K, A=A,
+                                    Lmax=Lmax, max_symbols=max_symbols)
     best = jnp.argmax(score)
     return labels[best], lens[best], -score[best]
 
@@ -307,6 +315,32 @@ def transducer_beam_decode(params: dict, enc: jnp.ndarray,
 
     def one(Eb, nb):
         return _beam_one(params, Eb, nb, state0, K=beam_size, A=A,
+                         Lmax=max_label_len, max_symbols=max_symbols)
+
+    return jax.vmap(one)(E, out_lens)
+
+
+@partial(jax.jit, static_argnames=("cfg", "beam_size", "max_label_len",
+                                   "max_symbols"))
+def transducer_beam_nbest(params: dict, enc: jnp.ndarray,
+                          out_lens: jnp.ndarray, cfg: Config,
+                          beam_size: int = 4, max_label_len: int = 256,
+                          max_symbols: int | None = None):
+    """Full n-best pool of the RNN-T beam — the hypothesis list MWER
+    fine-tuning re-scores with the differentiable lattice loss
+    (rl/reinforce._mwer_transducer_terms).
+
+    Returns (labels (B,K,max_label_len) int32 0-padded, lens (B,K) int32,
+    score (B,K) f32 = beam log-lik, dead slots ~-1e30)."""
+    tr = cfg.transducer
+    if max_symbols is None:
+        max_symbols = tr.max_symbols_per_frame
+    A = params["joint_out"]["b"].shape[0]
+    E = linear(params["joint_enc"], enc)  # (B, T, J)
+    state0 = init_decode_state(params, 1, enc.dtype)
+
+    def one(Eb, nb):
+        return _beam_all(params, Eb, nb, state0, K=beam_size, A=A,
                          Lmax=max_label_len, max_symbols=max_symbols)
 
     return jax.vmap(one)(E, out_lens)

@@ -81,16 +81,13 @@ def _attend(dec_states: jnp.ndarray, enc_out: jnp.ndarray,
                       preferred_element_type=dec_states.dtype)
 
 
-@partial(jax.jit, static_argnames=("enc_cfg", "dec_cfg", "train"))
-def apply_teacher_forced(params: dict, feats: jnp.ndarray, frame_mask: jnp.ndarray,
-                         targets: jnp.ndarray, enc_cfg: ModelConfig,
-                         dec_cfg: Seq2SeqConfig, train: bool = False,
-                         dropout_rng=None) -> jnp.ndarray:
-    """Teacher-forced forward: (B,T,F) audio features + (B,Td) targets ->
-    (B,Td,A) log-probs (positions predict targets[:, t])."""
-    enc_out = encode(params["encoder"], feats, frame_mask, enc_cfg,
-                     train=train, dropout_rng=dropout_rng)
-
+def decode_teacher_forced(params: dict, enc_out: jnp.ndarray,
+                          frame_mask: jnp.ndarray, targets: jnp.ndarray,
+                          dec_cfg: Seq2SeqConfig) -> jnp.ndarray:
+    """Teacher-forced decoder over precomputed encoder states:
+    (B,Te,2H) enc_out + (B,Td) targets -> (B,Td,A) log-probs. Factored out
+    of apply_teacher_forced so hypothesis rescoring (seq2seq MWER,
+    rl/reinforce.py) pays the encoder ONCE for K hypotheses."""
     # shift-right teacher forcing, BOS = 0
     dec_in = jnp.pad(targets[:, :-1], ((0, 0), (1, 0)))
     x = params["embed"][dec_in]  # (B, Td, E)
@@ -105,14 +102,24 @@ def apply_teacher_forced(params: dict, feats: jnp.ndarray, frame_mask: jnp.ndarr
     return jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
 
 
-@partial(jax.jit, static_argnames=("enc_cfg", "dec_cfg", "max_steps"))
-def greedy_generate(params: dict, feats: jnp.ndarray, frame_mask: jnp.ndarray,
-                    enc_cfg: ModelConfig, dec_cfg: Seq2SeqConfig,
-                    max_steps: int = 128):
-    """Step-wise greedy decoding via lax.scan carrying the decoder LSTM state.
-    Returns (tokens (B, max_steps), log_probs (B, max_steps, A))."""
-    enc_out = encode(params["encoder"], feats, frame_mask, enc_cfg)
-    B = feats.shape[0]
+@partial(jax.jit, static_argnames=("enc_cfg", "dec_cfg", "train"))
+def apply_teacher_forced(params: dict, feats: jnp.ndarray, frame_mask: jnp.ndarray,
+                         targets: jnp.ndarray, enc_cfg: ModelConfig,
+                         dec_cfg: Seq2SeqConfig, train: bool = False,
+                         dropout_rng=None) -> jnp.ndarray:
+    """Teacher-forced forward: (B,T,F) audio features + (B,Td) targets ->
+    (B,Td,A) log-probs (positions predict targets[:, t])."""
+    enc_out = encode(params["encoder"], feats, frame_mask, enc_cfg,
+                     train=train, dropout_rng=dropout_rng)
+    return decode_teacher_forced(params, enc_out, frame_mask, targets,
+                                 dec_cfg)
+
+
+def greedy_from_encoder(params: dict, enc_out: jnp.ndarray,
+                        frame_mask: jnp.ndarray, dec_cfg: Seq2SeqConfig,
+                        max_steps: int = 128):
+    """Greedy decode over precomputed encoder states (see greedy_generate)."""
+    B = enc_out.shape[0]
     H = dec_cfg.dec_hidden
     U = params["dec_lstm"]["U"]
     W = params["dec_lstm"]["W"]
@@ -133,6 +140,79 @@ def greedy_generate(params: dict, feats: jnp.ndarray, frame_mask: jnp.ndarray,
             jnp.zeros((B, H), enc_out.dtype), jnp.zeros((B, H), enc_out.dtype))
     _, (toks, lps) = jax.lax.scan(step, init, None, length=max_steps)
     return jnp.swapaxes(toks, 0, 1), jnp.swapaxes(lps, 0, 1)
+
+
+@partial(jax.jit, static_argnames=("enc_cfg", "dec_cfg", "max_steps"))
+def greedy_generate(params: dict, feats: jnp.ndarray, frame_mask: jnp.ndarray,
+                    enc_cfg: ModelConfig, dec_cfg: Seq2SeqConfig,
+                    max_steps: int = 128):
+    """Step-wise greedy decoding via lax.scan carrying the decoder LSTM state.
+    Returns (tokens (B, max_steps), log_probs (B, max_steps, A))."""
+    enc_out = encode(params["encoder"], feats, frame_mask, enc_cfg)
+    return greedy_from_encoder(params, enc_out, frame_mask, dec_cfg,
+                               max_steps)
+
+
+def generated_lengths(tokens: jnp.ndarray) -> jnp.ndarray:
+    """(.., L) 0-padded generated tokens -> length at the first EOS (pad id
+    0 doubles as EOS, the contract losses.seq2seq_nll_loss trains)."""
+    is_eos = tokens == 0
+    return jnp.where(is_eos.any(axis=-1),
+                     jnp.argmax(is_eos, axis=-1),
+                     tokens.shape[-1]).astype(jnp.int32)
+
+
+def sample_from_encoder(params: dict, enc_out: jnp.ndarray,
+                        frame_mask: jnp.ndarray, dec_cfg: Seq2SeqConfig,
+                        rng, num_samples: int, max_steps: int = 128,
+                        temperature: float = 1.0):
+    """Autoregressive DECODER SAMPLING for SCST policy-gradient training:
+    one lax.scan advances all S*B sampled continuations together, drawing
+    each step's token with jax.random.categorical from the (temperature-
+    scaled, stop-gradiented) step posterior while the returned per-step
+    log-probs stay DIFFERENTIABLE w.r.t. params — exactly what REINFORCE
+    needs (grad flows through the decoder LSTM carry, the attention
+    contexts, and the shared encoder states; the sampled ids do not).
+
+    The reference's namesake concept aims at these decoder posteriors
+    (reference policy_grad.py:4-16 consumes Seq2Seq.forward outputs,
+    reference model.py:174-183); it never had the sampler.
+
+    Returns (tokens (S,B,L) int32, tok_lp (S,B,L) f32 log p(token_t),
+    entropy (S,B,L) f32 of each step's full posterior).
+    """
+    B, Te, E = enc_out.shape
+    S = num_samples
+    H = dec_cfg.dec_hidden
+    W, U, b = (params["dec_lstm"]["W"], params["dec_lstm"]["U"],
+               params["dec_lstm"]["b"])
+    enc_t = jnp.tile(enc_out, (S, 1, 1))        # (S*B, Te, E)
+    mask_t = jnp.tile(frame_mask, (S, 1))       # (S*B, Te)
+    N = S * B
+    inv_temp = 1.0 / jnp.maximum(jnp.float32(temperature), 1e-6)
+
+    def step(carry, key):
+        tok, h, c = carry
+        x = params["embed"][tok]  # (N, E)
+        pre = x @ W + h @ U + b
+        h, c = _gate_step(h, c, pre, H)
+        ctx = _attend(h[:, None, :], enc_t, mask_t)[:, 0]
+        logits = linear(params["output"], jnp.concatenate([h, ctx], -1))
+        lp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)  # (N, A)
+        nxt = jax.random.categorical(
+            key, jax.lax.stop_gradient(lp) * inv_temp, axis=-1
+        ).astype(jnp.int32)
+        tok_lp = jnp.take_along_axis(lp, nxt[:, None], axis=-1)[:, 0]
+        ent = -jnp.sum(jnp.exp(lp) * lp, axis=-1)
+        return (nxt, h, c), (nxt, tok_lp, ent)
+
+    init = (jnp.zeros((N,), jnp.int32),
+            jnp.zeros((N, H), enc_out.dtype), jnp.zeros((N, H), enc_out.dtype))
+    keys = jax.random.split(rng, max_steps)
+    _, (toks, tok_lp, ent) = jax.lax.scan(step, init, keys)
+    # (L, N) -> (S, B, L)
+    to_sbl = lambda a: jnp.moveaxis(a, 0, -1).reshape(S, B, max_steps)
+    return to_sbl(toks), to_sbl(tok_lp), to_sbl(ent)
 
 
 def _attend_beam(h: jnp.ndarray, enc_out: jnp.ndarray,
@@ -169,7 +249,28 @@ def beam_generate(params: dict, feats: jnp.ndarray, frame_mask: jnp.ndarray,
     lens (B,) int32, scores (B,) f32 normalized best-beam scores).
     """
     enc_out = encode(params["encoder"], feats, frame_mask, enc_cfg)
-    B = feats.shape[0]
+    buf, lens, normed = beam_scan_from_encoder(
+        params, enc_out, frame_mask, dec_cfg, beam_size, max_steps,
+        length_norm)
+    best = jnp.argmax(normed, axis=1)  # (B,)
+    pick = jax.vmap(lambda a, i: a[i])
+    tokens = pick(buf, best)  # (B, S)
+    out_lens = pick(lens, best).astype(jnp.int32)
+    # zero-pad everything after the first EOS
+    pos = jnp.arange(max_steps)[None, :]
+    tokens = jnp.where(pos < out_lens[:, None], tokens, 0)
+    return tokens, out_lens, pick(normed, best)
+
+
+def beam_scan_from_encoder(params: dict, enc_out: jnp.ndarray,
+                           frame_mask: jnp.ndarray, dec_cfg: Seq2SeqConfig,
+                           beam_size: int = 8, max_steps: int = 128,
+                           length_norm: float = 0.6):
+    """The beam search proper, over precomputed encoder states. Returns the
+    FULL n-best list: (tokens (B,K,max_steps) int32 zero-padded after EOS,
+    lens (B,K) int32, normed_scores (B,K) f32 — GNMT length-normalized,
+    descending is NOT guaranteed; dead beams score ~-1e30)."""
+    B = enc_out.shape[0]
     K = beam_size
     A = dec_cfg.vocab_size
     H = dec_cfg.dec_hidden
@@ -218,18 +319,14 @@ def beam_generate(params: dict, feats: jnp.ndarray, frame_mask: jnp.ndarray,
     (_, _, _, scores, _, buf), _ = jax.lax.scan(
         step, init, jnp.arange(max_steps))
 
-    # per-beam lengths (first EOS), GNMT length-normalized re-ranking
+    # per-beam lengths (first EOS), GNMT length-normalized scores
     is_eos = buf == 0  # (B, K, S)
     lens = jnp.where(is_eos.any(axis=2),
                      jnp.argmax(is_eos, axis=2), max_steps)  # (B, K)
     penalty = jnp.power((5.0 + lens.astype(jnp.float32)) / 6.0,
                         jnp.float32(length_norm))
     normed = scores / jnp.maximum(penalty, 1e-6)
-    best = jnp.argmax(normed, axis=1)  # (B,)
-    pick = jax.vmap(lambda a, i: a[i])
-    tokens = pick(buf, best)  # (B, S)
-    out_lens = pick(lens, best).astype(jnp.int32)
-    # zero-pad everything after the first EOS
-    pos = jnp.arange(max_steps)[None, :]
-    tokens = jnp.where(pos < out_lens[:, None], tokens, 0)
-    return tokens, out_lens, pick(normed, best)
+    # zero-pad every beam after its first EOS
+    pos = jnp.arange(max_steps)[None, None, :]
+    buf = jnp.where(pos < lens[:, :, None], buf, 0)
+    return buf, lens.astype(jnp.int32), normed

@@ -1,20 +1,29 @@
-"""REINFORCE policy-gradient fine-tuning over sampled CTC alignment paths.
+"""Policy-gradient fine-tuning for EVERY model family — the training loop
+the reference only sketched (its reward() is never imported anywhere,
+SURVEY.md §3.5).
 
-This is the training loop the reference only sketched — its reward() is
-never imported anywhere (SURVEY.md §3.5). Full on-chip pipeline per step:
+Objectives by family, all fully on-chip inside one jitted, donated step:
 
-  1. forward: waveform -> features -> BiLSTM -> per-frame log-posteriors
-  2. sample S alignment paths per utterance from the per-frame categorical
-     (temperature-scaled), with jax.random — on chip
-  3. CTC-collapse each path to a label sequence (vectorized, on chip)
-  4. reward: negative CER via the on-chip edit-distance DP, or the
-     reference-style per-step ED-delta reward (rl/reward.py)
-  5. advantage: reward minus a greedy-decode (self-critical) or mean
-     baseline
-  6. REINFORCE gradient on the masked per-frame log-probs of the sampled
-     path, plus entropy regularization and a supervised CTC anchor
+  * CTC families (ctc / transformer / conformer):
+      - REINFORCE over sampled alignment paths: sample S paths per
+        utterance from the per-frame categorical (temperature-scaled),
+        CTC-collapse each (vectorized), reward with negative CER/WER via
+        the on-chip edit-distance DP or the reference-style per-step
+        ED-delta (rl/reward.py), subtract a greedy self-critic or mean
+        baseline, REINFORCE on the masked per-frame log-probs.
+      - MWER over the prefix-beam n-best re-scored with the
+        differentiable CTC forward DP (_mwer_terms).
+  * seq2seq (the reference's namesake target — its reward() consumes
+    decoder posteriors, reference policy_grad.py:4-16, model.py:174-183):
+      - SCST: sample continuations from the autoregressive decoder,
+        greedy self-critic baseline (_scst_seq2seq_terms).
+      - MWER over the decoder beam re-scored teacher-forced
+        (_mwer_seq2seq_terms).
+  * transducer: MWER over the frame-synchronous RNN-T beam re-scored
+    with the differentiable lattice loss (_mwer_transducer_terms).
 
-Everything inside one jitted, donated train step; no host round-trips.
+Every objective adds an entropy bonus (where sampling applies) and a
+supervised anchor (CTC / NLL / RNN-T loss, weight rl.ctc_mix_weight).
 """
 
 from __future__ import annotations
@@ -76,17 +85,58 @@ def _path_rewards(paths, frame_mask, labels, label_lens, kind: str,
     return R.reshape(S, B), None, hyp_lens.reshape(S, B)
 
 
+def _mwer_combine(logp, risk, live, valid_rows, extra_metrics=None):
+    """Shared MWER reduction over an n-best list (all families).
+
+    Args:
+      logp: (B, K) DIFFERENTIABLE sequence log-likelihoods (dead slots may
+        be anything; `live` masks them).
+      risk: (B, K) per-hypothesis risk (CER or WER), gradients not needed.
+      live: (B, K) bool — real n-best entries.
+      valid_rows: (B,) bool — real (non-ragged-padding) utterances.
+    Returns (num, den, metrics) with loss = num/den = E_w[risk] in the
+    FORWARD pass while the gradient equals d/dθ Σ_k w_k (risk_k - sg(r̄)):
+    num = Σ w·risk − sg(r̄)·(Σ w − 1). Σ w == 1 exactly in the forward
+    pass, so the logged pg loss IS the expected risk (review finding:
+    the plain sg-baselined form is identically zero forward)."""
+    logp = jnp.where(live, logp, -jnp.inf)
+    # all-dead rows (excluded by `valid` below) would make softmax emit
+    # nan AND poison the backward pass through the 0-cotangent (0 * nan);
+    # substitute a finite row before the softmax (double-where discipline)
+    row_ok = jnp.any(jnp.isfinite(logp), axis=1, keepdims=True)
+    w = jax.nn.softmax(jnp.where(row_ok, logp, 0.0), axis=1)
+    risk = jax.lax.stop_gradient(jnp.where(live, risk, 0.0))
+    risk_bar = jax.lax.stop_gradient(jnp.sum(w * risk, axis=1))  # (B,)
+    utt_loss = (jnp.sum(w * risk, axis=1)
+                - risk_bar * (jnp.sum(w, axis=1) - 1.0))  # (B,)
+
+    valid = valid_rows & row_ok[:, 0]
+    num = jnp.sum(jnp.where(valid, utt_loss, 0.0))
+    den = jnp.sum(valid.astype(jnp.float32))
+    expected_risk = (jnp.sum(jnp.where(valid, risk_bar, 0.0))
+                     / jnp.maximum(den, 1.0))
+    metrics = {
+        "expected_cer": expected_risk,
+        # the reward analogue the finetune_pg driver logs/curves
+        "reward_mean": -expected_risk,
+        "oracle_cer": jnp.sum(jnp.where(
+            valid, jnp.min(jnp.where(live, risk, jnp.inf), axis=1), 0.0))
+        / jnp.maximum(den, 1.0),
+        "nbest_live": jnp.mean(jnp.sum(live.astype(jnp.float32), axis=1)),
+    }
+    if extra_metrics:
+        metrics.update(extra_metrics)
+    return num, den, metrics
+
+
 def _mwer_terms(log_probs, mask, frame_lens, labels, label_lens, rl):
-    """Minimum-expected-CER over the on-device K-best list (the standard
-    production discriminative objective, cf. MWER training for seq2seq/CTC
-    ASR): decode K distinct hypotheses with the prefix beam, score each
-    with its DIFFERENTIABLE sequence log-likelihood log P(h|x) (the CTC
-    forward DP), renormalize over the list, and minimize
-    sum_k w_k * (CER_k - sg(CER_bar)). The baseline MUST be
-    stop-gradiented: since sum_k w_k == 1 exactly, a differentiable
-    CER_bar = sum w*CER makes the loss identically zero (L = CER_bar -
-    CER_bar) with identically-zero gradients — measured grad norm ~1e-6
-    cancellation noise vs O(0.1) with the guard (caught in review)."""
+    """Minimum-expected-risk over the on-device K-best list for the CTC
+    families (the standard production discriminative objective): decode K
+    distinct hypotheses with the prefix beam, score each with its
+    DIFFERENTIABLE sequence log-likelihood log P(h|x) (the CTC forward
+    DP), renormalize over the list, and minimize the expected risk with a
+    stop-gradiented baseline (_mwer_combine). Risk granularity follows
+    rl.reward (CER default, word-level WER with reward=neg_wer)."""
     from ..decoding.beam import beam_decode_nbest
     from ..ops.ctc import ctc_loss
     from ..ops.edit_distance import cer_from_ids, wer_from_ids
@@ -109,51 +159,234 @@ def _mwer_terms(log_probs, mask, frame_lens, labels, label_lens, rl):
     nll = jax.vmap(
         lambda h, hl: ctc_loss(log_probs, frame_lens, h, hl),
         in_axes=(1, 1), out_axes=1)(hyp, hyp_lens)  # (B, K)
-    logp = jnp.where(live & (nll < 0.5e30), -nll, -jnp.inf)
-    # all-dead rows (excluded by `valid` below) would make softmax emit
-    # nan AND poison the backward pass through the 0-cotangent (0 * nan);
-    # substitute a finite row before the softmax (double-where discipline)
-    row_ok = jnp.any(jnp.isfinite(logp), axis=1, keepdims=True)
-    w = jax.nn.softmax(jnp.where(row_ok, logp, 0.0), axis=1)
+    live = live & (nll < 0.5e30)
+    risk = jax.vmap(risk_fn, in_axes=(1, 1), out_axes=1)(hyp, hyp_lens)
+    valid_rows = (label_lens > 0) & (jnp.sum(mask, 1) > 0)
+    return _mwer_combine(-nll, risk, live, valid_rows)
 
-    cer = jax.lax.stop_gradient(jax.vmap(
-        risk_fn, in_axes=(1, 1), out_axes=1)(hyp, hyp_lens))  # (B, K)
-    cer = jnp.where(live, cer, 0.0)
-    cer_bar = jax.lax.stop_gradient(jnp.sum(w * cer, axis=1, keepdims=True))
-    utt_loss = jnp.sum(w * (cer - cer_bar), axis=1)  # (B,)
 
-    valid = (label_lens > 0) & (jnp.sum(mask, 1) > 0) & jnp.any(
-        jnp.isfinite(logp), axis=1)
-    num = jnp.sum(jnp.where(valid, utt_loss, 0.0))
-    den = jnp.sum(valid.astype(jnp.float32))
-    expected_cer = (jnp.sum(jnp.where(valid, cer_bar[:, 0], 0.0))
-                    / jnp.maximum(den, 1.0))
-    metrics = {
-        "expected_cer": expected_cer,
-        # the reward analogue the finetune_pg driver logs/curves
-        "reward_mean": -expected_cer,
-        "oracle_cer": jnp.sum(jnp.where(
-            valid, jnp.min(jnp.where(live, cer, jnp.inf), axis=1), 0.0))
-        / jnp.maximum(den, 1.0),
-        "nbest_live": jnp.mean(jnp.sum(live.astype(jnp.float32), axis=1)),
+def _risk_kind(rl) -> str:
+    """Sequence-level risk/reward granularity (stepwise_ed is a per-frame
+    CTC credit scheme; sequence-level consumers fall back to CER)."""
+    return rl.reward if rl.reward in ("neg_cer", "neg_wer") else "neg_cer"
+
+
+def _scst_seq2seq_terms(params, feats, fmask, labels, label_lens, rng,
+                        cfg: Config):
+    """SCST (self-critical sequence training) for the attention seq2seq
+    family — policy-gradient fine-tuning of the reference's OWN model
+    concept: its reward() consumes decoder posteriors (reference
+    policy_grad.py:4-16) from Seq2Seq.forward (reference
+    model.py:174-183,314-315); the sampler/loop it never had is here.
+
+    Per step, fully on-chip: sample S continuations from the
+    autoregressive decoder (jax.random.categorical inside the decode
+    scan), score each with negative CER/WER, subtract the greedy
+    self-critic baseline (Rennie et al. 2017), REINFORCE on the sampled
+    token log-probs (+ entropy bonus, + teacher-forced NLL anchor via
+    rl.ctc_mix_weight)."""
+    from ..losses import seq2seq_nll_terms
+    from ..models import seq2seq
+
+    rl = cfg.rl
+    B, L = labels.shape
+    kind = _risk_kind(rl)
+    S = rl.num_samples
+    enc_out = seq2seq.encode(params["encoder"], feats, fmask, cfg.model)
+
+    toks, tok_lp, ent = seq2seq.sample_from_encoder(
+        params, enc_out, fmask, cfg.seq2seq, rng, S, max_steps=L,
+        temperature=rl.temperature)  # (S, B, L) each
+    toks = jax.lax.stop_gradient(toks)
+    lens = seq2seq.generated_lengths(toks)  # (S, B)
+
+    ref = jnp.tile(labels, (S, 1))
+    ref_lens = jnp.tile(label_lens, (S,))
+    R = sequence_reward(ref, ref_lens, toks.reshape(S * B, L),
+                        lens.reshape(S * B), kind, rl.space_id)
+    R = jax.lax.stop_gradient(R.reshape(S, B))
+
+    if rl.baseline == "greedy":
+        g_toks, _ = seq2seq.greedy_from_encoder(
+            params, jax.lax.stop_gradient(enc_out), fmask, cfg.seq2seq, L)
+        g_lens = seq2seq.generated_lengths(g_toks)
+        base = jax.lax.stop_gradient(sequence_reward(
+            labels, label_lens, g_toks, g_lens, kind, rl.space_id))[None, :]
+    elif rl.baseline == "mean":
+        base = jnp.mean(R, axis=0, keepdims=True)
+    else:
+        base = jnp.zeros((1, 1), jnp.float32)
+
+    # step mask: every sampled token up to AND INCLUDING the EOS action
+    pos = jnp.arange(L)[None, None, :]
+    step_mask = (pos <= lens[:, :, None]) & (pos < L)
+    valid = label_lens > 0  # ragged zero-padding rows
+    step_mask = (step_mask & valid[None, :, None]).astype(jnp.float32)
+
+    counts = jnp.sum(step_mask, axis=2)  # (S, B)
+    seq_lp = jnp.sum(tok_lp * step_mask, axis=2) / jnp.maximum(counts, 1.0)
+    adv = jax.lax.stop_gradient(R - base) * valid[None, :]
+    pg_num = -jnp.sum(adv * seq_lp)
+    pg_den = jnp.asarray(float(S)) * jnp.sum(valid.astype(jnp.float32))
+
+    ent_num = jnp.sum(ent * step_mask)
+    ent_den = jnp.sum(step_mask)
+
+    # supervised anchor: teacher-forced NLL on the SAME encoder states
+    lp_tf = seq2seq.decode_teacher_forced(params, enc_out, fmask, labels,
+                                          cfg.seq2seq)
+    a_num, a_den = seq2seq_nll_terms(lp_tf, labels, label_lens)
+
+    obj_metrics = {
+        "reward_mean": jnp.mean(R),
+        "baseline_mean": jnp.mean(base),
+        "advantage_mean": jnp.mean(R - base),
+        "sample_len_mean": jnp.mean(lens.astype(jnp.float32)),
     }
-    return num, den, metrics
+    nums = {"pg": pg_num, "ent": ent_num, "ctc": a_num}
+    dens = {"pg": pg_den, "ent": ent_den, "ctc": a_den}
+    metrics = dict(obj_metrics, entropy=ent_num / jnp.maximum(ent_den, 1.0))
+    return nums, dens, metrics
+
+
+def _hyp_log_lik_seq2seq(lp, hyp, hyp_lens):
+    """(B,L,A) teacher-forced log-probs of one hypothesis -> (B,) sequence
+    log-lik including the EOS step (hyp is 0-padded; position hyp_lens
+    holds EOS unless the beam hit max_steps)."""
+    L = hyp.shape[1]
+    tok_lp = jnp.take_along_axis(lp, hyp[..., None].astype(jnp.int32),
+                                 axis=-1)[..., 0]  # (B, L)
+    pos = jnp.arange(L)[None, :]
+    keep = (pos <= hyp_lens[:, None]) & (pos < L)
+    return jnp.sum(tok_lp * keep, axis=1)
+
+
+def _mwer_seq2seq_terms(params, feats, fmask, labels, label_lens,
+                        cfg: Config):
+    """MWER for the attention seq2seq family: K-best from the on-device
+    decoder beam (models/seq2seq.beam_scan_from_encoder), each hypothesis
+    re-scored with its DIFFERENTIABLE teacher-forced log-likelihood over
+    the shared encoder states, combined by _mwer_combine."""
+    from ..losses import seq2seq_nll_terms
+    from ..models import seq2seq
+
+    rl = cfg.rl
+    B, L = labels.shape
+    K = rl.mwer_beam
+    kind = _risk_kind(rl)
+    enc_out = seq2seq.encode(params["encoder"], feats, fmask, cfg.model)
+
+    hyp, hyp_lens, scores = seq2seq.beam_scan_from_encoder(
+        params, jax.lax.stop_gradient(enc_out), fmask, cfg.seq2seq,
+        beam_size=K, max_steps=L)  # (B,K,L), (B,K), (B,K)
+    hyp = jax.lax.stop_gradient(hyp)
+    live = scores > -1e29
+
+    logp = jax.vmap(
+        lambda h, hl: _hyp_log_lik_seq2seq(
+            seq2seq.decode_teacher_forced(params, enc_out, fmask, h,
+                                          cfg.seq2seq), h, hl),
+        in_axes=(1, 1), out_axes=1)(hyp, hyp_lens)  # (B, K)
+
+    risk = jax.vmap(
+        lambda h, hl: -sequence_reward(labels, label_lens, h, hl, kind,
+                                       rl.space_id),
+        in_axes=(1, 1), out_axes=1)(hyp, hyp_lens)  # (B, K)
+
+    pg_num, pg_den, obj_metrics = _mwer_combine(
+        logp, risk, live, label_lens > 0)
+
+    lp_tf = seq2seq.decode_teacher_forced(params, enc_out, fmask, labels,
+                                          cfg.seq2seq)
+    a_num, a_den = seq2seq_nll_terms(lp_tf, labels, label_lens)
+    nums = {"pg": pg_num, "ent": jnp.asarray(0.0), "ctc": a_num}
+    dens = {"pg": pg_den, "ent": jnp.asarray(1.0), "ctc": a_den}
+    return nums, dens, dict(obj_metrics, entropy=jnp.asarray(0.0))
+
+
+def _mwer_transducer_terms(params, feats, fmask, flens, labels, label_lens,
+                           cfg: Config):
+    """MWER for the RNN-T family: N-best from the on-device frame-
+    synchronous beam (decoding/transducer.transducer_beam_nbest), each
+    hypothesis re-scored with the DIFFERENTIABLE lattice loss
+    (ops/transducer.transducer_loss — the full forward DP over all
+    alignments of that hypothesis), combined by _mwer_combine."""
+    from ..decoding.transducer import transducer_beam_nbest
+    from ..models import transducer
+    from ..ops.transducer import (joint_log_probs, transducer_loss,
+                                  transducer_loss_terms)
+
+    rl = cfg.rl
+    B, L = labels.shape
+    K = rl.mwer_beam
+    kind = _risk_kind(rl)
+    enc, out_mask, out_lens = transducer.encode(params, feats, fmask, flens,
+                                                cfg)
+
+    hyp, hyp_lens, scores = transducer_beam_nbest(
+        params, jax.lax.stop_gradient(enc), out_lens, cfg, beam_size=K,
+        max_label_len=L)  # (B,K,L), (B,K), (B,K)
+    hyp = jax.lax.stop_gradient(hyp)
+    live = scores > -1e29
+
+    def hyp_nll(h, hl):
+        pred = transducer.predict_states(params, h, hl, cfg)
+        logits = transducer.joint_logits(params, enc, pred)
+        lp_blank, lp_label = joint_log_probs(logits, h)
+        return transducer_loss(lp_blank, lp_label, out_lens, hl)  # (B,)
+
+    nll = jax.vmap(hyp_nll, in_axes=(1, 1), out_axes=1)(hyp, hyp_lens)
+    live = live & (nll < 0.5e30)
+
+    risk = jax.vmap(
+        lambda h, hl: -sequence_reward(labels, label_lens, h, hl, kind,
+                                       rl.space_id),
+        in_axes=(1, 1), out_axes=1)(hyp, hyp_lens)  # (B, K)
+
+    valid_rows = (label_lens > 0) & (out_lens > 0)
+    pg_num, pg_den, obj_metrics = _mwer_combine(-nll, risk, live, valid_rows)
+
+    # supervised anchor: the RNN-T loss on the ground truth (same encoder)
+    pred = transducer.predict_states(params, labels, label_lens, cfg)
+    logits = transducer.joint_logits(params, enc, pred)
+    lp_blank, lp_label = joint_log_probs(logits, labels)
+    a_num, a_den = transducer_loss_terms(lp_blank, lp_label, out_lens,
+                                         label_lens)
+    nums = {"pg": pg_num, "ent": jnp.asarray(0.0), "ctc": a_num}
+    dens = {"pg": pg_den, "ent": jnp.asarray(1.0), "ctc": a_den}
+    return nums, dens, dict(obj_metrics, entropy=jnp.asarray(0.0))
 
 
 def pg_loss_terms(params, wave, num_samples_arr, labels, label_lens, rng,
                   cfg: Config):
     """PG loss as (numerators, denominators, metrics). Each loss component
     is num/den so SPMD shards can psum the dens for exact global means
-    (same discipline as train.compute_loss terms mode)."""
-    from ..models import acoustic_forward
+    (same discipline as train.compute_loss terms mode).
 
-    if cfg.model.family in ("seq2seq", "transducer"):
-        raise ValueError(
-            "finetune_pg samples CTC alignment paths; the "
-            f"{cfg.model.family} family has no per-frame CTC posteriors. "
-            "Train with --model ctc, transformer, or conformer.")
+    Family dispatch: CTC families (ctc/transformer/conformer) support
+    REINFORCE over sampled alignment paths and MWER over the prefix-beam
+    n-best; seq2seq supports SCST (objective=reinforce) and MWER over the
+    decoder beam; transducer supports MWER over the RNN-T beam."""
     rl = cfg.rl
     feats, fmask, flens = extract_features(wave, num_samples_arr, cfg.features)
+    if cfg.model.family == "seq2seq":
+        if rl.objective == "mwer":
+            return _mwer_seq2seq_terms(params, feats, fmask, labels,
+                                       label_lens, cfg)
+        return _scst_seq2seq_terms(params, feats, fmask, labels, label_lens,
+                                   rng, cfg)
+    if cfg.model.family == "transducer":
+        if rl.objective != "mwer":
+            raise ValueError(
+                "transducer PG fine-tuning uses the MWER objective "
+                "(--pg_objective mwer): the on-device RNN-T n-best "
+                "re-scored with the differentiable lattice loss. "
+                "finetune_pg auto-selects it; set it explicitly when "
+                "building steps directly.")
+        return _mwer_transducer_terms(params, feats, fmask, flens, labels,
+                                      label_lens, cfg)
+    from ..models import acoustic_forward
+
     # mask/frame_lens below are in the MODEL's output time base (the
     # transformer family subsamples; BiLSTM passes them through)
     log_probs, mask, frame_lens = acoustic_forward(params, feats, fmask,
@@ -239,8 +472,10 @@ def _combine_terms(nums, dens, rl):
     ent = nums["ent"] / jnp.maximum(dens["ent"], 1.0)
     loss = pg - rl.entropy_weight * ent
     if rl.ctc_mix_weight > 0:
-        loss = loss + rl.ctc_mix_weight * nums["ctc"] / jnp.maximum(
-            dens["ctc"], 1.0)
+        # the anchor terms may be per-step vectors (seq2seq NLL terms) —
+        # sum of per-step means, matching losses.seq2seq_nll_loss
+        loss = loss + rl.ctc_mix_weight * jnp.sum(
+            nums["ctc"] / jnp.maximum(dens["ctc"], 1.0))
     return loss
 
 
@@ -324,6 +559,10 @@ def finetune_pg(corpus_path: str, model_path: str, num_steps: int = 200,
         raise ValueError(
             "--pg_reward neg_wer needs an alphabet with a space symbol "
             "(character units); this corpus/tokenizer has none")
+    if cfg.model.family == "transducer" and cfg.rl.objective == "reinforce":
+        print("[pg] transducer family: using the MWER objective "
+              "(n-best re-scored with the differentiable lattice loss)")
+        cfg = cfg.replace(rl=dataclasses.replace(cfg.rl, objective="mwer"))
 
     # multi-host: same per-host manifest sharding discipline as train() —
     # each process feeds only its rows; num_steps counts GLOBAL steps, so
@@ -363,7 +602,56 @@ def finetune_pg(corpus_path: str, model_path: str, num_steps: int = 200,
 
     rng = training_rng(cfg.train.seed + 17)
 
-    rewards = []
+    # periodic REAL dev CER (eval_every): greedy-decode the dev set so the
+    # PG run tracks the metric it's optimizing for, not only its reward
+    # proxy, and keeps the best-on-CER checkpoint. Same multi-host count
+    # reduction discipline as train()'s select_on_cer path.
+    dev_tsv = os.path.join(corpus_path, "dev.tsv")
+    dev_rows = None
+    if eval_every and os.path.exists(dev_tsv):
+        dev_rows = load_manifest(dev_tsv, aud)
+        if nproc > 1 and len(dev_rows) < nproc:
+            dev_rows = None  # fewer dev rows than hosts: skip eval everywhere
+
+    def _dev_cer(eval_params) -> float:
+        from ..train import _batch_cer_counts
+
+        dev_it = BatchIterator(dev_rows, alphabet, per_host_bs, shuffle=False,
+                               sample_rate=cfg.features.sample_rate,
+                               shard_index=proc, shard_count=nproc)
+        cap = (None if nproc == 1
+               else -(-(len(dev_rows) // nproc) // per_host_bs))
+        d_sum, l_sum, n = 0, 0, 0
+        for b in dev_it:
+            d, L = _batch_cer_counts(eval_params, b, cfg, alphabet)
+            d_sum += d
+            l_sum += L
+            n += 1
+            if cap is not None and n >= cap:
+                break  # equal collective counts across hosts
+        if nproc > 1:
+            from jax.experimental import multihost_utils
+
+            counts = multihost_utils.process_allgather(
+                np.array([d_sum, l_sum], np.int64))
+            d_sum = int(np.sum(counts[..., 0]))
+            l_sum = int(np.sum(counts[..., 1]))
+        return d_sum / max(l_sum, 1)
+
+    def _save(step, val, tag_best=True):
+        if proc != 0:  # params replicated: only the main process writes
+            return False
+        state = {"params": params, "opt_state": opt_state, "step": step,
+                 "epoch": -1, "best_val_loss": ckpt.best_val}
+        if use_ema:
+            state["ema_params"] = ema_params
+        return ckpt.save(state, val_loss=val)
+
+    # reward curve stays ON DEVICE during the run: a float() per step would
+    # synchronize the host with every step and stall async dispatch; the
+    # tiny scalars are fetched in bulk at eval/log boundaries and at the end
+    reward_dev: list = []
+    dev_cers: list[tuple[int, float]] = []
     step = 0
     t0 = time.time()
     while step < num_steps:
@@ -377,21 +665,35 @@ def finetune_pg(corpus_path: str, model_path: str, num_steps: int = 200,
                 ema_params = _ema_update(ema_params, params,
                                          cfg.train.ema_decay)
             step += 1
-            rewards.append(float(metrics["reward_mean"]))
+            reward_dev.append(metrics["reward_mean"])
             if step % 10 == 0 and proc == 0:
                 logger.log(step=step, pg_loss=float(loss),
                            reward=float(metrics["reward_mean"]),
                            entropy=float(metrics["entropy"]))
+            if dev_rows is not None and (step % eval_every == 0
+                                         or step >= num_steps):
+                cer = _dev_cer(ema_params if use_ema else params)
+                dev_cers.append((step, cer))
+                if _save(step, val=cer):
+                    if proc == 0:
+                        print(f"[pg] step {step}: new best dev CER "
+                              f"{cer:.4f}")
+                elif proc == 0:
+                    print(f"[pg] step {step}: dev CER {cer:.4f} "
+                          f"(best {ckpt.best_val:.4f})")
             if step >= num_steps:
                 break
 
+    rewards = [float(r) for r in reward_dev]
     if proc == 0:  # params replicated: only the main process writes artifacts
         np.save(os.path.join(model_path, "pg_rewards.npy"), np.array(rewards))
-        state = {"params": params, "opt_state": opt_state, "step": step,
-                 "epoch": -1, "best_val_loss": ckpt.best_val}
-        if use_ema:
-            state["ema_params"] = ema_params
-        ckpt.save(state, val_loss=-float(np.mean(rewards[-10:])))
+        if dev_cers:
+            np.save(os.path.join(model_path, "pg_dev_cer.npy"),
+                    np.array(dev_cers))
+        if dev_rows is None:
+            # no dev set: fall back to reward-proxy checkpoint selection
+            _save(step, val=-float(np.mean(rewards[-10:])))
         print(f"[pg] {step} steps, final reward {np.mean(rewards[-10:]):.4f} "
               f"({time.time()-t0:.1f}s)")
-    return {"rewards": rewards, "params": params, "config": cfg}
+    return {"rewards": rewards, "params": params, "config": cfg,
+            "dev_cers": dev_cers}
