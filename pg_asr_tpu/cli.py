@@ -114,6 +114,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="train: exponential moving average of the params "
                         "(validation/predict use the averaged weights; "
                         "0 = off)")
+    p.add_argument("--loader_threads", type=int, default=None,
+                   help="decode workers building batches ahead of the "
+                        "prefetch/staging thread (0 = inline; default 2)")
     p.add_argument("--cache_audio_mb", type=float, default=None,
                    help="train: RAM budget (MB) for caching built batches "
                         "across epochs — corpora that fit pay WAV "
@@ -157,6 +160,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "negative WER (on-chip word segmentation, the "
                         "north-star reward), or the reference's per-step "
                         "edit-distance deltas")
+    p.add_argument("--pg_eval_every", type=int, default=50,
+                   help="finetune_pg: greedy-decode the dev set every N "
+                        "steps (real dev CER curve + best-on-CER "
+                        "checkpoint); 0 disables")
     p.add_argument("--profile_steps", type=int, default=0,
                    help="train: capture a device trace of N steady-state "
                         "steps to <model_path>/trace (TensorBoard/xprof)")
@@ -310,6 +317,10 @@ def _config(args, from_model_path: bool = False):
         if args.cache_audio_mb < 0:
             raise SystemExit("--cache_audio_mb must be >= 0")
         tr["cache_audio_mb"] = args.cache_audio_mb
+    if getattr(args, "loader_threads", None) is not None:
+        if args.loader_threads < 0:
+            raise SystemExit("--loader_threads must be >= 0")
+        tr["loader_threads"] = args.loader_threads
     if getattr(args, "init_from_torch", None):
         tr["init_from_torch"] = args.init_from_torch
     if getattr(args, "trust_torch_pickle", False):
@@ -463,7 +474,8 @@ def main(argv=None) -> int:
 
         finetune_pg(args.corpus_path, args.model_path,
                     num_steps=args.pg_steps, batch_size=args.batch_size,
-                    config=_config(args, from_model_path=True))
+                    config=_config(args, from_model_path=True),
+                    eval_every=args.pg_eval_every)
         return 0
 
     return 1

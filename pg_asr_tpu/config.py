@@ -254,6 +254,11 @@ class TrainConfig:
     log_every: int = 10
     eval_every_epochs: int = 1
     prefetch_depth: int = 2  # host batches built ahead of the device (0 = off)
+    # decode workers building batches ahead of the prefetch/staging thread
+    # (data/dataset.BatchIterator num_workers; 0 = inline). The native WAV
+    # decoder releases the GIL, so workers scale with host cores; the
+    # prefetch producer is then free to spend its time on device staging
+    loader_threads: int = 2
     # built-batch RAM cache budget (MB, 0 = off): bucketed batch composition
     # is identical across epochs, so corpora that fit the budget pay disk
     # read + WAV decode + padding only in epoch 1 — steady-state epochs

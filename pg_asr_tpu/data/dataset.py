@@ -157,7 +157,8 @@ class BatchIterator:
                  drop_remainder: bool = False, seed: int = 0,
                  loader: Callable[[str], tuple[np.ndarray, int]] | None = None,
                  shard_index: int = 0, shard_count: int = 1,
-                 cache_mb: float = 0.0, wave_dtype: str = "int16"):
+                 cache_mb: float = 0.0, wave_dtype: str = "int16",
+                 num_workers: int = 0):
         # multi-host data parallelism: each process iterates a disjoint
         # slice of the corpus (train() passes jax.process_index/count)
         utterances = list(utterances)
@@ -195,6 +196,12 @@ class BatchIterator:
             raise ValueError(f"wave_dtype must be int16|float32, "
                              f"got {wave_dtype!r}")
         self.wave_dtype = wave_dtype
+        # decode parallelism: >0 builds batches on a thread pool with a
+        # bounded in-order sliding window (batch ORDER and composition are
+        # unchanged — resume/cache semantics depend on determinism). The
+        # native decoder releases the GIL, so workers scale on real hosts;
+        # 0 keeps the inline single-thread path.
+        self.num_workers = int(num_workers)
 
     def _load(self, utt: Utterance) -> np.ndarray:
         w = self._cache.get(utt.audio_path)
@@ -235,6 +242,9 @@ class BatchIterator:
         if self._skip_next:
             chunks = chunks[self._skip_next:]
             self._skip_next = 0
+        if self.num_workers > 0:
+            yield from self._iter_pooled(chunks)
+            return
         for chunk in chunks:
             key = tuple(chunk)
             cached = self._batch_cache.get(key)
@@ -242,14 +252,61 @@ class BatchIterator:
                 yield cached
                 continue
             batch = self._make_batch([self.utts[i] for i in chunk])
-            if self.cache_mb > 0:
-                nbytes = (batch.wave.nbytes + batch.num_samples.nbytes
-                          + batch.labels.nbytes + batch.label_lens.nbytes)
-                if (self._batch_cache_bytes + nbytes
-                        <= self.cache_mb * (1 << 20)):
-                    self._batch_cache[key] = batch
-                    self._batch_cache_bytes += nbytes
+            self._maybe_cache(key, batch)
             yield batch
+
+    def _maybe_cache(self, key: tuple, batch: Batch) -> None:
+        if self.cache_mb > 0:
+            nbytes = (batch.wave.nbytes + batch.num_samples.nbytes
+                      + batch.labels.nbytes + batch.label_lens.nbytes)
+            if self._batch_cache_bytes + nbytes <= self.cache_mb * (1 << 20):
+                self._batch_cache[key] = batch
+                self._batch_cache_bytes += nbytes
+
+    def _iter_pooled(self, chunks) -> Iterator[Batch]:
+        """Decode-parallel batch construction: up to num_workers batches
+        build concurrently, yielded strictly IN ORDER. Cache hits are
+        resolved in this (consumer) thread, so the batch cache stays
+        single-writer; only misses go to the pool."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+            window: list[tuple[tuple, object]] = []  # (key, Batch|Future)
+
+            def submit(chunk):
+                key = tuple(chunk)
+                cached = self._batch_cache.get(key)
+                if cached is not None:
+                    return key, cached
+                utts = [self.utts[i] for i in chunk]
+                return key, pool.submit(self._make_batch, utts)
+
+            it = iter(chunks)
+            try:
+                for chunk in it:
+                    window.append(submit(chunk))
+                    if len(window) <= self.num_workers:
+                        continue
+                    key, item = window.pop(0)
+                    if isinstance(item, Batch):
+                        yield item
+                    else:
+                        batch = item.result()
+                        self._maybe_cache(key, batch)
+                        yield batch
+                for key, item in window:
+                    if isinstance(item, Batch):
+                        yield item
+                    else:
+                        batch = item.result()
+                        self._maybe_cache(key, batch)
+                        yield batch
+            finally:
+                # consumer abandoned the epoch: drop queued work so the
+                # pool shuts down promptly
+                for _, item in window:
+                    if not isinstance(item, Batch):
+                        item.cancel()
 
     def skip_epochs(self, k: int) -> None:
         """Advance the shuffle RNG past k epochs without building batches.

@@ -454,7 +454,8 @@ def train(corpus_path: str, model_path: str, num_epochs: int | None = None,
         train_manifest, alphabet, per_host_bs,
         sample_rate=cfg.features.sample_rate,
         seed=cfg.train.seed, shard_index=proc, shard_count=nproc,
-        cache_mb=cfg.train.cache_audio_mb)
+        cache_mb=cfg.train.cache_audio_mb,
+        num_workers=cfg.train.loader_threads)
     # (the PrefetchIterator wrap happens below, once the mesh/plan exist:
     # its producer thread stages each batch onto the device so H2D
     # transfers overlap step dispatch instead of blocking the loop)
@@ -617,11 +618,31 @@ def train(corpus_path: str, model_path: str, num_epochs: int | None = None,
     eval_step = plan.make_eval_step()
     logger = StepLogger(model_path)
 
+    # preemption safety: SIGTERM requests a final mid-epoch model_last save
+    # and a clean return (utils/preempt.py); resume=True continues at the
+    # next batch of the same shuffled order. restore() runs on every normal
+    # exit path; an exception leaves the handler installed only until the
+    # process dies, which is where an exception in train() goes anyway.
+    from .utils.preempt import install_preemption_handler
+
+    preempted, restore_sigterm = install_preemption_handler()
+
+    def _interrupted_summary():
+        return {"train_losses": train_losses, "val_losses": val_losses,
+                "steps": step, "best_path": ckpt.best_path,
+                "last_path": ckpt.last_path, "config": cfg,
+                "alphabet": alphabet,
+                "params": plan.canonical_params(params)}
+
     tracing = False  # --profile_steps: device trace of steady-state steps
     run_steps = 0  # steps run by THIS process (vs `step`, which resumes)
     save_every = cfg.train.save_every_steps
     for epoch in range(start_epoch, cfg.train.num_epochs + 1):
-        epoch_loss, n_batches = 0.0, 0
+        # the epoch loss accumulates ON DEVICE: float(loss) per step would
+        # synchronize the host with every step and stall async dispatch
+        # (the device idles while the host waits); one bulk fetch at the
+        # epoch boundary instead
+        epoch_loss, n_batches = None, 0
         # absolute batch index within the epoch (a resumed mid-epoch pass
         # starts at its recorded offset; n_batches counts only the batches
         # THIS process ran, for the loss mean)
@@ -658,10 +679,10 @@ def train(corpus_path: str, model_path: str, num_epochs: int | None = None,
             run_steps += 1
             n_batches += 1
             batch_pos += 1
-            loss_val = float(loss)
-            epoch_loss += loss_val
+            epoch_loss = loss if epoch_loss is None else epoch_loss + loss
             if is_main and step % cfg.train.log_every == 0:
-                logger.log(step=step, epoch=epoch, loss=loss_val,
+                # host sync only at the log boundary
+                logger.log(step=step, epoch=epoch, loss=float(loss),
                            utts_per_sec=batch.size * n_batches / (time.time() - t0))
             if save_every and is_main and batch_pos % save_every == 0:
                 # preemption safety: model_last mid-epoch, with the batch
@@ -676,20 +697,34 @@ def train(corpus_path: str, model_path: str, num_epochs: int | None = None,
                 # background=True: the D2H transfer + write happen on the
                 # checkpoint worker thread, off the training step
                 ckpt.save(plan.canonical_state(mid), background=True)
+            if preempted.is_set():
+                # SIGTERM mid-epoch: save model_last at the exact batch
+                # position (even without --save_every_steps) and leave
+                if is_main:
+                    mid = {"params": params, "opt_state": opt_state,
+                           "step": step, "epoch": epoch,
+                           "batches_done": batch_pos,
+                           "best_val_loss": ckpt.best_val}
+                    if use_ema:
+                        mid["ema_params"] = ema_params
+                    ckpt.save(plan.canonical_state(mid))
+                    ckpt.flush()
+                    print(f"[train] SIGTERM: saved model_last at epoch "
+                          f"{epoch} batch {batch_pos}; rerun with resume "
+                          "to continue")
+                restore_sigterm()
+                return _interrupted_summary()
             if stop_after_steps and step >= stop_after_steps:
                 # preemption-simulation hook (tests): vanish mid-epoch
                 ckpt.flush()  # pending background saves land before exit
-                return {"train_losses": train_losses,
-                        "val_losses": val_losses, "steps": step,
-                        "best_path": ckpt.best_path,
-                        "last_path": ckpt.last_path, "config": cfg,
-                        "alphabet": alphabet,
-                        "params": plan.canonical_params(params)}
+                restore_sigterm()
+                return _interrupted_summary()
         if tracing:  # epoch shorter than the trace window
             jax.profiler.stop_trace()
             tracing = False
             print(f"[train] device trace written to {model_path}/trace")
-        mean_train = epoch_loss / max(n_batches, 1)
+        mean_train = (float(epoch_loss) / max(n_batches, 1)
+                      if epoch_loss is not None else 0.0)
         train_losses.append(mean_train)
         if is_main:
             np.save(os.path.join(model_path, "train_loss.npy"),
@@ -760,6 +795,7 @@ def train(corpus_path: str, model_path: str, num_epochs: int | None = None,
                 print(f"[train] new best checkpoint ({name} {ckpt.best_val:.4f})")
 
     ckpt.flush()  # any trailing background saves land before we return
+    restore_sigterm()
     return {
         "train_losses": train_losses,
         "val_losses": val_losses,

@@ -289,3 +289,43 @@ def test_prefetch_transform_and_early_break(tmp_path):
     # a fresh epoch still works after the abandoned one
     out = [b for _, b in tagged]
     assert len(out) == len(base)
+
+
+def test_pooled_loader_matches_inline(tmp_path):
+    """num_workers>0 builds batches on a thread pool but must preserve the
+    inline path's exact batch order, composition, and contents (resume and
+    batch-cache semantics depend on determinism)."""
+    root = str(tmp_path)
+    _, alphabet = make_synthetic_corpus(root, n_utts=10, seed=11,
+                                        min_dur=0.1, max_dur=0.3)
+    utts = load_manifest(os.path.join(root, "train.tsv"),
+                         os.path.join(root, "clips"))
+
+    inline = BatchIterator(utts, alphabet, batch_size=3, seed=3)
+    pooled = BatchIterator(load_manifest(os.path.join(root, "train.tsv"),
+                                         os.path.join(root, "clips")),
+                           alphabet, batch_size=3, seed=3, num_workers=3,
+                           cache_mb=64.0)
+    for epoch in range(2):  # epoch 2 exercises the pool + batch-cache mix
+        a = list(inline)
+        b = list(pooled)
+        assert len(a) == len(b)
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(x.wave, y.wave)
+            np.testing.assert_array_equal(x.labels, y.labels)
+            np.testing.assert_array_equal(x.num_samples, y.num_samples)
+            assert x.texts == y.texts
+
+
+def test_pooled_loader_early_break(tmp_path):
+    """Abandoning an epoch mid-stream cancels queued decode work and a
+    fresh epoch still yields the full batch list."""
+    root = str(tmp_path)
+    _, alphabet = make_synthetic_corpus(root, n_utts=8, seed=12,
+                                        min_dur=0.1, max_dur=0.2)
+    utts = load_manifest(os.path.join(root, "train.tsv"),
+                         os.path.join(root, "clips"))
+    it = BatchIterator(utts, alphabet, batch_size=2, num_workers=2)
+    for _ in it:
+        break
+    assert len(list(it)) == len(it)
