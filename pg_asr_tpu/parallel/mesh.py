@@ -28,6 +28,13 @@ def init_distributed(coordinator_address: str | None = None,
     # NB: do NOT touch jax.devices()/process_count() here — any backend
     # query initializes XLA and makes initialize() fail permanently.
     try:
+        # CPU backends need an explicit cross-process collectives impl to
+        # form the global device topology (TPU pods use ICI/DCN natively);
+        # harmless on TPU, required for the 2-process CPU integration test
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    except Exception:
+        pass
+    try:
         kwargs = {}
         if coordinator_address:
             kwargs = dict(coordinator_address=coordinator_address,
@@ -35,7 +42,17 @@ def init_distributed(coordinator_address: str | None = None,
         jax.distributed.initialize(**kwargs)
         print(f"[mesh] jax.distributed initialized "
               f"(process {jax.process_index()}/{jax.process_count()})")
-    except (RuntimeError, ValueError) as e:  # single-process / re-init
+    except (RuntimeError, ValueError) as e:
+        if coordinator_address or (num_processes or 0) > 1:
+            # an EXPLICITLY configured cluster must FAIL, not silently fall
+            # back to single-process training (each host would train alone
+            # on its shard and checkpoints would race)
+            raise RuntimeError(
+                "jax.distributed.initialize failed for the configured "
+                f"cluster (coordinator={coordinator_address!r}, "
+                f"num_processes={num_processes}, process_id={process_id})"
+            ) from e
+        # bare auto-detect call on a non-pod box / already initialized
         print(f"[mesh] jax.distributed.initialize skipped: {e}")
 
 
