@@ -447,6 +447,34 @@ def bench_ours(skip_extras: bool = False) -> dict:
         _ = float(beam_chain(arrays[0]))
         out["eval_beam16_utts_per_sec"] = (BATCH * TIMED_STEPS
                                            / (time.time() - t0))
+
+        # production eval batching: the beam's per-frame fixed costs (the
+        # top-K sort launch per scan step) amortize over a bigger batch —
+        # measured throughput saturates around B=128 (docs/PERF.md r3)
+        w2 = jnp.tile(arrays[0], (2, 1))
+        ns2 = jnp.tile(arrays[1], (2,))
+
+        def beam_one2(w):
+            feats, mask, _ = extract_features(w, ns2, cfg.features)
+            lp = bilstm_ctc.apply(params, feats, mask, cfg.model, train=False)
+            flens = jnp.sum(mask, axis=1).astype(jnp.int32)
+            _, lens, nll = beam_decode(lp.astype(jnp.float32), flens,
+                                       beam_size=16, max_label_len=256)
+            return jnp.sum(nll)
+
+        @jax.jit
+        def beam_chain2(w):
+            def body(w, _):
+                out = beam_one2(w)
+                return w + 1e-12 * out, out
+            w, outs = jax.lax.scan(body, w, None, length=TIMED_STEPS // 2)
+            return outs[-1]
+
+        _ = float(beam_chain2(w2))  # compile
+        t0 = time.time()
+        _ = float(beam_chain2(w2))
+        out["eval_beam16_b128_utts_per_sec"] = (
+            2 * BATCH * (TIMED_STEPS // 2) / (time.time() - t0))
     except Exception as e:
         print(f"[bench] beam eval row failed: {e!r}", file=sys.stderr)
 

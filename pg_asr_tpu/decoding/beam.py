@@ -269,34 +269,43 @@ def _step_hash(state, lp, top_lp, top_sym, *, K: int, M: int, Lmax: int,
     ext_pnb = jnp.where(kill, NEG, ext_pnb)
 
     # ---- top-K over K stays + K*M extends ------------------------------------
-    # rank_topk + one-hot payload contractions instead of lax.top_k +
-    # gathers: the sort and the per-slot gathers were 78% of the step
-    # (benchmarks/beam_attr2.py ablation; docs/PERF.md).
+    # lax.top_k for SELECTION, integer index arithmetic + tiny (K,K)/(K,M)
+    # one-hot contractions for the PAYLOADS. History: the v1 sort+GATHER
+    # step was 78% gathers (benchmarks/beam_attr2.py); v2 replaced both
+    # with an O(C^2) pairwise rank + (C,K) one-hot contractions (13.7 ms
+    # /batch). Round-3 ablation (benchmarks/beam_round3.py) split v2's
+    # cost: the C^2 rank is SLOWER than lax.top_k's sort at C=K(1+M)=304
+    # (4.3 vs ~3 ms/batch) and the (C,K)/(K,M,K) payload one-hots cost
+    # another 4.6 ms in relayouts. Deriving (parent, sym) from top_idx by
+    # integer div/mod and contracting payloads through (K,K) matrices
+    # keeps the step gather-free while shrinking payload work ~20x:
+    # 13.0 -> 6.2 ms/batch measured on v5e, bit-identical results
+    # (lax.top_k and rank_topk share the lower-index tie order).
     scores = jnp.concatenate([_lae(stay_pb, stay_pnb), ext_pnb.reshape(-1)])
-    top_scores, oh = rank_topk(scores, K)
+    top_scores, top_idx = jax.lax.top_k(scores, K)       # (K,) each
 
-    ohi = oh.astype(jnp.int32)
-    stay_ohi = ohi[:K]                                   # (K, K)
-    ext_ohi = ohi[K:].reshape(K, M, K)
-    par_ohi = stay_ohi + jnp.sum(ext_ohi, axis=1)        # (K, K) parent map
-    par_ohf = par_ohi.astype(scores.dtype)
-    is_stay = jnp.sum(stay_ohi, axis=0) > 0
-    parent = jnp.sum(par_ohi * jnp.arange(K)[:, None], axis=0)
-    sym_i = jnp.sum(ext_ohi * top_sym[None, :, None], axis=(0, 1))
-    sym = jnp.where(is_stay, -1, sym_i)
+    is_stay = top_idx < K
+    parent = jnp.where(is_stay, top_idx, (top_idx - K) // M)   # (K,)
+    r = jnp.where(is_stay, 0, (top_idx - K) % M)               # (K,)
+    par_ohi = (parent[:, None] == jnp.arange(K)[None, :]).astype(jnp.int32)
+    par_ohf = par_ohi.astype(scores.dtype)                     # (new, old)
+    r_ohi = ((r[:, None] == jnp.arange(M)[None, :])
+             & (~is_stay)[:, None]).astype(jnp.int32)          # (K, M)
+    sym = jnp.sum(r_ohi * top_sym[None, :], axis=1)
+    sym = jnp.where(is_stay, -1, sym)
 
-    new_h = jnp.sum(par_ohi * h[:, None], axis=0)
+    new_h = jnp.sum(par_ohi * h[None, :], axis=1)
     new_h = jnp.where(is_stay, new_h,
                       new_h * _HASH_M + (jnp.maximum(sym, 0) + 1))
-    new_last = jnp.where(is_stay,
-                         jnp.sum(par_ohi * last[:, None], axis=0), sym)
-    new_lens = (jnp.sum(par_ohi * lens[:, None], axis=0)
+    new_last = jnp.where(is_stay, jnp.sum(par_ohi * last[None, :], axis=1),
+                         sym)
+    new_lens = (jnp.sum(par_ohi * lens[None, :], axis=1)
                 + (~is_stay).astype(lens.dtype))
     # stays need (p_b, p_nb) split; an extend's whole mass is its score in p_nb
     new_pb = jnp.where(is_stay,
-                       jnp.sum(par_ohf * stay_pb[:, None], axis=0), NEG)
+                       jnp.sum(par_ohf * stay_pb[None, :], axis=1), NEG)
     new_pnb = jnp.where(is_stay,
-                        jnp.sum(par_ohf * stay_pnb[:, None], axis=0),
+                        jnp.sum(par_ohf * stay_pnb[None, :], axis=1),
                         top_scores)
     dead = top_scores <= NEG / 2
     new_pb = jnp.where(dead, NEG, new_pb)
@@ -308,10 +317,15 @@ def _step_hash(state, lp, top_lp, top_sym, *, K: int, M: int, Lmax: int,
 
 
 def _scan_hash(log_probs, frame_len, *, K: int, A: int, Lmax: int,
-               blank: int):
+               blank: int, prune: int | None = None, unroll: int = 1):
     """Forward pass of the hash-impl beam: runs the frame scan and returns
     the final per-slot (lens, scores) plus the (T, K) backpointer records
-    every slot can be reconstructed from."""
+    every slot can be reconstructed from.
+
+    prune: cap on the per-frame top-M symbol count. None/>=K+2 keeps the
+    search EXACT (see _step_hash); smaller values shrink the candidate set
+    (and the rank/top-K work) at a measured, bounded accuracy deviation.
+    unroll: lax.scan unroll factor (less per-iteration loop overhead)."""
     h = jnp.zeros((K,), jnp.int32)
     last = jnp.full((K,), -1, jnp.int32)
     lens = jnp.zeros((K,), jnp.int32)
@@ -322,7 +336,7 @@ def _scan_hash(log_probs, frame_len, *, K: int, A: int, Lmax: int,
     # per-frame top-M symbols, hoisted out of the scan (ONE batched top_k
     # over all frames instead of T sequential ones); M = K+2 keeps the
     # pruned search exact — see _step_hash
-    M = min(A, K + 2)
+    M = min(A, K + 2) if prune is None else max(2, min(A, prune))
     top_lp, top_sym = jax.lax.top_k(log_probs, M)  # (T, M) each
 
     def body(state, inp):
@@ -339,7 +353,8 @@ def _scan_hash(log_probs, frame_len, *, K: int, A: int, Lmax: int,
 
     ts = jnp.arange(log_probs.shape[0])
     (h, last, lens, p_b, p_nb), (parents, syms) = jax.lax.scan(
-        body, (h, last, lens, p_b, p_nb), (log_probs, top_lp, top_sym, ts))
+        body, (h, last, lens, p_b, p_nb), (log_probs, top_lp, top_sym, ts),
+        unroll=unroll)
     return lens, _lae(p_b, p_nb), parents, syms
 
 
@@ -360,10 +375,11 @@ def _backtrack_slot(slot, parents, syms, Lmax: int):
 
 
 def _decode_one_hash(log_probs, frame_len, *, K: int, A: int, Lmax: int,
-                     blank: int):
+                     blank: int, prune: int | None = None, unroll: int = 1):
     """Backpointer variant of _decode_one. Same return contract."""
     lens, scores, parents, syms = _scan_hash(log_probs, frame_len, K=K, A=A,
-                                             Lmax=Lmax, blank=blank)
+                                             Lmax=Lmax, blank=blank,
+                                             prune=prune, unroll=unroll)
     best = jnp.argmax(scores)
     prefix = _backtrack_slot(best, parents, syms, Lmax)
     return prefix, lens[best], -scores[best], (None, lens, scores)
@@ -461,34 +477,39 @@ def _step_hash_lm(state, lp, lmn, *, K: int, A: int, Lmax: int, blank: int,
         [lens, jnp.broadcast_to(lens[:, None] + 1, (K, A)).reshape(-1)])
     fused = cand_ac + lam * cand_lm + beta * cand_len.astype(cand_ac.dtype)
     fused = jnp.where(cand_ac <= NEG / 2, NEG, fused)
-    # rank_topk + one-hot contractions (same swap as _step_hash)
-    top_fused, oh = rank_topk(fused, K)
-    ohf = oh.astype(fused.dtype)
-    ohi = oh.astype(jnp.int32)
-    stay_ohi = ohi[:K]
-    ext_ohi = ohi[K:].reshape(K, A, K)
-    par_ohi = stay_ohi + jnp.sum(ext_ohi, axis=1)
+    # lax.top_k selection + integer-derived payloads (same redesign as
+    # _step_hash; the LM step additionally needs the selected acoustic and
+    # LM masses, contracted through the (K, K)/(K, A) one-hots)
+    top_fused, top_idx = jax.lax.top_k(fused, K)
+    is_stay = top_idx < K
+    parent = jnp.where(is_stay, top_idx, (top_idx - K) // A)
+    r = jnp.where(is_stay, 0, (top_idx - K) % A)
+    par_ohi = (parent[:, None] == jnp.arange(K)[None, :]).astype(jnp.int32)
     par_ohf = par_ohi.astype(fused.dtype)
-    is_stay = jnp.sum(stay_ohi, axis=0) > 0
-    parent = jnp.sum(par_ohi * jnp.arange(K)[:, None], axis=0)
-    sym_i = jnp.sum(ext_ohi * jnp.arange(A)[None, :, None], axis=(0, 1))
-    sym = jnp.where(is_stay, -1, sym_i)
-    ac_sel = jnp.sum(ohf * cand_ac[:, None], axis=0)
-    lm_sel = jnp.sum(ohf * cand_lm[:, None], axis=0)
+    r_ohf = ((r[:, None] == jnp.arange(A)[None, :])
+             & (~is_stay)[:, None]).astype(fused.dtype)       # (K, A)
+    sym = jnp.where(is_stay, -1, r).astype(jnp.int32)
 
-    par_h = jnp.sum(par_ohi * h[:, None], axis=0)
+    par_ac = jnp.sum(par_ohf * _lae(stay_pb, stay_pnb)[None, :], axis=1)
+    ext_ac_sel = jnp.sum(r_ohf * (par_ohf @ ext_pnb), axis=1)
+    ac_sel = jnp.where(is_stay, par_ac, ext_ac_sel)
+    par_lm = jnp.sum(par_ohf * lm[None, :], axis=1)
+    lm_step = jnp.sum(r_ohf * (par_ohf @ lmn), axis=1)
+    lm_sel = jnp.where(is_stay, par_lm, par_lm + lm_step)
+
+    par_h = jnp.sum(par_ohi * h[None, :], axis=1)
     new_h = jnp.where(is_stay, par_h,
                       par_h * _HASH_M + (jnp.maximum(sym, 0) + 1))
-    par_last = jnp.sum(par_ohi * last[:, None], axis=0)
+    par_last = jnp.sum(par_ohi * last[None, :], axis=1)
     new_last = jnp.where(is_stay, par_last, sym)
     new_last2 = jnp.where(is_stay,
-                          jnp.sum(par_ohi * last2[:, None], axis=0), par_last)
-    new_lens = (jnp.sum(par_ohi * lens[:, None], axis=0)
+                          jnp.sum(par_ohi * last2[None, :], axis=1), par_last)
+    new_lens = (jnp.sum(par_ohi * lens[None, :], axis=1)
                 + (~is_stay).astype(lens.dtype))
     new_pb = jnp.where(is_stay,
-                       jnp.sum(par_ohf * stay_pb[:, None], axis=0), NEG)
+                       jnp.sum(par_ohf * stay_pb[None, :], axis=1), NEG)
     new_pnb = jnp.where(is_stay,
-                        jnp.sum(par_ohf * stay_pnb[:, None], axis=0), ac_sel)
+                        jnp.sum(par_ohf * stay_pnb[None, :], axis=1), ac_sel)
     dead = ac_sel <= NEG / 2
     new_pb = jnp.where(dead, NEG, new_pb)
     new_pnb = jnp.where(dead, NEG, new_pnb)
@@ -585,12 +606,13 @@ def _backtrack_batch(parents, syms, lens, scores, Lmax):
 
 
 @partial(jax.jit, static_argnames=("beam_size", "max_label_len", "blank",
-                                   "impl", "interpret"))
+                                   "impl", "interpret", "prune", "unroll"))
 def beam_decode(log_probs: jnp.ndarray, frame_lens: jnp.ndarray,
                 beam_size: int = 16, max_label_len: int = 256,
                 blank: int = 0, impl: str | None = None,
                 interpret: bool = False, lm=None, lm_weight=0.3,
-                length_bonus=0.0):
+                length_bonus=0.0, prune: int | None = None,
+                unroll: int = 1):
     """Batched CTC prefix beam search on device.
 
     Args:
@@ -608,6 +630,11 @@ def beam_decode(log_probs: jnp.ndarray, frame_lens: jnp.ndarray,
         only; nll becomes the negative fused decision score.
       lm_weight / length_bonus: fusion coefficients (traced scalars — no
         recompile when tuning).
+      prune: per-frame top-M symbol cap for the hash impl. None keeps the
+        EXACT M=K+2 (pruning provably cannot change the result); smaller
+        M shrinks the per-frame candidate set K(1+M) — faster, with a
+        measured, bounded deviation (benchmarks/beam_round3.py).
+      unroll: lax.scan unroll factor for the frame loop (hash impl).
     Returns:
       labels: (B, max_label_len) int32 best prefixes (0-padded),
       lens: (B,) int32,
@@ -640,7 +667,10 @@ def beam_decode(log_probs: jnp.ndarray, frame_lens: jnp.ndarray,
         labels, lens, nll = _backtrack_batch(parents, syms, lens, scores,
                                              Lmax)
     else:
-        one = _decode_one_hash if impl == "hash" else _decode_one
+        if impl == "hash":
+            one = partial(_decode_one_hash, prune=prune, unroll=unroll)
+        else:
+            one = _decode_one
         fn = partial(one, K=beam_size, A=A, Lmax=Lmax, blank=blank)
         labels, lens, nll, _ = jax.vmap(fn)(log_probs.astype(jnp.float32),
                                             frame_lens.astype(jnp.int32))

@@ -129,3 +129,36 @@ def test_pallas_beam_matches_host_oracle():
     got = tuple(np.asarray(labels[0][: int(lens[0])]).tolist())
     assert got == tuple(ref_seq)
     assert float(nll[0]) == pytest.approx(ref_nll, rel=1e-3, abs=1e-3)
+
+
+def test_exact_prune_and_unroll_are_bit_identical():
+    """prune >= K+2 is provably exact and unroll only restructures the
+    scan: both must reproduce the default decode bit-for-bit."""
+    rng = np.random.default_rng(123)
+    T, S, K, B = 20, 8, 6, 4
+    probs = np.stack([_rand_probs(rng, T, S, sharp=2.0) for _ in range(B)])
+    lp = np.log(probs).astype(np.float32)
+    flens = np.array([T, T - 3, T // 2, 2], np.int32)
+    base = beam_decode(lp, flens, beam_size=K, max_label_len=T)
+    for kw in ({"prune": K + 2}, {"unroll": 4}, {"prune": K + 2, "unroll": 2}):
+        got = beam_decode(lp, flens, beam_size=K, max_label_len=T, **kw)
+        for a, b in zip(base, got):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=str(kw))
+
+
+def test_aggressive_prune_stays_close_on_peaked_posteriors():
+    """prune below the exactness threshold is an opt-in speed knob with a
+    BOUNDED deviation: on peaked (trained-model-like) posteriors the top-1
+    must agree on the overwhelming majority of utterances."""
+    rng = np.random.default_rng(7)
+    T, S, K, B = 30, 12, 8, 24
+    probs = np.stack([_rand_probs(rng, T, S, sharp=4.0) for _ in range(B)])
+    lp = np.log(probs).astype(np.float32)
+    flens = np.full(B, T, np.int32)
+    bl, bn, _ = beam_decode(lp, flens, beam_size=K, max_label_len=T)
+    pl, pn, _ = beam_decode(lp, flens, beam_size=K, max_label_len=T, prune=4)
+    same = [int(bn[i]) == int(pn[i])
+            and bool(np.all(np.asarray(bl[i][: int(bn[i])])
+                            == np.asarray(pl[i][: int(pn[i])])))
+            for i in range(B)]
+    assert np.mean(same) >= 0.8, np.mean(same)
