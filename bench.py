@@ -246,9 +246,15 @@ def _bench_e2e(n_utts: int = 256, epochs: int = 2,
         step_fn = make_train_step(cfg, opt)
         rng = training_rng(0)
 
+        # num_workers mirrors train()'s loader_threads default: batches
+        # decode on pool threads while the prefetch producer spends its
+        # time on device staging — measured on this box the single
+        # producer serializes decode (6.6 ms) + tunnel H2D (6.9 ms) per
+        # batch, past the 9 ms step (docs/PERF.md r3)
         base_it = BatchIterator(manifest, alphabet, BATCH, shuffle=False,
                                 sample_rate=cfg.features.sample_rate,
-                                cache_mb=cache_mb)
+                                cache_mb=cache_mb,
+                                num_workers=cfg.train.loader_threads)
 
         def stage(batch):
             # device staging in the producer thread (train() does the same
@@ -608,6 +614,7 @@ def main() -> int:
     }
     for k in ("flops_per_step", "mfu", "device_kind", "peak_flops",
               "eval_greedy_utts_per_sec", "eval_beam16_utts_per_sec",
+              "eval_beam16_b128_utts_per_sec",
               "e2e_train_utts_per_sec", "e2e_cached_train_utts_per_sec"):
         if ours.get(k) is not None:
             v = ours[k]

@@ -257,8 +257,11 @@ class TrainConfig:
     # decode workers building batches ahead of the prefetch/staging thread
     # (data/dataset.BatchIterator num_workers; 0 = inline). The native WAV
     # decoder releases the GIL, so workers scale with host cores; the
-    # prefetch producer is then free to spend its time on device staging
-    loader_threads: int = 2
+    # prefetch producer is then free to spend its time on device staging.
+    # -1 = auto: 2 on hosts with >= 4 cores, 0 otherwise — on a 1-core
+    # host extra threads only thrash the GIL (measured: 5.1k -> 3.5k
+    # utts/s uncached e2e, docs/PERF.md r3)
+    loader_threads: int = -1
     # built-batch RAM cache budget (MB, 0 = off): bucketed batch composition
     # is identical across epochs, so corpora that fit the budget pay disk
     # read + WAV decode + padding only in epoch 1 — steady-state epochs

@@ -200,7 +200,12 @@ class BatchIterator:
         # bounded in-order sliding window (batch ORDER and composition are
         # unchanged — resume/cache semantics depend on determinism). The
         # native decoder releases the GIL, so workers scale on real hosts;
-        # 0 keeps the inline single-thread path.
+        # 0 keeps the inline single-thread path; -1 = auto (2 on hosts
+        # with >= 4 cores, else 0 — on a 1-core host extra threads only
+        # thrash the GIL against the staging/dispatch threads, measured
+        # docs/PERF.md r3).
+        if num_workers < 0:
+            num_workers = 2 if (os.cpu_count() or 1) >= 4 else 0
         self.num_workers = int(num_workers)
 
     def _load(self, utt: Utterance) -> np.ndarray:
