@@ -11,9 +11,13 @@ phonetic (audio encodes the transcript per-character) so the delta
 measures real learning, not memorization. Full numbers: docs/PERF.md
 "Policy-gradient fine-tuning improves CER on hardware".
 
-Run: python examples/pg_improves_cer.py [workdir] [objective]
+Run: python examples/pg_improves_cer.py [workdir] [objective] [family]
 objective = "reinforce" (default) or "mwer" (expected-CER over the
 on-device n-best, --pg_objective mwer equivalent).
+family = "ctc" (default) or "seq2seq" — the latter runs SCST (sampled
+decoder continuations + greedy self-critic) or seq2seq-MWER on the
+reference's own namesake architecture (its reward() consumes decoder
+posteriors, reference policy_grad.py:4-16, model.py:174-183).
 """
 
 import json
@@ -35,6 +39,7 @@ def main() -> int:
     enable_persistent_compilation_cache()
     work = sys.argv[1] if len(sys.argv) > 1 else "/tmp/pg_demo"
     objective = sys.argv[2] if len(sys.argv) > 2 else "reinforce"
+    family = sys.argv[3] if len(sys.argv) > 3 else "ctc"
     corpus = os.path.join(work, "corpus")
     model = os.path.join(work, "model")
     if not os.path.exists(os.path.join(corpus, "train.tsv")):
@@ -43,12 +48,19 @@ def main() -> int:
     cfg = Config(
         features=FeatureConfig(kind="logmel", n_mels=40, n_fft=256,
                                win_length=256, hop_length=128),
-        model=ModelConfig(vocab_size=8, input_dim=40, input_proj_dim=128,
-                          hidden_size=64, num_layers=2, dropout=0.1),
+        model=ModelConfig(family=family, vocab_size=8, input_dim=40,
+                          input_proj_dim=128, hidden_size=64, num_layers=2,
+                          dropout=0.1),
         train=TrainConfig(num_epochs=16, batch_size=8, learning_rate=3e-3,
                           warmup_steps=50, log_every=10000,
                           prefetch_depth=0),
     )
+    if family == "seq2seq":
+        from pg_asr_tpu.config import Seq2SeqConfig
+
+        # dot attention contract: dec_hidden == 2 * encoder hidden_size
+        cfg = cfg.replace(seq2seq=Seq2SeqConfig(vocab_size=8, embed_dim=32,
+                                                dec_hidden=128))
     if objective != "reinforce":
         cfg = cfg.replace(rl=cfg.rl.__class__(
             **{**cfg.rl.__dict__, "objective": objective, "mwer_beam": 8}))
@@ -69,7 +81,7 @@ def main() -> int:
     print(json.dumps({
         "cer_before": before["cer"], "wer_before": before["wer"],
         "cer_after": after["cer"], "wer_after": after["wer"],
-        "objective": objective,
+        "objective": objective, "family": family,
         "train_s": round(t_train, 1), "pg_s": round(t_pg, 1)}))
     return 0
 

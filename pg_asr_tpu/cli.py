@@ -45,6 +45,16 @@ def build_parser() -> argparse.ArgumentParser:
                         "this order (trained from the corpus train.tsv) "
                         "into the beam ranking; 0 = off")
     p.add_argument("--lm_weight", type=float, default=0.3)
+    p.add_argument("--lm_type", type=str, default="ngram",
+                   choices=["ngram", "neural"],
+                   help="predict: fusion LM flavor — add-k n-gram table "
+                        "or a small LSTM LM with beam-carried states "
+                        "(decoding/neural_lm.py; needs --lm_order != 0 to "
+                        "enable fusion, cached at model_path/"
+                        "lm_neural.ckpt)")
+    p.add_argument("--lm_steps", type=int, default=300,
+                   help="predict: neural-LM training steps (--lm_type "
+                        "neural)")
     p.add_argument("--length_bonus", type=float, default=0.0)
     p.add_argument("--lang", type=str, default="en")
     p.add_argument("--librispeech_root", type=str, default=None,
@@ -413,7 +423,8 @@ def main(argv=None) -> int:
                 beam_size=args.beam_size, lm_order=args.lm_order,
                 lm_weight=args.lm_weight, length_bonus=args.length_bonus,
                 lm_train_tsv=(os.path.join(corpus, "train.tsv")
-                              if (args.lm_order and corpus) else None))
+                              if (args.lm_order and corpus) else None),
+                lm_type=args.lm_type, lm_steps=args.lm_steps)
         return 0
 
     if args.mode == "export":

@@ -582,6 +582,63 @@ def _decode_one_hash_lm(log_probs, frame_len, lm_tab, lam, beta, *, K: int,
             (None, lens, fused))
 
 
+def _decode_one_hash_nlm(log_probs, frame_len, nlm_params, lam, beta, *,
+                         K: int, A: int, Lmax: int, blank: int):
+    """Neural-LM shallow-fusion variant of _decode_one_hash_lm: instead of
+    an n-gram table row, each live hypothesis carries its LSTM LM state
+    (decoding/neural_lm.py; state has consumed [BOS, prefix...]), the
+    per-frame (K, A) next-symbol log-probs come from ONE head matmul, and
+    after selection the extended slots advance by one batched LSTM step
+    routed through the (K, K) parent one-hot — gather-free, like every
+    other payload in the scan. Ranking/merging reuses _step_hash_lm
+    verbatim (it only consumes the (K, A) LM rows)."""
+    from .neural_lm import lm_advance, lm_init_state, lm_next_logp
+
+    T = log_probs.shape[0]
+    h = jnp.zeros((K,), jnp.int32)
+    last = jnp.full((K,), -1, jnp.int32)
+    last2 = jnp.full((K,), -1, jnp.int32)
+    lens = jnp.zeros((K,), jnp.int32)
+    p_b = jnp.full((K,), NEG).at[0].set(0.0)
+    p_nb = jnp.full((K,), NEG)
+    lm = jnp.zeros((K,))
+    lm_state = lm_init_state(nlm_params, K)  # (L, 2, K, H) f32
+    idk = jnp.arange(K)
+
+    def body(carry, inp):
+        state, lm_state = carry
+        lp, t = inp
+        lmn = lm_next_logp(nlm_params, lm_state)  # (K, A)
+        new_state, (parent, sym) = _step_hash_lm(state, lp, lmn, K=K, A=A,
+                                                 Lmax=Lmax, blank=blank,
+                                                 lam=lam, beta=beta)
+        # LM states follow the beam: parent-select, then advance extends
+        par_oh = (parent[:, None] == idk[None, :]).astype(lm_state.dtype)
+        state_sel = jnp.einsum("jp,lgph->lgjh", par_oh, lm_state)
+        onehot = jax.nn.one_hot(jnp.maximum(sym, 0), A, dtype=lm_state.dtype)
+        advanced = lm_advance(nlm_params, state_sel, onehot)
+        new_lm_state = jnp.where((sym >= 0)[None, None, :, None], advanced,
+                                 state_sel)
+        active = t < frame_len
+        state = jax.tree_util.tree_map(
+            lambda n, o: jnp.where(active, n, o), new_state, state)
+        new_lm_state = jnp.where(active, new_lm_state, lm_state)
+        parent = jnp.where(active, parent, idk)
+        sym = jnp.where(active, sym, -1)
+        return (state, new_lm_state), (parent, sym)
+
+    ts = jnp.arange(T)
+    init = ((h, last, last2, lens, p_b, p_nb, lm), lm_state)
+    ((h, last, last2, lens, p_b, p_nb, lm), _), (parents, syms) = \
+        jax.lax.scan(body, init, (log_probs, ts))
+
+    fused = _lae(p_b, p_nb) + lam * lm + beta * lens.astype(p_b.dtype)
+    fused = jnp.where(_lae(p_b, p_nb) <= NEG / 2, NEG, fused)
+    best = jnp.argmax(fused)
+    prefix = _backtrack_slot(best, parents, syms, Lmax)
+    return prefix, lens[best], -fused[best], (None, lens, fused)
+
+
 def _backtrack_batch(parents, syms, lens, scores, Lmax):
     """Shared backpointer reconstruction. parents/syms (T, B, K);
     lens/scores (B, K). Returns (labels (B, Lmax), lens (B,), nll (B,))."""
@@ -612,7 +669,7 @@ def beam_decode(log_probs: jnp.ndarray, frame_lens: jnp.ndarray,
                 blank: int = 0, impl: str | None = None,
                 interpret: bool = False, lm=None, lm_weight=0.3,
                 length_bonus=0.0, prune: int | None = None,
-                unroll: int = 1):
+                unroll: int = 1, neural_lm=None):
     """Batched CTC prefix beam search on device.
 
     Args:
@@ -635,6 +692,9 @@ def beam_decode(log_probs: jnp.ndarray, frame_lens: jnp.ndarray,
         M shrinks the per-frame candidate set K(1+M) — faster, with a
         measured, bounded deviation (benchmarks/beam_round3.py).
       unroll: lax.scan unroll factor for the frame loop (hash impl).
+      neural_lm: LSTM LM params (decoding/neural_lm.py) for shallow
+        fusion with beam-carried LM states; mutually exclusive with `lm`.
+        Same fused objective and lm_weight/length_bonus coefficients.
     Returns:
       labels: (B, max_label_len) int32 best prefixes (0-padded),
       lens: (B,) int32,
@@ -644,6 +704,22 @@ def beam_decode(log_probs: jnp.ndarray, frame_lens: jnp.ndarray,
     Lmax = min(max_label_len, T)
     if impl is None:
         impl = "hash"
+    if neural_lm is not None:
+        if lm is not None:
+            raise ValueError("pass either lm (n-gram table) or neural_lm, "
+                             "not both")
+        if impl != "hash":
+            raise ValueError("neural-LM shallow fusion requires impl='hash' "
+                             f"(got {impl!r})")
+        fn = partial(_decode_one_hash_nlm, K=beam_size, A=A, Lmax=Lmax,
+                     blank=blank)
+        labels, lens, nll, _ = jax.vmap(
+            fn, in_axes=(0, 0, None, None, None))(
+            log_probs.astype(jnp.float32), frame_lens.astype(jnp.int32),
+            neural_lm, jnp.float32(lm_weight), jnp.float32(length_bonus))
+        if Lmax < max_label_len:
+            labels = jnp.pad(labels, ((0, 0), (0, max_label_len - Lmax)))
+        return labels, lens, nll
     if lm is not None:
         if impl != "hash":
             raise ValueError("LM shallow fusion requires impl='hash' "

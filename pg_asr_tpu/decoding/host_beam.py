@@ -59,11 +59,21 @@ class HostCTCBeamDecoder:
         if lm is None:
             key = lambda kv: _lae(kv[1][0], kv[1][1])  # noqa: E731
         else:
-            from .lm import score_prefix
+            # lm: an (A,A)/(A,A,A) log-prob table OR any callable
+            # prefix -> log P_lm(prefix) (e.g. the neural LM's
+            # score_prefix_neural) — the oracle for fusion-parity tests
+            if callable(lm):
+                score = lm
+            else:
+                from functools import partial
+
+                from .lm import score_prefix
+
+                score = partial(score_prefix, lm)
 
             def key(kv):
                 prefix, (pb, pnb) = kv
-                return (_lae(pb, pnb) + lm_weight * score_prefix(lm, prefix)
+                return (_lae(pb, pnb) + lm_weight * score(prefix)
                         + length_bonus * len(prefix))
 
         # beam: prefix tuple -> [p_blank, p_no_blank] (log space)

@@ -137,12 +137,16 @@ def predict(test_path: str, aud_path: str, alphabet_path: str, model_path: str,
             decoder: str = "greedy", beam_size: int | None = None,
             which_ckpt: str = "best", limit: int | None = None,
             lm_order: int = 0, lm_weight: float = 0.3,
-            length_bonus: float = 0.0, lm_train_tsv: str | None = None) -> dict:
+            length_bonus: float = 0.0, lm_train_tsv: str | None = None,
+            lm_type: str = "ngram", lm_steps: int = 300) -> dict:
     """Decode a test manifest and report CER/WER (+ predicted.txt dump).
 
     With lm_order in (2, 3) and decoder="beam", a character n-gram LM is
     trained from lm_train_tsv's transcripts (decoding/lm.py) and shallow-
-    fused into the beam ranking."""
+    fused into the beam ranking. lm_type="neural" (with any lm_order != 0
+    to enable fusion) instead trains a small LSTM LM
+    (decoding/neural_lm.py) — cached at <model_path>/lm_neural.ckpt — and
+    fuses it with beam-carried LM states."""
     # tokenizer choice comes from the model's training config (text.units
     # round-trips through config.json); BPE artifacts live next to
     # alphabet.txt in the corpus dir
@@ -162,6 +166,7 @@ def predict(test_path: str, aud_path: str, alphabet_path: str, model_path: str,
     if decoder not in ("greedy", "beam"):
         raise ValueError(f"unknown decoder {decoder!r}")
     lm_tab = None
+    neural_lm = None
     if lm_order:
         if cfg.model.family == "transducer":
             raise ValueError("LM shallow fusion is a CTC-beam feature; the "
@@ -174,10 +179,24 @@ def predict(test_path: str, aud_path: str, alphabet_path: str, model_path: str,
             raise ValueError("LM shallow fusion needs --decoder beam")
         if not lm_train_tsv:
             raise ValueError("lm_order set but no lm_train_tsv to train on")
-        from .decoding.lm import lm_from_manifest
+        if lm_type == "neural":
+            from .decoding.neural_lm import (load_lm, save_lm,
+                                             train_neural_lm)
 
-        lm_manifest = load_manifest(lm_train_tsv, aud_path)
-        lm_tab = lm_from_manifest(lm_manifest, alphabet, order=lm_order)
+            lm_path = os.path.join(model_path, "lm_neural.ckpt")
+            neural_lm = load_lm(lm_path, alphabet.size)
+            if neural_lm is None:
+                lm_manifest = load_manifest(lm_train_tsv, aud_path)
+                neural_lm = train_neural_lm(
+                    (u.text for u in lm_manifest), alphabet, steps=lm_steps)
+                save_lm(neural_lm, lm_path)
+                print(f"[predict] neural LM trained ({lm_steps} steps) -> "
+                      f"{lm_path}")
+        else:
+            from .decoding.lm import lm_from_manifest
+
+            lm_manifest = load_manifest(lm_train_tsv, aud_path)
+            lm_tab = lm_from_manifest(lm_manifest, alphabet, order=lm_order)
 
     utts = load_manifest(test_path, aud_path)
     if limit:
@@ -227,7 +246,8 @@ def predict(test_path: str, aud_path: str, alphabet_path: str, model_path: str,
                                           beam_size=beam_size,
                                           max_label_len=cfg.decode.max_label_len,
                                           lm=lm_tab, lm_weight=lm_weight,
-                                          length_bonus=length_bonus)
+                                          length_bonus=length_bonus,
+                                          neural_lm=neural_lm)
             hyps = ids_to_strings(labels, lens, alphabet)
         else:
             raise ValueError(f"unknown decoder {decoder!r}")
