@@ -75,8 +75,17 @@ def normalize_features(feats: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
 def _dropout(x, rate, rng, train):
     if not train or rate <= 0.0 or rng is None:
         return x
-    keep = jax.random.bernoulli(rng, 1.0 - rate, x.shape)
-    return jnp.where(keep, x / (1.0 - rate), 0.0)
+    # uint8 threshold mask, NOT bernoulli's f32 uniforms: 4x fewer random
+    # bits per element. RNG was the largest non-matmul cost of the
+    # transformer_large train step (~12% with the rbg generator, ~23%
+    # with threefry — benchmarks/attn_breakdown.py); the drop probability
+    # quantizes to 1/256, immaterial for regularization, and the keep
+    # scaling uses the EXACT quantized probability so the mask stays
+    # unbiased.
+    thresh = int(round(rate * 256.0))
+    keep_p = 1.0 - thresh / 256.0
+    bits = jax.random.bits(rng, x.shape, dtype=jnp.uint8)
+    return jnp.where(bits >= thresh, x / keep_p, 0.0)
 
 
 def encode(params: dict, feats: jnp.ndarray, frame_mask: jnp.ndarray,
