@@ -72,6 +72,16 @@ python main.py --mode train --corpus_path "$CORPUS" --model_path "$MODEL.aug" \
 python main.py --mode finetune_pg --corpus_path "$CORPUS" --model_path "$MODEL" \
     --pg_objective mwer --mwer_beam 8 --pg_steps 500 --batch_size 32
 
+# SPMD meshes, drivable from the CLI: data parallel, GPipe pipeline,
+# ZeRO-style FSDP (params + Adam moments sharded; data=2,fsdp=4 = HSDP)
+python main.py --mode train --corpus_path "$CORPUS" --model_path "$MODEL.dp" \
+    --mesh data=8 --num_epochs 10 --batch_size 64
+python main.py --mode train --corpus_path "$CORPUS" --model_path "$MODEL.pp" \
+    --model transformer --mesh data=2,pipe=2 --microbatches 4 \
+    --num_epochs 10 --batch_size 64
+python main.py --mode train --corpus_path "$CORPUS" --model_path "$MODEL.fs" \
+    --model transformer --mesh fsdp=8 --num_epochs 10 --batch_size 64
+
 # deployment export: one self-contained StableHLO artifact (weights baked
 # in; loadable via jax.export.deserialize with no pg_asr_tpu dependency),
 # optionally weight-only int8 (~4x smaller file)

@@ -64,9 +64,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mesh", type=str, default=None,
                    help="train: device mesh spec, e.g. data=8 | "
                         "data=2,model=2 | data=2,pipe=2 | data=2,seq=2 | "
-                        "data=2,expert=2 — 'data' composes with any one "
-                        "other axis; the step routes through the matching "
-                        "strategy (parallel/driver.py)")
+                        "data=2,expert=2 | fsdp=8 (ZeRO-sharded params/"
+                        "optimizer) — 'data' composes with any one other "
+                        "axis (data=2,fsdp=4 is HSDP); the step routes "
+                        "through the matching strategy (parallel/driver.py)")
     p.add_argument("--microbatches", type=int, default=None,
                    help="train with a pipe axis: microbatches per batch "
                         "(default: the pipe axis size)")
@@ -354,6 +355,20 @@ def _config(args, from_model_path: bool = False):
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+
+    # Honour JAX_PLATFORMS=cpu BEFORE the backend initializes: this image
+    # pins jax_platforms to "axon,cpu", which overrides the env var, and
+    # backend init then touches the axon (TPU tunnel) plugin even for
+    # CPU-selected runs — a dead tunnel hangs a pure-CPU job forever.
+    env_plat = (os.environ.get("JAX_PLATFORMS")
+                or os.environ.get("JAX_PLATFORM_NAME") or "").strip().lower()
+    if env_plat == "cpu":
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
 
     # persistent XLA compile cache: repeat runs (and irrelevant-flag
     # changes) skip the tunnel's minutes-long server-side compiles

@@ -13,9 +13,11 @@ through the right strategy library —
   pipe      GPipe pipeline                 parallel/pipeline.py (shard_map)
   seq       sequence (time) parallelism    parallel/sequence.py (shard_map)
   expert    switch-MoE expert parallelism  parallel/moe.py (pjit/GSPMD)
+  fsdp      ZeRO-style sharded state       parallel/fsdp.py (pjit/GSPMD)
 
 Composition: 'data' composes with any one other axis (dp x tp, dp x pp,
-dp x sp, dp x ep), and two THREE-axis topologies compose on top:
+dp x sp, dp x ep, HSDP dp x fsdp), and two THREE-axis topologies compose
+on top:
 dp x pp x tp (Megatron column/row splits inside every GPipe stage — one
 psum over 'model' per sublayer, qkv columns permuted to the
 rank-contiguous layout by pipeline.permute_qkv_for_tp) and dp x tp x ep
@@ -38,7 +40,7 @@ import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-MESH_AXES = ("data", "model", "pipe", "seq", "expert")
+MESH_AXES = ("data", "model", "pipe", "seq", "expert", "fsdp")
 
 
 def parse_mesh_spec(spec: str) -> tuple[tuple[int, ...], tuple[str, ...]]:
@@ -118,7 +120,7 @@ class ParallelPlan:
     def __init__(self, cfg, mesh: Mesh):
         self.cfg = cfg
         self.mesh = mesh
-        live = [a for a in ("model", "pipe", "seq", "expert")
+        live = [a for a in ("model", "pipe", "seq", "expert", "fsdp")
                 if _live(mesh, a)]
         composable = (
             {"model", "expert"},  # dp x tp x ep (GSPMD sharding rules)
@@ -162,6 +164,22 @@ class ParallelPlan:
                         f"model axis size {t} must divide num_heads="
                         f"{cfg.transformer.num_heads} and ffn_dim="
                         f"{cfg.transformer.ffn_dim}")
+        if self.strategy == "fsdp":
+            from .fsdp import shardable_fraction
+            from ..train import init_model_params
+
+            n = mesh.shape["fsdp"]
+            # shapes only — no device allocation for the probe
+            probe = jax.eval_shape(
+                lambda: init_model_params(jax.random.PRNGKey(0), cfg))
+            frac = shardable_fraction(probe, n)
+            if frac == 0.0:
+                raise ValueError(
+                    f"fsdp={n} shards NO parameter leaf of this model "
+                    "(no dimension divisible by the axis size) — it would "
+                    "silently degrade to replicated data parallelism; "
+                    "pick an axis size that divides the layer dims")
+            self.fsdp_coverage = frac
         if self.strategy == "expert":
             E = cfg.transformer.num_experts
             n = mesh.shape["expert"]
@@ -181,6 +199,8 @@ class ParallelPlan:
         n = self.mesh.shape.get("data", 1)
         if self.strategy == "pipe":
             n *= self.microbatches
+        if self.strategy == "fsdp":
+            n *= self.mesh.shape["fsdp"]  # batch splits over data x fsdp
         return n
 
     # -- parameter layout / placement --------------------------------------
@@ -246,6 +266,10 @@ class ParallelPlan:
             from .mesh import shard_params
 
             return shard_params(params, mesh)
+        if self.strategy == "fsdp":
+            from .fsdp import shard_params_fsdp
+
+            return shard_params_fsdp(params, mesh)
         return params  # 'data': replicated by _replicate_unplaced
 
     # -- steps -------------------------------------------------------------

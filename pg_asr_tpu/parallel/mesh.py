@@ -85,10 +85,12 @@ def make_mesh(shape: tuple[int, ...] = (), axes: tuple[str, ...] = ("data",),
 
 
 def data_sharding(mesh: Mesh) -> NamedSharding:
-    """Batch-dim sharding over the 'data' axis (replicated on meshes
-    without one, e.g. a pure ('pipe',) mesh)."""
-    spec = P("data") if "data" in mesh.axis_names else P()
-    return NamedSharding(mesh, spec)
+    """Batch-dim sharding over the batch-carrying axes: 'data', plus
+    'fsdp' when present (FSDP is data parallelism with sharded state, so
+    the batch splits over both). Replicated on meshes without either,
+    e.g. a pure ('pipe',) mesh)."""
+    axes = tuple(a for a in ("data", "fsdp") if a in mesh.axis_names)
+    return NamedSharding(mesh, P(axes) if axes else P())
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
@@ -130,7 +132,7 @@ def shard_batch_arrays(arrays, mesh: Mesh, batch_multiple: int | None = None):
 
     batch_multiple overrides the zero-row padding multiple (the pipeline
     strategy needs data_shards x microbatches rows)."""
-    n_data = mesh.shape.get("data", 1)
+    n_data = mesh.shape.get("data", 1) * mesh.shape.get("fsdp", 1)
     mult = batch_multiple if batch_multiple is not None else n_data
     s = data_sharding(mesh)
     if jax.process_count() > 1:

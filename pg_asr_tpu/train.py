@@ -183,7 +183,7 @@ def _use_shard_map(cfg: Config, mesh) -> bool:
     if mesh is None or mesh.size <= 1:
         return False
     if any(mesh.shape.get(a, 1) > 1
-           for a in ("model", "pipe", "seq", "expert")):
+           for a in ("model", "pipe", "seq", "expert", "fsdp")):
         return False
     if cfg.model.family == "transformer" and cfg.transformer.num_experts > 0:
         return False

@@ -71,9 +71,10 @@ def test_predict_dispatch_defaults_paths(monkeypatch):
 def test_finetune_pg_dispatch(monkeypatch):
     captured = {}
 
-    def fake_pg(corpus, model, num_steps=0, batch_size=None, config=None):
+    def fake_pg(corpus, model, num_steps=0, batch_size=None, config=None,
+                eval_every=0):
         captured.update(corpus=corpus, num_steps=num_steps,
-                        batch_size=batch_size)
+                        batch_size=batch_size, eval_every=eval_every)
 
     import pg_asr_tpu.rl.reinforce as rl_mod
     monkeypatch.setattr(rl_mod, "finetune_pg", fake_pg)
@@ -99,7 +100,8 @@ def test_finetune_pg_config_loads_saved_family(monkeypatch, tmp_path):
 
     captured = {}
 
-    def fake_pg(corpus, model, num_steps=0, batch_size=None, config=None):
+    def fake_pg(corpus, model, num_steps=0, batch_size=None, config=None,
+                eval_every=0):
         captured["config"] = config
 
     import pg_asr_tpu.rl.reinforce as rl_mod
