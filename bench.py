@@ -71,6 +71,34 @@ _PEAK_FLOPS = (
 )
 
 
+def _tpu_probe_ok(timeout_s: float = 150.0) -> bool:
+    """Is the default (tunnel) backend reachable? A dead axon tunnel hangs
+    backend init FOREVER at make_c_api_client (no error, 0% CPU — observed
+    live), which would hang the whole bench run; probe in a killable
+    subprocess instead."""
+    import subprocess
+
+    try:
+        r = subprocess.run([sys.executable, "-c", "import jax; jax.devices()"],
+                           timeout=timeout_s, capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
+def _apply_forced_cpu():
+    """Honour the CPU fallback BEFORE this process's first backend use.
+    Setting env vars is not enough: the image pins jax_platforms to
+    "axon,cpu", which overrides JAX_PLATFORMS."""
+    if os.environ.get("PGASR_BENCH_FORCE_CPU") == "1":
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
+
+
 def _enable_compilation_cache():
     """Persistent XLA compile cache: conformer/transducer first-compiles
     survive across bench invocations (VERDICT r1 #4)."""
@@ -584,10 +612,27 @@ def main() -> int:
     args = ap.parse_args()
 
     if args.e2e_only:
+        _apply_forced_cpu()
         _enable_compilation_cache()
         val = _bench_e2e(cache_mb=args.e2e_cache_mb)
         print(val if val else 0.0)
         return 0
+
+    # Guard against a dead TPU tunnel: fall back to a CPU run (flagged in
+    # the output) rather than hanging forever in backend init. An explicit
+    # JAX_PLATFORMS=cpu (dev runs) skips the probe and forces CPU directly.
+    tpu_unreachable = False
+    env_cpu = (os.environ.get("JAX_PLATFORMS")
+               or os.environ.get("JAX_PLATFORM_NAME") or "").strip().lower()
+    if env_cpu == "cpu":
+        os.environ["PGASR_BENCH_FORCE_CPU"] = "1"  # e2e children inherit
+    elif (os.environ.get("PGASR_BENCH_FORCE_CPU") != "1"
+          and not _tpu_probe_ok()):
+        print("[bench] TPU backend unreachable (probe timed out) — "
+              "falling back to CPU", file=sys.stderr)
+        os.environ["PGASR_BENCH_FORCE_CPU"] = "1"
+        tpu_unreachable = True
+    _apply_forced_cpu()
 
     baseline = None
     if not args.remeasure and os.path.exists(CACHE):
@@ -612,6 +657,8 @@ def main() -> int:
         "baseline_utts_per_sec": round(baseline["utts_per_sec"], 3),
         "backend": ours["backend"],
     }
+    if tpu_unreachable:
+        result["tpu_unreachable"] = True  # CPU fallback numbers, not TPU
     for k in ("flops_per_step", "mfu", "device_kind", "peak_flops",
               "eval_greedy_utts_per_sec", "eval_beam16_utts_per_sec",
               "eval_beam16_b128_utts_per_sec",

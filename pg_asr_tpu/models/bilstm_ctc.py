@@ -82,7 +82,11 @@ def _dropout(x, rate, rng, train):
     # quantizes to 1/256, immaterial for regularization, and the keep
     # scaling uses the EXACT quantized probability so the mask stays
     # unbiased.
-    thresh = int(round(rate * 256.0))
+    # clamp the quantized threshold to [1, 255]: a rate in (0, 1) must
+    # always drop something and keep something (rate < 1/512 would round
+    # to thresh=0 = dropout silently OFF; rate ~1 would round to 256 =
+    # keep_p 0 and a divide-by-zero in the keep branch)
+    thresh = min(max(int(round(rate * 256.0)), 1), 255)
     keep_p = 1.0 - thresh / 256.0
     bits = jax.random.bits(rng, x.shape, dtype=jnp.uint8)
     return jnp.where(bits >= thresh, x / keep_p, 0.0)

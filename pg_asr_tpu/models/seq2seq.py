@@ -254,11 +254,8 @@ def beam_generate(params: dict, feats: jnp.ndarray, frame_mask: jnp.ndarray,
         length_norm)
     best = jnp.argmax(normed, axis=1)  # (B,)
     pick = jax.vmap(lambda a, i: a[i])
-    tokens = pick(buf, best)  # (B, S)
+    tokens = pick(buf, best)  # (B, S) — already zero-padded after EOS
     out_lens = pick(lens, best).astype(jnp.int32)
-    # zero-pad everything after the first EOS
-    pos = jnp.arange(max_steps)[None, :]
-    tokens = jnp.where(pos < out_lens[:, None], tokens, 0)
     return tokens, out_lens, pick(normed, best)
 
 
@@ -325,7 +322,11 @@ def beam_scan_from_encoder(params: dict, enc_out: jnp.ndarray,
                      jnp.argmax(is_eos, axis=2), max_steps)  # (B, K)
     penalty = jnp.power((5.0 + lens.astype(jnp.float32)) / 6.0,
                         jnp.float32(length_norm))
-    normed = scores / jnp.maximum(penalty, 1e-6)
+    # dead beams keep the RAW -1e30 sentinel: dividing it by the length
+    # penalty would lift it above the -1e29 liveness cutoff consumers
+    # (rl/reinforce._mwer_seq2seq_terms) threshold against
+    normed = jnp.where(scores > jnp.float32(-1e29),
+                       scores / jnp.maximum(penalty, 1e-6), NEG)
     # zero-pad every beam after its first EOS
     pos = jnp.arange(max_steps)[None, None, :]
     buf = jnp.where(pos < lens[:, :, None], buf, 0)

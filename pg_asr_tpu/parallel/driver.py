@@ -129,8 +129,9 @@ class ParallelPlan:
         if len(live) > 1 and set(live) not in composable:
             raise ValueError(
                 f"mesh composes {live} — 'data' composes with any ONE of "
-                "model/pipe/seq/expert (plus the GSPMD pair "
-                "model+expert); other compositions are not supported")
+                "model/pipe/seq/expert/fsdp (plus the GSPMD pairs "
+                "model+expert and model+pipe); other compositions are "
+                "not supported")
         # primary routing key: the strategy that owns parameter layout and
         # the train/eval steps ('model' rides along via sharding rules)
         non_model = [a for a in live if a != "model"]

@@ -10,6 +10,7 @@ per-utterance Python loop over full posteriors pulled to the host.
 
 from __future__ import annotations
 
+import json
 import os
 from functools import partial
 
@@ -184,14 +185,35 @@ def predict(test_path: str, aud_path: str, alphabet_path: str, model_path: str,
                                              train_neural_lm)
 
             lm_path = os.path.join(model_path, "lm_neural.ckpt")
-            neural_lm = load_lm(lm_path, alphabet.size)
+            # the cache is keyed on WHAT it was trained on: reusing a
+            # checkpoint after --lm_steps or the training TSV changed
+            # would silently report fusion CER for a stale LM
+            meta = {"steps": lm_steps, "vocab": alphabet.size,
+                    "tsv": os.path.abspath(lm_train_tsv),
+                    "tsv_size": os.path.getsize(lm_train_tsv),
+                    "tsv_mtime": int(os.path.getmtime(lm_train_tsv))}
+            meta_path = lm_path + ".json"
+            cached = None
+            if os.path.exists(meta_path):
+                try:
+                    with open(meta_path) as fo:
+                        cached = json.load(fo)
+                except Exception:
+                    cached = None
+            neural_lm = load_lm(lm_path, alphabet.size) \
+                if cached == meta else None
             if neural_lm is None:
                 lm_manifest = load_manifest(lm_train_tsv, aud_path)
                 neural_lm = train_neural_lm(
                     (u.text for u in lm_manifest), alphabet, steps=lm_steps)
                 save_lm(neural_lm, lm_path)
+                with open(meta_path, "w") as fo:
+                    json.dump(meta, fo)
                 print(f"[predict] neural LM trained ({lm_steps} steps) -> "
                       f"{lm_path}")
+            else:
+                print(f"[predict] neural LM reused from {lm_path} "
+                      f"(same steps + training TSV)")
         else:
             from .decoding.lm import lm_from_manifest
 

@@ -116,10 +116,12 @@ def _mwer_combine(logp, risk, live, valid_rows, extra_metrics=None):
     expected_risk = (jnp.sum(jnp.where(valid, risk_bar, 0.0))
                      / jnp.maximum(den, 1.0))
     metrics = {
-        "expected_cer": expected_risk,
+        # "risk", not "cer": the granularity follows rl.reward (CER by
+        # default, word-level WER with reward=neg_wer)
+        "expected_risk": expected_risk,
         # the reward analogue the finetune_pg driver logs/curves
         "reward_mean": -expected_risk,
-        "oracle_cer": jnp.sum(jnp.where(
+        "oracle_risk": jnp.sum(jnp.where(
             valid, jnp.min(jnp.where(live, risk, jnp.inf), axis=1), 0.0))
         / jnp.maximum(den, 1.0),
         "nbest_live": jnp.mean(jnp.sum(live.astype(jnp.float32), axis=1)),
@@ -143,6 +145,16 @@ def _mwer_terms(log_probs, mask, frame_lens, labels, label_lens, rl):
 
     # risk granularity follows rl.reward: CER (default) or word-level WER
     if rl.reward == "neg_wer":
+        if rl.space_id < 0:
+            # same contract sequence_reward enforces: an unresolved space
+            # id would make every sequence hash to ONE word and the "WER"
+            # risk silently degenerate to a 0/1 exact-match indicator
+            raise ValueError(
+                "mwer with reward=neg_wer needs the alphabet's space id "
+                "(rl.space_id) — finetune_pg resolves it from "
+                "alphabet.txt; set it explicitly when building steps "
+                "directly")
+
         def risk_fn(h, hl):
             return wer_from_ids(labels, label_lens, h, hl, rl.space_id)
     else:
@@ -614,31 +626,12 @@ def finetune_pg(corpus_path: str, model_path: str, num_steps: int = 200,
             dev_rows = None  # fewer dev rows than hosts: skip eval everywhere
 
     def _dev_cer(eval_params) -> float:
-        from ..train import _batch_cer_counts
+        from ..train import sharded_corpus_cer
 
-        dev_it = BatchIterator(dev_rows, alphabet, per_host_bs, shuffle=False,
-                               sample_rate=cfg.features.sample_rate,
-                               shard_index=proc, shard_count=nproc)
-        cap = (None if nproc == 1
-               else -(-(len(dev_rows) // nproc) // per_host_bs))
-        d_sum, l_sum, n = 0, 0, 0
-        for b in dev_it:
-            d, L = _batch_cer_counts(eval_params, b, cfg, alphabet)
-            d_sum += d
-            l_sum += L
-            n += 1
-            if cap is not None and n >= cap:
-                break  # equal collective counts across hosts
-        if nproc > 1:
-            from jax.experimental import multihost_utils
+        return sharded_corpus_cer(eval_params, dev_rows, alphabet, cfg,
+                                  per_host_bs)
 
-            counts = multihost_utils.process_allgather(
-                np.array([d_sum, l_sum], np.int64))
-            d_sum = int(np.sum(counts[..., 0]))
-            l_sum = int(np.sum(counts[..., 1]))
-        return d_sum / max(l_sum, 1)
-
-    def _save(step, val, tag_best=True):
+    def _save(step, val):
         if proc != 0:  # params replicated: only the main process writes
             return False
         state = {"params": params, "opt_state": opt_state, "step": step,

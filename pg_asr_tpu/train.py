@@ -350,16 +350,43 @@ def _batch_cer_counts(params, batch, cfg: Config, alphabet):
     return d_sum, l_sum
 
 
-def _val_cer(params, dev_it, cfg: Config, alphabet, cap=None) -> float:
-    """Corpus CER of a greedy decode over a dev iterator (one pass)."""
+def _allreduce_cer_counts(d_sum: int, l_sum: int) -> tuple[int, int]:
+    """Sum additive (edit-distance, ref-length) counts across hosts so the
+    corpus CER covers every process's shard. No-op single-process."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        counts = multihost_utils.process_allgather(
+            np.array([d_sum, l_sum], np.int64))
+        d_sum = int(np.sum(counts[..., 0]))
+        l_sum = int(np.sum(counts[..., 1]))
+    return d_sum, l_sum
+
+
+def sharded_corpus_cer(params, rows, alphabet, cfg: Config,
+                       per_host_bs: int) -> float:
+    """Greedy corpus CER over a manifest sharded across hosts: each host
+    decodes its own shard, every host runs the SAME number of batches
+    (equal collective counts — decode steps contain jitted device calls),
+    and the additive counts allreduce at the end. Shared by train()'s
+    select-on-CER path's discipline and finetune_pg's eval_every."""
+    from .data.dataset import BatchIterator
+
+    proc, nproc = jax.process_index(), jax.process_count()
+    it = BatchIterator(rows, alphabet, per_host_bs, shuffle=False,
+                       sample_rate=cfg.features.sample_rate,
+                       shard_index=proc, shard_count=nproc)
+    cap = (None if nproc == 1
+           else -(-(len(rows) // nproc) // per_host_bs))
     d_sum, l_sum, n = 0, 0, 0
-    for batch in dev_it:
+    for batch in it:
         d, L = _batch_cer_counts(params, batch, cfg, alphabet)
         d_sum += d
         l_sum += L
         n += 1
         if cap is not None and n >= cap:
             break
+    d_sum, l_sum = _allreduce_cer_counts(d_sum, l_sum)
     return d_sum / max(l_sum, 1)
 
 
@@ -697,7 +724,18 @@ def train(corpus_path: str, model_path: str, num_epochs: int | None = None,
                 # background=True: the D2H transfer + write happen on the
                 # checkpoint worker thread, off the training step
                 ckpt.save(plan.canonical_state(mid), background=True)
-            if preempted.is_set():
+            stop_now = preempted.is_set()
+            if nproc > 1:
+                # one host's SIGTERM must become EVERY host's decision: a
+                # process that saves and returns alone leaves its peers
+                # blocked in the next training-step collective forever.
+                # One tiny allgather per step — noise next to the per-step
+                # gradient reduction.
+                from jax.experimental import multihost_utils
+
+                stop_now = bool(np.any(multihost_utils.process_allgather(
+                    np.array([stop_now], dtype=bool))))
+            if stop_now:
                 # SIGTERM mid-epoch: save model_last at the exact batch
                 # position (even without --save_every_steps) and leave
                 if is_main:
@@ -758,15 +796,8 @@ def train(corpus_path: str, model_path: str, num_epochs: int | None = None,
                 np.save(os.path.join(model_path, "val_losses.npy"),
                         np.array(val_losses))
             if select_on_cer:
-                if nproc > 1:
-                    # corpus CER over ALL hosts' dev shards: sum the
-                    # additive (distance, ref_len) counts across processes
-                    from jax.experimental import multihost_utils
-
-                    counts = multihost_utils.process_allgather(
-                        np.array([cer_d, cer_l], np.int64))
-                    cer_d = int(np.sum(counts[..., 0]))
-                    cer_l = int(np.sum(counts[..., 1]))
+                # corpus CER over ALL hosts' dev shards
+                cer_d, cer_l = _allreduce_cer_counts(cer_d, cer_l)
                 cur_cer = cer_d / max(cer_l, 1)
 
         dt = time.time() - t0

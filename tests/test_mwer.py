@@ -114,7 +114,7 @@ def _toy_batch(cfg, B=3, seed=4):
     return wave, ns, labels, label_lens
 
 
-def test_mwer_step_reduces_expected_cer():
+def test_mwer_step_reduces_expected_risk():
     """Pure-MWER gradient steps reduce the n-best expected CER."""
     import optax
 
@@ -143,15 +143,15 @@ def test_mwer_step_reduces_expected_cer():
     # differentiable baseline makes sum w_k (cer_k - cer_bar) == 0): the
     # pure-MWER gradient must be a real training signal, not float noise
     assert float(gnorm0) > 1e-3, f"MWER gradient collapsed: {float(gnorm0)}"
-    before = float(m0["expected_cer"])
+    before = float(m0["expected_risk"])
     for _ in range(12):
         params, opt_state, m, _ = step(params, opt_state)
-    after = float(m["expected_cer"])
+    after = float(m["expected_risk"])
     assert np.isfinite(before) and np.isfinite(after)
     # demand a MEANINGFUL drop (numerical drift of a no-op objective is
     # orders of magnitude below this)
     assert after < before - 0.02, (before, after)
-    assert float(m["oracle_cer"]) <= after + 1e-6
+    assert float(m["oracle_risk"]) <= after + 1e-6
 
 
 def test_mwer_shard_parity():
@@ -200,7 +200,7 @@ def test_finetune_pg_mwer_end_to_end(tmp_path):
     out = finetune_pg(corpus, model_dir, num_steps=5, config=cfg)
     assert len(out["rewards"]) == 5
     assert all(np.isfinite(out["rewards"]))
-    assert all(-1.5 <= r <= 0.0 for r in out["rewards"])  # -expected_cer
+    assert all(-1.5 <= r <= 0.0 for r in out["rewards"])  # -expected_risk
 
 
 def test_mwer_grads_finite_with_ragged_padding_rows():

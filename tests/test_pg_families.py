@@ -136,19 +136,19 @@ def test_scst_seq2seq_improves_reward():
     assert last > first + 0.05, (first, last)
 
 
-def test_mwer_seq2seq_reduces_expected_cer():
+def test_mwer_seq2seq_reduces_expected_risk():
     cfg = _seq2seq_cfg(objective="mwer")
     _, hist = _run_steps(cfg, 15, lr=1e-2)
     _, m0, gnorm0 = hist[0]
     _, mN, _ = hist[-1]
     assert gnorm0 > 1e-4, f"seq2seq MWER gradient collapsed: {gnorm0}"
-    assert np.isfinite(m0["expected_cer"]) and np.isfinite(mN["expected_cer"])
-    assert mN["expected_cer"] < m0["expected_cer"] - 0.02, (m0, mN)
+    assert np.isfinite(m0["expected_risk"]) and np.isfinite(mN["expected_risk"])
+    assert mN["expected_risk"] < m0["expected_risk"] - 0.02, (m0, mN)
     # the ADVICE fix: the forward pg loss IS the expected risk, not zero
     assert abs(hist[0][0]) > 1e-3
 
 
-def test_mwer_transducer_reduces_expected_cer():
+def test_mwer_transducer_reduces_expected_risk():
     from pg_asr_tpu.train import init_model_params
 
     cfg = _transducer_cfg()
@@ -158,9 +158,9 @@ def test_mwer_transducer_reduces_expected_cer():
     _, m0, gnorm0 = hist[0]
     _, mN, _ = hist[-1]
     assert gnorm0 > 1e-4, f"transducer MWER gradient collapsed: {gnorm0}"
-    assert np.isfinite(m0["expected_cer"]) and np.isfinite(mN["expected_cer"])
-    assert mN["expected_cer"] < m0["expected_cer"] - 0.01, (m0, mN)
-    assert mN["oracle_cer"] <= mN["expected_cer"] + 1e-6
+    assert np.isfinite(m0["expected_risk"]) and np.isfinite(mN["expected_risk"])
+    assert mN["expected_risk"] < m0["expected_risk"] - 0.01, (m0, mN)
+    assert mN["oracle_risk"] <= mN["expected_risk"] + 1e-6
 
 
 def test_transducer_reinforce_objective_rejected():
