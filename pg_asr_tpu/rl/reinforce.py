@@ -610,6 +610,44 @@ def finetune_pg(corpus_path: str, model_path: str, num_steps: int = 200,
     pg_step = make_pg_step(cfg, optimizer, mesh)
     ckpt = CheckpointManager(model_path)
     logger = StepLogger(model_path)
+
+    # Resume an interrupted PG run: PG checkpoints carry epoch=-1 (the PG
+    # marker, vs the supervised driver's epoch counter), so a model_last
+    # from a preempted/killed PG run picks the run back up at the saved
+    # step with the saved optimizer state and best-dev-CER. A supervised
+    # model_last (epoch >= 0, or a mid-epoch state with batches_done) is
+    # left alone — the run starts fresh from model_best as before. Not
+    # bit-exact vs an uninterrupted run (the per-epoch shuffled batch
+    # stream restarts; train()'s supervised resume is the bit-exact one).
+    from ..checkpoint import load_checkpoint
+
+    start_step = 0
+    if os.path.exists(ckpt.last_path):
+        template = {"params": jax.device_get(params),
+                    "opt_state": jax.device_get(opt_state),
+                    "step": 0, "epoch": 0, "best_val_loss": 0.0}
+        if use_ema:
+            template["ema_params"] = jax.device_get(ema_params)
+        try:
+            prev = load_checkpoint(ckpt.last_path, template)
+        except Exception:
+            prev = None  # structure mismatch: not a PG checkpoint
+        if (prev is not None and int(prev.get("epoch", 0)) == -1
+                and int(prev["step"]) < num_steps):
+            params = replicate(prev["params"], mesh)
+            opt_state = replicate(prev["opt_state"], mesh)
+            if use_ema and "ema_params" in prev:
+                ema_params = replicate(prev["ema_params"], mesh)
+            start_step = int(prev["step"])
+            ckpt.best_val = float(prev.get("best_val_loss", float("inf")))
+            if proc == 0:
+                print(f"[pg] resumed from model_last at step {start_step}")
+
+    # preemption safety: SIGTERM saves model_last at the exact step and
+    # returns (same contract as train()); rerunning finetune_pg resumes
+    from ..utils.preempt import install_preemption_handler
+
+    preempted, restore_sigterm = install_preemption_handler()
     from ..utils.rand import training_rng
 
     rng = training_rng(cfg.train.seed + 17)
@@ -645,7 +683,7 @@ def finetune_pg(corpus_path: str, model_path: str, num_steps: int = 200,
     # tiny scalars are fetched in bulk at eval/log boundaries and at the end
     reward_dev: list = []
     dev_cers: list[tuple[int, float]] = []
-    step = 0
+    step = start_step
     t0 = time.time()
     while step < num_steps:
         for batch in it:
@@ -674,6 +712,25 @@ def finetune_pg(corpus_path: str, model_path: str, num_steps: int = 200,
                 elif proc == 0:
                     print(f"[pg] step {step}: dev CER {cer:.4f} "
                           f"(best {ckpt.best_val:.4f})")
+            stop_now = preempted.is_set()
+            if nproc > 1:
+                # one host's SIGTERM must become every host's decision
+                # (same discipline as train(): a lone early return leaves
+                # the peers blocked in the next collective)
+                from jax.experimental import multihost_utils
+
+                stop_now = bool(np.any(multihost_utils.process_allgather(
+                    np.array([stop_now], dtype=bool))))
+            if stop_now:
+                _save(step, val=None)  # model_last at the exact step
+                ckpt.flush()
+                if proc == 0:
+                    print(f"[pg] SIGTERM: saved model_last at step {step}; "
+                          "rerun finetune_pg to resume")
+                restore_sigterm()
+                rewards = [float(r) for r in reward_dev]
+                return {"rewards": rewards, "params": params, "config": cfg,
+                        "dev_cers": dev_cers, "interrupted": True}
             if step >= num_steps:
                 break
 
@@ -688,5 +745,6 @@ def finetune_pg(corpus_path: str, model_path: str, num_steps: int = 200,
             _save(step, val=-float(np.mean(rewards[-10:])))
         print(f"[pg] {step} steps, final reward {np.mean(rewards[-10:]):.4f} "
               f"({time.time()-t0:.1f}s)")
+    restore_sigterm()
     return {"rewards": rewards, "params": params, "config": cfg,
             "dev_cers": dev_cers}

@@ -76,3 +76,58 @@ def test_finetune_pg_eval_every_tracks_dev_cer(tmp_path):
         raw = serialization.msgpack_restore(f.read())
     assert abs(float(raw["best_val_loss"])
                - min(c for _, c in out["dev_cers"])) < 1e-9
+
+
+def test_finetune_pg_preempt_saves_and_resumes(tmp_path, monkeypatch, capsys):
+    """PG preemption safety + resume: a SIGTERM mid-run (simulated by a
+    pre-set preemption event — the signal plumbing itself is covered by
+    tests/test_preempt.py) saves model_last at the exact step with the
+    epoch=-1 PG marker and returns early; rerunning finetune_pg picks the
+    run back up at the saved step instead of restarting from scratch."""
+    from flax import serialization
+
+    import pg_asr_tpu.utils.preempt as preempt_mod
+    from pg_asr_tpu.rl.reinforce import finetune_pg
+    from pg_asr_tpu.train import train
+
+    corpus = str(tmp_path / "corpus")
+    os.makedirs(corpus)
+    make_synthetic_corpus(corpus, n_utts=8, seed=1, min_dur=0.2, max_dur=0.35)
+    model_dir = str(tmp_path / "model")
+    train(corpus, model_dir, config=tiny_config(), resume=False)
+
+    class FakeEvent:
+        """Reports 'preempted' from the 3rd per-step poll onwards."""
+
+        def __init__(self):
+            self.calls = 0
+
+        def is_set(self):
+            self.calls += 1
+            return self.calls >= 3
+
+    monkeypatch.setattr(preempt_mod, "install_preemption_handler",
+                        lambda: (FakeEvent(), lambda: None))
+    out = finetune_pg(corpus, model_dir, num_steps=6, config=tiny_config())
+    assert out.get("interrupted") is True
+    stopped_at = len(out["rewards"])
+    assert 0 < stopped_at < 6
+
+    with open(os.path.join(model_dir, "model_last.ckpt"), "rb") as f:
+        raw = serialization.msgpack_restore(f.read())
+    assert int(raw["epoch"]) == -1  # the PG marker
+    assert int(raw["step"]) == stopped_at
+
+    # rerun WITHOUT the fake preemption: resumes at the saved step and
+    # runs only the remaining steps to num_steps
+    monkeypatch.undo()
+    capsys.readouterr()
+    out2 = finetune_pg(corpus, model_dir, num_steps=6, config=tiny_config())
+    assert f"resumed from model_last at step {stopped_at}" \
+        in capsys.readouterr().out
+    assert "interrupted" not in out2
+    assert len(out2["rewards"]) == 6 - stopped_at
+
+    with open(os.path.join(model_dir, "model_last.ckpt"), "rb") as f:
+        raw2 = serialization.msgpack_restore(f.read())
+    assert int(raw2["step"]) == 6 and int(raw2["epoch"]) == -1
