@@ -55,6 +55,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--lm_steps", type=int, default=300,
                    help="predict: neural-LM training steps (--lm_type "
                         "neural)")
+    p.add_argument("--timestamps", action="store_true",
+                   help="predict: also write timestamps.jsonl with per-word "
+                        "[start, end] times (CTC emission peaks, seconds) "
+                        "and per-word/utterance confidences (greedy "
+                        "decoder, CTC families)")
     p.add_argument("--length_bonus", type=float, default=0.0)
     p.add_argument("--lang", type=str, default="en")
     p.add_argument("--librispeech_root", type=str, default=None,
@@ -439,7 +444,8 @@ def main(argv=None) -> int:
                 lm_weight=args.lm_weight, length_bonus=args.length_bonus,
                 lm_train_tsv=(os.path.join(corpus, "train.tsv")
                               if (args.lm_order and corpus) else None),
-                lm_type=args.lm_type, lm_steps=args.lm_steps)
+                lm_type=args.lm_type, lm_steps=args.lm_steps,
+                timestamps=args.timestamps)
         return 0
 
     if args.mode == "export":

@@ -139,7 +139,8 @@ def predict(test_path: str, aud_path: str, alphabet_path: str, model_path: str,
             which_ckpt: str = "best", limit: int | None = None,
             lm_order: int = 0, lm_weight: float = 0.3,
             length_bonus: float = 0.0, lm_train_tsv: str | None = None,
-            lm_type: str = "ngram", lm_steps: int = 300) -> dict:
+            lm_type: str = "ngram", lm_steps: int = 300,
+            timestamps: bool = False) -> dict:
     """Decode a test manifest and report CER/WER (+ predicted.txt dump).
 
     With lm_order in (2, 3) and decoder="beam", a character n-gram LM is
@@ -148,6 +149,9 @@ def predict(test_path: str, aud_path: str, alphabet_path: str, model_path: str,
     to enable fusion) instead trains a small LSTM LM
     (decoding/neural_lm.py) — cached at <model_path>/lm_neural.ckpt — and
     fuses it with beam-carried LM states."""
+    if timestamps and decoder != "greedy":
+        raise ValueError("--timestamps uses CTC emission peaks — "
+                         "greedy decoder only")
     # tokenizer choice comes from the model's training config (text.units
     # round-trips through config.json); BPE artifacts live next to
     # alphabet.txt in the corpus dir
@@ -166,6 +170,12 @@ def predict(test_path: str, aud_path: str, alphabet_path: str, model_path: str,
 
     if decoder not in ("greedy", "beam"):
         raise ValueError(f"unknown decoder {decoder!r}")
+    if timestamps:
+        if cfg.model.family in ("transducer", "seq2seq"):
+            raise ValueError("--timestamps needs a CTC-family model "
+                             "(frame-synchronous posteriors); the "
+                             f"{cfg.model.family} decoder is label-"
+                             "synchronous")
     lm_tab = None
     neural_lm = None
     if lm_order:
@@ -231,6 +241,7 @@ def predict(test_path: str, aud_path: str, alphabet_path: str, model_path: str,
 
     targets: list[str] = []
     predicted: list[str] = []
+    timing_rows: list[dict] = []
     for batch in it:
         if cfg.model.family == "transducer":
             labels, lens = _forward_transducer(
@@ -259,7 +270,34 @@ def predict(test_path: str, aud_path: str, alphabet_path: str, model_path: str,
         log_probs, mask, frame_lens = _forward(params, batch.wave,
                                                batch.num_samples, cfg)
         if decoder == "greedy":
-            labels, lens = greedy_decode(log_probs, mask)
+            if timestamps:
+                from .decoding.greedy import (assemble_word_timings,
+                                              greedy_decode_with_timing)
+
+                labels, lens, onsets, tok_lp = greedy_decode_with_timing(
+                    log_probs, mask)
+                labels, lens, onsets, tok_lp, flens_h = map(
+                    np.asarray, (labels, lens, onsets, tok_lp, frame_lens))
+                sr = cfg.features.sample_rate
+                for i in range(labels.shape[0]):
+                    # exact per-utterance frame duration: audio seconds
+                    # over MODEL output frames (family-agnostic — covers
+                    # any subsampling factor)
+                    spf = ((float(batch.num_samples[i]) / sr)
+                           / max(int(flens_h[i]), 1))
+                    n = int(lens[i])
+                    words = assemble_word_timings(
+                        labels[i], n, onsets[i], tok_lp[i], alphabet, spf)
+                    conf = (float(np.exp(np.mean(tok_lp[i][:n])))
+                            if n else 0.0)
+                    timing_rows.append({
+                        "target": batch.texts[i],
+                        "predicted": alphabet.decode(labels[i][:n]),
+                        "confidence": round(conf, 4),
+                        "words": words,
+                    })
+            else:
+                labels, lens = greedy_decode(log_probs, mask)
             hyps = ids_to_strings(labels, lens, alphabet)
         elif decoder == "beam":
             from .decoding.beam import beam_decode
@@ -277,6 +315,12 @@ def predict(test_path: str, aud_path: str, alphabet_path: str, model_path: str,
         predicted.extend(hyps)
 
     save_predictions(targets, predicted, model_path)
+    if timestamps:
+        ts_path = os.path.join(model_path, "timestamps.jsonl")
+        with open(ts_path, "w") as fo:
+            for row in timing_rows:
+                fo.write(json.dumps(row, ensure_ascii=False) + "\n")
+        print(f"[predict] word timings + confidences -> {ts_path}")
     stats = evaluate_corpus(targets, predicted)
     print(f"CER: {stats['cer_mean']:.4f} WER: {stats['wer_mean']:.4f} "
           f"(corpus: cer={stats['cer']:.4f} wer={stats['wer']:.4f}, "
