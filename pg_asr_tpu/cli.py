@@ -55,6 +55,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--lm_steps", type=int, default=300,
                    help="predict: neural-LM training steps (--lm_type "
                         "neural)")
+    p.add_argument("--lm_pass", type=str, default="fused",
+                   choices=("fused", "rescore"),
+                   help="predict with --lm_type neural: fuse the LM "
+                        "inside the beam search (biases the search) or "
+                        "re-rank the K-best afterwards in one batched LM "
+                        "sweep (decoding/rescore.py)")
     p.add_argument("--timestamps", action="store_true",
                    help="predict: also write timestamps.jsonl with per-word "
                         "[start, end] times (CTC emission peaks, seconds) "
@@ -445,7 +451,7 @@ def main(argv=None) -> int:
                 lm_train_tsv=(os.path.join(corpus, "train.tsv")
                               if (args.lm_order and corpus) else None),
                 lm_type=args.lm_type, lm_steps=args.lm_steps,
-                timestamps=args.timestamps)
+                lm_pass=args.lm_pass, timestamps=args.timestamps)
         return 0
 
     if args.mode == "export":

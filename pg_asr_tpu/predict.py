@@ -140,7 +140,7 @@ def predict(test_path: str, aud_path: str, alphabet_path: str, model_path: str,
             lm_order: int = 0, lm_weight: float = 0.3,
             length_bonus: float = 0.0, lm_train_tsv: str | None = None,
             lm_type: str = "ngram", lm_steps: int = 300,
-            timestamps: bool = False) -> dict:
+            lm_pass: str = "fused", timestamps: bool = False) -> dict:
     """Decode a test manifest and report CER/WER (+ predicted.txt dump).
 
     With lm_order in (2, 3) and decoder="beam", a character n-gram LM is
@@ -152,6 +152,12 @@ def predict(test_path: str, aud_path: str, alphabet_path: str, model_path: str,
     if timestamps and decoder != "greedy":
         raise ValueError("--timestamps uses CTC emission peaks — "
                          "greedy decoder only")
+    if lm_pass not in ("fused", "rescore"):
+        raise ValueError(f"unknown lm_pass {lm_pass!r}")
+    if lm_pass == "rescore" and lm_type != "neural":
+        raise ValueError("--lm_pass rescore re-ranks the n-best with the "
+                         "neural LM — set --lm_type neural (the n-gram "
+                         "table fuses in-beam)")
     # tokenizer choice comes from the model's training config (text.units
     # round-trips through config.json); BPE artifacts live next to
     # alphabet.txt in the corpus dir
@@ -300,14 +306,21 @@ def predict(test_path: str, aud_path: str, alphabet_path: str, model_path: str,
                 labels, lens = greedy_decode(log_probs, mask)
             hyps = ids_to_strings(labels, lens, alphabet)
         elif decoder == "beam":
-            from .decoding.beam import beam_decode
+            if neural_lm is not None and lm_pass == "rescore":
+                from .decoding.rescore import rescore_nbest
 
-            labels, lens, _ = beam_decode(log_probs, frame_lens,
-                                          beam_size=beam_size,
-                                          max_label_len=cfg.decode.max_label_len,
-                                          lm=lm_tab, lm_weight=lm_weight,
-                                          length_bonus=length_bonus,
-                                          neural_lm=neural_lm)
+                labels, lens, _ = rescore_nbest(
+                    log_probs, frame_lens, neural_lm, beam_size=beam_size,
+                    max_label_len=cfg.decode.max_label_len,
+                    lm_weight=lm_weight, length_bonus=length_bonus)
+            else:
+                from .decoding.beam import beam_decode
+
+                labels, lens, _ = beam_decode(
+                    log_probs, frame_lens, beam_size=beam_size,
+                    max_label_len=cfg.decode.max_label_len,
+                    lm=lm_tab, lm_weight=lm_weight,
+                    length_bonus=length_bonus, neural_lm=neural_lm)
             hyps = ids_to_strings(labels, lens, alphabet)
         else:
             raise ValueError(f"unknown decoder {decoder!r}")
