@@ -65,7 +65,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="predict: also write timestamps.jsonl with per-word "
                         "[start, end] times (CTC emission peaks, seconds) "
                         "and per-word/utterance confidences (greedy "
-                        "decoder, CTC families)")
+                        "decoder, CTC families); stream: print one JSON "
+                        "word-timing line per word after the transcript")
     p.add_argument("--length_bonus", type=float, default=0.0)
     p.add_argument("--lang", type=str, default="en")
     p.add_argument("--librispeech_root", type=str, default=None,
@@ -492,7 +493,8 @@ def main(argv=None) -> int:
         st = StreamingTranscriber(params, cfg, alphabet,
                                   chunk_frames=args.chunk_frames,
                                   right_context=args.right_context,
-                                  left_context=args.left_context)
+                                  left_context=args.left_context,
+                                  timestamps=args.timestamps)
         wave, sr = load_audio(args.wav)
         if sr != cfg.features.sample_rate:
             from .data.dataset import _resample_linear
@@ -505,6 +507,11 @@ def main(argv=None) -> int:
             if piece:
                 print(piece, end="", flush=True)
         print(st.flush())
+        if args.timestamps:
+            import json as _json
+
+            for w in st.words:
+                print(_json.dumps(w, ensure_ascii=False))
         return 0
 
     if args.mode == "finetune_pg":

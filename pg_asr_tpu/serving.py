@@ -187,8 +187,12 @@ def _chunk_step_attention(params, window: jnp.ndarray, stats,
             params, x, mask, frame_lens, mcfg, cfg.transformer,
             pos_offset=abs_frame0 // s, pre_normalized=True)
     logits = linear(params["ctc_head"], xs)
-    ids = jnp.argmax(logits.astype(jnp.float32), axis=-1)[0]  # (Wf/s,)
-    return jax.lax.dynamic_slice_in_dim(ids, n_ctx // s, chunk // s), new_stats
+    log_probs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    ids = jnp.argmax(log_probs, axis=-1)[0]  # (Wf/s,)
+    lp_max = jnp.max(log_probs, axis=-1)[0]  # (Wf/s,)
+    return (jax.lax.dynamic_slice_in_dim(ids, n_ctx // s, chunk // s),
+            jax.lax.dynamic_slice_in_dim(lp_max, n_ctx // s, chunk // s),
+            new_stats)
 
 
 def _encode_window(enc_params, window: jnp.ndarray, stats, carries,
@@ -259,7 +263,8 @@ def _chunk_step(params, window: jnp.ndarray, stats, carries,
     logits = linear(params["ctc_head"], x[:, :chunk])
     log_probs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     ids = jnp.argmax(log_probs, axis=-1)[0]  # (C,)
-    return ids, new_stats, tuple(new_carries)
+    lp_max = jnp.max(log_probs, axis=-1)[0]  # (C,)
+    return ids, lp_max, new_stats, tuple(new_carries)
 
 
 @partial(jax.jit, static_argnames=("cfg", "chunk", "fixed_norm",
@@ -312,8 +317,13 @@ class StreamingTranscriber:
 
     def __init__(self, params, cfg: Config, alphabet,
                  chunk_frames: int = 64, right_context: int = 32,
-                 norm: str | tuple = "streaming", left_context: int = 512):
+                 norm: str | tuple = "streaming", left_context: int = 512,
+                 timestamps: bool = False):
         self.rnnt = cfg.model.family == "transducer"
+        if timestamps and self.rnnt:
+            raise ValueError("streaming timestamps use CTC emission peaks; "
+                             "the transducer decoder is label-synchronous")
+        self.timestamps = bool(timestamps)
         # transformer/conformer stream via block processing with
         # overlapping windows: left_context exact left frames + right
         # lookahead per committed chunk (_chunk_step_attention)
@@ -378,12 +388,56 @@ class StreamingTranscriber:
         self._text: list[str] = []
         self._ended = False
         self._emitted = 0  # whole-stream label count (rnnt emission cap)
+        self._words: list[dict] = []          # finalized word timings
+        self._cur_word: list[tuple] = []      # (text, frame, logp, sub)
         if self.rnnt:
             from .decoding.transducer import init_decode_state
 
             self._dec_state = init_decode_state(self.params, 1, dt)
 
     # -- host-side exact window assembly ------------------------------------
+    def _sec_per_frame(self, sub: int) -> float:
+        fcfg = self.cfg.features
+        return fcfg.hop_length * sub / fcfg.sample_rate
+
+    def _on_token(self, sym_id: int, frame: int, logp: float, sub: int):
+        """Incremental word-timing builder (same conventions as the batch
+        decoder, decoding/greedy.assemble_word_timings: tokens anchor at
+        their CTC emission peak, words split on space / BPE word marker,
+        confidence is the geometric mean of the word's token posteriors)."""
+        from .data.bpe import MARKER
+
+        sym = self.alphabet.symbols[sym_id]
+        if sym == " " or sym.startswith(MARKER):
+            self._flush_word()
+        text = self.alphabet.piece(sym_id).lstrip(" ")
+        if text:
+            self._cur_word.append((text, frame, logp, sub))
+
+    def _flush_word(self):
+        import math
+
+        if not self._cur_word:
+            return
+        spf = self._sec_per_frame(self._cur_word[0][3])
+        text = "".join(t for t, _, _, _ in self._cur_word).strip()
+        if text:
+            self._words.append({
+                "word": text,
+                "start": round(self._cur_word[0][1] * spf, 3),
+                "end": round((self._cur_word[-1][1] + 1) * spf, 3),
+                "conf": round(math.exp(
+                    sum(l for _, _, l, _ in self._cur_word)
+                    / len(self._cur_word)), 4),
+            })
+        self._cur_word.clear()
+
+    @property
+    def words(self) -> list[dict]:
+        """Finalized word timings so far (timestamps=True). The word in
+        progress finalizes at the next boundary or at flush()."""
+        return list(self._words)
+
     def _window_samples(self, f0: int, wf: int | None = None) -> np.ndarray:
         """Samples backing frames [f0, f0 + wf): absolute range
         [f0*hop - pad, (f0 + wf - 1)*hop + pad), reflect-padded at the
@@ -435,16 +489,20 @@ class StreamingTranscriber:
             out = [piece(int(i)) for i in np.asarray(ids)[:int(n_emit)]]
             self._emitted += len(out)
         else:
-            ids, self._stats, self._carries = _chunk_step(
+            ids, lp_max, self._stats, self._carries = _chunk_step(
                 self.params, window, self._stats, self._carries,
                 jnp.int32(n_valid), jnp.int32(n_committed),
                 self.cfg, self.chunk, self.fixed_norm)
             ids = np.asarray(ids)[:n_committed]
+            lp_max = np.asarray(lp_max)[:n_committed]
             out = []
-            for i in ids:
+            for j, i in enumerate(ids):
                 i = int(i)
                 if i != self._prev_id and i != 0:
                     out.append(piece(i))
+                    if self.timestamps:
+                        self._on_token(i, self._frames_done + j,
+                                       float(lp_max[j]), sub=1)
                 self._prev_id = i
         self._frames_done += n_committed
         # drop samples no longer needed by any future window
@@ -467,19 +525,23 @@ class StreamingTranscriber:
         n_ctx = min(f0, self.left)  # multiple of chunk by construction
         wf = n_ctx + self.chunk + self.right
         window = jnp.asarray(self._window_samples(f0 - n_ctx, wf))[None, :]
-        ids, self._stats = _chunk_step_attention(
+        ids, lp_max, self._stats = _chunk_step_attention(
             self.params, window, self._stats,
             jnp.int32(n_ctx + n_valid), jnp.int32(n_committed),
             jnp.int32(f0 - n_ctx), self.cfg, n_ctx, self.chunk,
             self.fixed_norm)
         n_emit = -(-n_committed // self.sub)  # ceil: offline out_lens parity
         ids = np.asarray(ids)[:n_emit]
+        lp_max = np.asarray(lp_max)[:n_emit]
         piece = self.alphabet.piece
         out = []
-        for i in ids:
+        for j, i in enumerate(ids):
             i = int(i)
             if i != self._prev_id and i != 0:
                 out.append(piece(i))
+                if self.timestamps:
+                    self._on_token(i, f0 // self.sub + j,
+                                   float(lp_max[j]), sub=self.sub)
             self._prev_id = i
         self._frames_done += n_committed
         # drop samples no longer needed by any future window (which reaches
@@ -522,6 +584,8 @@ class StreamingTranscriber:
             emitted.append(self._run_chunk(
                 n_valid=min(left, self.chunk + self.right),
                 n_committed=min(left, self.chunk)))
+        if self.timestamps:
+            self._flush_word()  # finalize the word in progress
         return "".join(emitted)
 
     @property
