@@ -49,6 +49,38 @@ def load_checkpoint(path: str, template: dict) -> dict:
     return serialization.from_bytes(template, data)
 
 
+def average_checkpoints(paths: list[str], template: dict) -> dict:
+    """Uniform average of `template`-shaped float leaves across checkpoints
+    — the classic ASR eval smoother (the average of the last k epochs sits
+    in a flatter region than any single one). Non-float leaves keep the
+    LAST checkpoint's value. Accumulates in float64, casts back."""
+    if not paths:
+        raise ValueError("average_checkpoints needs at least one path")
+    acc = None
+    last = None
+    for p in paths:
+        state = load_checkpoint(p, template)
+        leaves = jax.tree_util.tree_leaves(state)
+        arrs = [np.asarray(x) for x in leaves]
+        if acc is None:
+            acc = [a.astype(np.float64)
+                   if np.issubdtype(a.dtype, np.floating) else a
+                   for a in arrs]
+        else:
+            for i, a in enumerate(arrs):
+                if np.issubdtype(a.dtype, np.floating):
+                    acc[i] = acc[i] + a
+                else:
+                    acc[i] = a
+        last = arrs
+    n = float(len(paths))
+    out = [(acc[i] / n).astype(last[i].dtype)
+           if np.issubdtype(last[i].dtype, np.floating) else acc[i]
+           for i in range(len(acc))]
+    treedef = jax.tree_util.tree_structure(template)
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
 class CheckpointManager:
     """Best/last checkpoint policy on validation loss (reference semantics:
     best updated when val improves, last every epoch — minus the reference's
@@ -139,6 +171,26 @@ class CheckpointManager:
         if self._err is not None:
             err, self._err = self._err, None
             raise err
+
+    def save_rolling(self, state: dict, epoch: int, keep: int) -> str:
+        """Write a per-epoch snapshot (model_epochNNNN.ckpt) and prune to
+        the newest `keep` — the retention side of checkpoint averaging."""
+        import glob
+
+        self.flush()  # ordering vs pending background saves
+        path = os.path.join(self.model_dir, f"model_epoch{epoch:04d}.ckpt")
+        save_checkpoint(path, state)
+        snaps = sorted(glob.glob(
+            os.path.join(self.model_dir, "model_epoch*.ckpt")))
+        for p in snaps[:-keep]:
+            os.unlink(p)
+        return path
+
+    def epoch_snapshots(self) -> list[str]:
+        import glob
+
+        return sorted(glob.glob(
+            os.path.join(self.model_dir, "model_epoch*.ckpt")))
 
     def try_restore(self, template: dict, prefer: str = "last") -> dict | None:
         path = self.last_path if prefer == "last" else self.best_path

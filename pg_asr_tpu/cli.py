@@ -137,6 +137,15 @@ def build_parser() -> argparse.ArgumentParser:
                    help="train: exponential moving average of the params "
                         "(validation/predict use the averaged weights; "
                         "0 = off)")
+    p.add_argument("--keep_ckpts", type=int, default=None,
+                   help="train: retain the newest K per-epoch snapshots "
+                        "(model_epochNNNN.ckpt) for checkpoint averaging "
+                        "at predict time (--ckpt avg)")
+    p.add_argument("--ckpt", type=str, default="best",
+                   choices=("best", "last", "avg"),
+                   help="predict: which checkpoint to serve — best/last, "
+                        "or the uniform average of the retained per-epoch "
+                        "snapshots (train with --keep_ckpts)")
     p.add_argument("--loader_threads", type=int, default=None,
                    help="decode workers building batches ahead of the "
                         "prefetch/staging thread (0 = inline; default 2)")
@@ -336,6 +345,10 @@ def _config(args, from_model_path: bool = False):
         if args.save_every_steps < 0:
             raise SystemExit("--save_every_steps must be >= 0")
         tr["save_every_steps"] = args.save_every_steps
+    if getattr(args, "keep_ckpts", None) is not None:
+        if args.keep_ckpts < 0:
+            raise SystemExit("--keep_ckpts must be >= 0")
+        tr["keep_ckpts"] = args.keep_ckpts
     if getattr(args, "cache_audio_mb", None) is not None:
         if args.cache_audio_mb < 0:
             raise SystemExit("--cache_audio_mb must be >= 0")
@@ -447,6 +460,7 @@ def main(argv=None) -> int:
 
         predict(test_path, aud_path, alphabet, args.model_path,
                 batch_size=args.batch_size, decoder=args.decoder,
+                which_ckpt=args.ckpt,
                 beam_size=args.beam_size, lm_order=args.lm_order,
                 lm_weight=args.lm_weight, length_bonus=args.length_bonus,
                 lm_train_tsv=(os.path.join(corpus, "train.tsv")

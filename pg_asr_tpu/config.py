@@ -235,6 +235,10 @@ class TrainConfig:
     # order and continues from the next batch (preemption safety for long
     # epochs — the reference loses the whole run, SURVEY §5)
     save_every_steps: int = 0
+    # > 0: also retain a rolling window of the newest K per-epoch
+    # snapshots (model_epochNNNN.ckpt) for checkpoint averaging at
+    # predict time (--ckpt avg)
+    keep_ckpts: int = 0
     # > 0: maintain an exponential moving average of the parameters
     # (ema = d*ema + (1-d)*params after every step); validation, best-
     # checkpoint selection, and predict then use the EMA weights

@@ -114,6 +114,25 @@ def load_model(model_path: str, alphabet: Alphabet, config: Config | None = None
 
     params = init_model_params(jax.random.PRNGKey(0), cfg)
     mgr = CheckpointManager(model_path)
+    if which == "avg":
+        # uniform average of the retained per-epoch snapshots (train with
+        # --keep_ckpts K) — the classic eval smoother
+        from .checkpoint import average_checkpoints
+
+        snaps = mgr.epoch_snapshots()
+        if not snaps:
+            raise FileNotFoundError(
+                f"no model_epoch*.ckpt snapshots in {model_path} — train "
+                "with --keep_ckpts K to enable checkpoint averaging")
+        key = "ema_params" if cfg.train.ema_decay > 0.0 else "params"
+        try:
+            state = average_checkpoints(snaps, {key: params})
+        except (ValueError, KeyError):
+            state = average_checkpoints(snaps, {"params": params})
+            key = "params"
+        print(f"[predict] averaged {len(snaps)} epoch snapshots "
+              f"({os.path.basename(snaps[0])}..{os.path.basename(snaps[-1])})")
+        return state[key], cfg
     path = mgr.best_path if which == "best" else mgr.last_path
     if not os.path.exists(path):
         raise FileNotFoundError(f"no checkpoint at {path}")

@@ -820,10 +820,15 @@ def train(corpus_path: str, model_path: str, num_epochs: int | None = None,
                      "best_val_loss": ckpt.best_val}
             if use_ema:
                 state["ema_params"] = ema_params
-            is_best = ckpt.save(plan.canonical_state(state), val_loss=select)
+            canon = plan.canonical_state(state)
+            is_best = ckpt.save(canon, val_loss=select)
             if is_best:
                 name = "cer" if cur_cer is not None else "val"
                 print(f"[train] new best checkpoint ({name} {ckpt.best_val:.4f})")
+            if cfg.train.keep_ckpts > 0:
+                # rolling per-epoch snapshots for checkpoint averaging
+                # (predict --ckpt avg)
+                ckpt.save_rolling(canon, epoch, cfg.train.keep_ckpts)
 
     ckpt.flush()  # any trailing background saves land before we return
     restore_sigterm()

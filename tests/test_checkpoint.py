@@ -150,3 +150,80 @@ def test_background_save_error_surfaces_on_flush(tmp_path, monkeypatch):
     mgr.save({"step": 1}, background=True)
     with pytest.raises(OSError, match="disk full"):
         mgr.flush()
+
+
+def test_rolling_snapshots_retention(tmp_path):
+    """save_rolling keeps only the newest K model_epochNNNN.ckpt files."""
+    mgr = CheckpointManager(str(tmp_path))
+    for e in range(1, 6):
+        mgr.save_rolling({"params": {"w": np.full((2,), float(e))}},
+                         epoch=e, keep=3)
+    snaps = mgr.epoch_snapshots()
+    assert [os.path.basename(p) for p in snaps] == [
+        "model_epoch0003.ckpt", "model_epoch0004.ckpt",
+        "model_epoch0005.ckpt"]
+
+
+def test_average_checkpoints_uniform_mean(tmp_path):
+    from pg_asr_tpu.checkpoint import average_checkpoints
+
+    tpl = {"params": {"w": np.zeros((3,), np.float32)}, "step": 0}
+    for i, v in enumerate((1.0, 2.0, 6.0)):
+        save_checkpoint(str(tmp_path / f"c{i}.ckpt"),
+                        {"params": {"w": np.full((3,), v, np.float32)},
+                         "step": 10 * i})
+    out = average_checkpoints([str(tmp_path / f"c{i}.ckpt")
+                               for i in range(3)], tpl)
+    np.testing.assert_allclose(out["params"]["w"], 3.0)  # (1+2+6)/3
+    assert int(out["step"]) == 20  # non-float leaves: LAST checkpoint
+    assert out["params"]["w"].dtype == np.float32
+    with pytest.raises(ValueError):
+        average_checkpoints([], tpl)
+
+
+def test_train_keep_ckpts_and_predict_avg(tmp_path):
+    """--keep_ckpts retention through train() + predict --ckpt avg: the
+    served params equal the uniform mean of the retained snapshots."""
+    from pg_asr_tpu.config import (Config, FeatureConfig, ModelConfig,
+                                   TrainConfig)
+    from pg_asr_tpu.data.dataset import make_synthetic_corpus
+    from pg_asr_tpu.data.text import Alphabet
+    from pg_asr_tpu.predict import load_model, predict
+    from pg_asr_tpu.train import train
+
+    corpus = str(tmp_path / "corpus")
+    make_synthetic_corpus(corpus, n_utts=8, seed=9, min_dur=0.2, max_dur=0.3)
+    model_dir = str(tmp_path / "model")
+    cfg = Config(
+        features=FeatureConfig(kind="logmel", n_mels=16, n_fft=128,
+                               win_length=128, hop_length=64),
+        model=ModelConfig(vocab_size=8, input_dim=16, input_proj_dim=32,
+                          hidden_size=16, num_layers=1, dropout=0.0),
+        train=TrainConfig(num_epochs=3, batch_size=4, learning_rate=3e-3,
+                          warmup_steps=0, log_every=1000, keep_ckpts=2),
+    )
+    train(corpus, model_dir, config=cfg, resume=False)
+    mgr = CheckpointManager(model_dir)
+    snaps = mgr.epoch_snapshots()
+    assert len(snaps) == 2  # epochs 2 and 3 retained
+
+    alphabet = Alphabet.load(os.path.join(corpus, "alphabet.txt"))
+    avg_params, _ = load_model(model_dir, alphabet, cfg, which="avg")
+    # hand-average the two snapshots and compare one leaf tree
+    from pg_asr_tpu.checkpoint import average_checkpoints
+    from pg_asr_tpu.train import init_model_params
+
+    tpl = {"params": init_model_params(jax.random.PRNGKey(0), cfg)}
+    manual = average_checkpoints(snaps, tpl)["params"]
+    for a, b in zip(jax.tree_util.tree_leaves(avg_params),
+                    jax.tree_util.tree_leaves(manual)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+    stats = predict(os.path.join(corpus, "test.tsv"),
+                    os.path.join(corpus, "clips"),
+                    os.path.join(corpus, "alphabet.txt"),
+                    model_dir, batch_size=4, which_ckpt="avg")
+    assert stats["num_utts"] >= 1
+
+    with pytest.raises(FileNotFoundError, match="keep_ckpts"):
+        load_model(str(tmp_path / "empty_model"), alphabet, cfg, which="avg")
