@@ -17,10 +17,12 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="TPU-native policy-gradient ASR")
     p.add_argument("--mode", required=True,
                    choices=["train", "predict", "preproc", "finetune_pg",
-                            "stream", "export"],
+                            "stream", "export", "align"],
                    help="train | predict | preproc | finetune_pg | stream "
                         "(incremental transcription of one WAV) | export "
-                        "(serialize wave->ids serving fn, weights baked in)")
+                        "(serialize wave->ids serving fn, weights baked in) "
+                        "| align (force-align reference transcripts: "
+                        "per-word [start, end] seconds -> alignments.jsonl)")
     p.add_argument("--corpus_path", type=str,
                    help="corpus dir (train/dev/test.tsv, clips/, alphabet.txt)")
     p.add_argument("--model_path", type=str,
@@ -467,6 +469,17 @@ def main(argv=None) -> int:
                               if (args.lm_order and corpus) else None),
                 lm_type=args.lm_type, lm_steps=args.lm_steps,
                 lm_pass=args.lm_pass, timestamps=args.timestamps)
+        return 0
+
+    if args.mode == "align":
+        corpus = args.corpus_path or ""
+        test_path = args.test_path or os.path.join(corpus, "test.tsv")
+        aud_path = args.aud_path or os.path.join(corpus, "clips")
+        alphabet = args.alphabet or os.path.join(corpus, "alphabet.txt")
+        from .alignment import align_corpus
+
+        align_corpus(test_path, aud_path, alphabet, args.model_path,
+                     batch_size=args.batch_size, which_ckpt=args.ckpt)
         return 0
 
     if args.mode == "export":
