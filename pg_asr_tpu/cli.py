@@ -17,12 +17,14 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="TPU-native policy-gradient ASR")
     p.add_argument("--mode", required=True,
                    choices=["train", "predict", "preproc", "finetune_pg",
-                            "stream", "export", "align"],
+                            "stream", "export", "align", "pseudolabel"],
                    help="train | predict | preproc | finetune_pg | stream "
                         "(incremental transcription of one WAV) | export "
                         "(serialize wave->ids serving fn, weights baked in) "
                         "| align (force-align reference transcripts: "
-                        "per-word [start, end] seconds -> alignments.jsonl)")
+                        "per-word [start, end] seconds -> alignments.jsonl) "
+                        "| pseudolabel (decode unlabeled WAVs, keep the "
+                        "confident subset as a train TSV)")
     p.add_argument("--corpus_path", type=str,
                    help="corpus dir (train/dev/test.tsv, clips/, alphabet.txt)")
     p.add_argument("--model_path", type=str,
@@ -69,6 +71,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "and per-word/utterance confidences (greedy "
                         "decoder, CTC families); stream: print one JSON "
                         "word-timing line per word after the transcript")
+    p.add_argument("--min_conf", type=float, default=0.5,
+                   help="pseudolabel: keep utterances whose utterance "
+                        "confidence (geometric-mean emitted posterior) "
+                        "clears this threshold")
+    p.add_argument("--out_tsv", type=str, default=None,
+                   help="pseudolabel: output manifest path (default "
+                        "<model_path>/pseudo.tsv)")
     p.add_argument("--length_bonus", type=float, default=0.0)
     p.add_argument("--lang", type=str, default="en")
     p.add_argument("--librispeech_root", type=str, default=None,
@@ -469,6 +478,17 @@ def main(argv=None) -> int:
                               if (args.lm_order and corpus) else None),
                 lm_type=args.lm_type, lm_steps=args.lm_steps,
                 lm_pass=args.lm_pass, timestamps=args.timestamps)
+        return 0
+
+    if args.mode == "pseudolabel":
+        corpus = args.corpus_path or ""
+        wav_dir = args.aud_path or os.path.join(corpus, "clips")
+        alphabet = args.alphabet or os.path.join(corpus, "alphabet.txt")
+        from .selftrain import pseudo_label
+
+        pseudo_label(wav_dir, alphabet, args.model_path,
+                     out_tsv=args.out_tsv, batch_size=args.batch_size,
+                     min_conf=args.min_conf, which_ckpt=args.ckpt)
         return 0
 
     if args.mode == "align":

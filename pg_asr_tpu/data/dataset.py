@@ -41,6 +41,7 @@ class Batch:
     labels: np.ndarray        # (B, L) int32, 0-padded
     label_lens: np.ndarray    # (B,) int32
     texts: list[str]          # reference transcripts (for eval)
+    paths: list[str] | None = None  # source audio paths (pseudo-labeling)
 
     @property
     def size(self) -> int:
@@ -368,7 +369,8 @@ class BatchIterator:
         labels = np.zeros((len(utts), L), np.int32)
         for i, e in enumerate(enc):
             labels[i, : len(e)] = e
-        return Batch(wave, lens, labels, llens, [u.text for u in utts])
+        return Batch(wave, lens, labels, llens, [u.text for u in utts],
+                     paths=[u.audio_path for u in utts])
 
     def _batch_waves(self, utts: list[Utterance]):
         """Padded (B, N) float32 waves + lengths. Fast path: ONE native

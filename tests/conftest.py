@@ -64,7 +64,7 @@ _HEAVY_MODULES = {
     "test_parallel.py", "test_pipeline.py", "test_sequence_parallel.py",
     "test_mesh_driver.py", "test_moe.py", "test_pg_families.py",
     "test_seq2seq_driver.py", "test_train_options.py", "test_multihost.py",
-    "test_preempt.py",
+    "test_preempt.py", "test_selftrain.py",
 }
 
 
