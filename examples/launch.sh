@@ -82,6 +82,29 @@ python main.py --mode train --corpus_path "$CORPUS" --model_path "$MODEL.pp" \
 python main.py --mode train --corpus_path "$CORPUS" --model_path "$MODEL.fs" \
     --model transformer --mesh fsdp=8 --num_epochs 10 --batch_size 64
 
+# word timestamps + confidences (CTC emission peaks) -> timestamps.jsonl
+python main.py --mode predict --corpus_path "$CORPUS" --model_path "$MODEL" \
+    --timestamps --batch_size 32
+
+# two-pass n-best rescoring with the neural LM (vs in-beam fusion above)
+python main.py --mode predict --corpus_path "$CORPUS" --model_path "$MODEL" \
+    --decoder beam --beam_size 16 --lm_order 2 --lm_type neural \
+    --lm_pass rescore --lm_weight 0.3 --batch_size 32
+
+# forced alignment of reference transcripts -> alignments.jsonl
+python main.py --mode align --corpus_path "$CORPUS" --model_path "$MODEL" \
+    --batch_size 32
+
+# pseudo-label unlabeled audio -> confident train TSV (self-training)
+python main.py --mode pseudolabel --corpus_path "$CORPUS" \
+    --model_path "$MODEL" --min_conf 0.6 --out_tsv /tmp/pseudo_train.tsv
+
+# checkpoint averaging: retain rolling epoch snapshots, serve their mean
+python main.py --mode train --corpus_path "$CORPUS" --model_path "$MODEL.ka" \
+    --num_epochs 10 --batch_size 32 --keep_ckpts 5
+python main.py --mode predict --corpus_path "$CORPUS" --model_path "$MODEL.ka" \
+    --ckpt avg --batch_size 32
+
 # deployment export: one self-contained StableHLO artifact (weights baked
 # in; loadable via jax.export.deserialize with no pg_asr_tpu dependency),
 # optionally weight-only int8 (~4x smaller file)
