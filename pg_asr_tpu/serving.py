@@ -592,3 +592,185 @@ class StreamingTranscriber:
     def text(self) -> str:
         """Everything emitted so far."""
         return "".join(self._text)
+
+
+class BatchedStreamingTranscriber:
+    """S concurrent audio streams through ONE jitted chunk step.
+
+    The single-stream transcriber is latency-optimal but leaves the MXU
+    mostly idle — a (1, C) window's matmuls cannot fill the systolic
+    array. Serving many sessions, the production layout is slot-batched
+    lockstep: every tick stacks the ready slots' windows into one
+    (S, 1, L) step (`jax.vmap` of the single-stream chunk step, jitted
+    once), so per-step device cost is one dispatch with S-row matmuls.
+    Idle/empty slots ride along with zero valid/committed masks — their
+    device state provably freezes (the masked LSTM scan propagates (h, c)
+    unchanged and the running norm accumulates nothing), so slot
+    occupancy can change every tick without recompiles or state leaks.
+
+    Per-slot HOST state (sample buffer, collapse carry, text) lives in
+    embedded single-stream transcribers; the DEVICE state (LSTM carries,
+    norm stats) lives stacked (S, ...) here. CTC BiLSTM family only (the
+    carried-state streaming path).
+
+    >>> srv = BatchedStreamingTranscriber(params, cfg, alphabet, slots=8)
+    >>> a, b = srv.open(), srv.open()
+    >>> srv.push(a, wave_a); srv.push(b, wave_b)
+    >>> emitted = srv.step()         # {slot: new_text} for ready slots
+    >>> final_a = srv.flush(a); srv.close(a)
+    """
+
+    def __init__(self, params, cfg: Config, alphabet, slots: int = 8,
+                 chunk_frames: int = 64, right_context: int = 32,
+                 norm: str | tuple = "streaming"):
+        if cfg.model.family != "ctc":
+            raise ValueError(
+                "batched streaming serves the CTC BiLSTM family (carried-"
+                f"state path); got {cfg.model.family!r} — run attention/"
+                "RNN-T streams through StreamingTranscriber")
+        if slots < 1:
+            raise ValueError("slots must be >= 1")
+        self.params = params
+        self.alphabet = alphabet
+        self.slots = slots
+        self._st = [StreamingTranscriber(params, cfg, alphabet,
+                                         chunk_frames=chunk_frames,
+                                         right_context=right_context,
+                                         norm=norm)
+                    for _ in range(slots)]
+        proto = self._st[0]
+        self.cfg = proto.cfg
+        self.chunk = proto.chunk
+        self.right = proto.right
+        self.fixed_norm = proto.fixed_norm
+        self._norm0 = proto._norm0
+        H = self.cfg.model.hidden_size
+        dt = jnp.dtype(self.cfg.model.dtype)
+        self._carries = tuple(
+            (jnp.zeros((slots, 1, H), dt), jnp.zeros((slots, 1, H), dt))
+            for _ in range(self.cfg.model.num_layers))
+        self._stats = tuple(jnp.full((slots,), v) for v in self._norm0)
+        self._is_open = [False] * slots
+
+        cfg_c, chunk_c, fx = self.cfg, self.chunk, self.fixed_norm
+
+        def one(w, stats, carries, nv, nc):
+            return _chunk_step(params, w, stats, carries, nv, nc,
+                               cfg_c, chunk_c, fx)
+
+        self._vstep = jax.jit(jax.vmap(one, in_axes=(0, 0, 0, 0, 0)))
+
+    # -- session lifecycle ---------------------------------------------------
+    def open(self) -> int:
+        """Claim a free slot for a new stream; returns the slot id."""
+        try:
+            i = self._is_open.index(False)
+        except ValueError:
+            raise RuntimeError(f"all {self.slots} slots busy") from None
+        self._is_open[i] = True
+        self._st[i].reset()
+        self._carries = tuple(
+            (h.at[i].set(0), c.at[i].set(0)) for h, c in self._carries)
+        self._stats = tuple(
+            s.at[i].set(v) for s, v in zip(self._stats, self._norm0))
+        return i
+
+    def close(self, slot: int) -> None:
+        self._is_open[slot] = False
+
+    def push(self, slot: int, samples: np.ndarray) -> None:
+        """Buffer raw float32 samples for one slot (no device work —
+        chunks run on the next step())."""
+        if not self._is_open[slot]:
+            raise RuntimeError(f"slot {slot} is not open")
+        st = self._st[slot]
+        if st._ended:
+            raise RuntimeError("push() after flush(); close + open anew")
+        samples = np.asarray(samples, np.float32).reshape(-1)
+        st._buf = np.concatenate([st._buf, samples])
+        st._n_samples += len(samples)
+
+    # -- the lockstep tick -----------------------------------------------
+    def _window_len(self) -> int:
+        fcfg = self.cfg.features
+        wf = self.chunk + self.right
+        return (wf - 1) * fcfg.hop_length + 2 * (fcfg.n_fft // 2)
+
+    def _run(self, work: list[tuple[int, int, int]]) -> dict[int, str]:
+        """One batched device step over `work` = [(slot, n_valid,
+        n_committed)]; idle slots freeze. Returns {slot: new_text}."""
+        if not work:
+            return {}
+        S, WL = self.slots, self._window_len()
+        windows = np.zeros((S, 1, WL), np.float32)
+        nv = np.zeros((S,), np.int32)
+        nc = np.zeros((S,), np.int32)
+        for i, v, c in work:
+            st = self._st[i]
+            windows[i, 0] = st._window_samples(st._frames_done)
+            nv[i], nc[i] = v, c
+        ids, _, self._stats, self._carries = self._vstep(
+            jnp.asarray(windows), self._stats, self._carries,
+            jnp.asarray(nv), jnp.asarray(nc))
+        ids = np.asarray(ids)  # (S, chunk)
+
+        piece = self.alphabet.piece
+        fcfg = self.cfg.features
+        out: dict[int, str] = {}
+        for i, _, c in work:
+            st = self._st[i]
+            toks = []
+            for sym in ids[i, :c]:
+                sym = int(sym)
+                if sym != st._prev_id and sym != 0:
+                    toks.append(piece(sym))
+                st._prev_id = sym
+            st._frames_done += c
+            keep_from = max(st._frames_done * fcfg.hop_length
+                            - fcfg.n_fft // 2, 0)
+            if keep_from > st._buf_start:
+                st._buf = st._buf[keep_from - st._buf_start:]
+                st._buf_start = keep_from
+            text = "".join(toks)
+            st._text.append(text)
+            out[i] = text
+        return out
+
+    def step(self) -> dict[int, str]:
+        """Process ONE chunk for every open slot with a full window ready.
+        Returns {slot: newly emitted text} for the slots that ran."""
+        wf = self.chunk + self.right
+        work = [(i, wf, self.chunk) for i in range(self.slots)
+                if self._is_open[i]
+                and self._st[i]._ready(self._st[i]._frames_done)]
+        return self._run(work)
+
+    def drain(self) -> dict[int, str]:
+        """step() until no slot has a ready chunk; concatenates emissions."""
+        out: dict[int, str] = {}
+        while True:
+            got = self.step()
+            if not got:
+                return out
+            for i, t in got.items():
+                out[i] = out.get(i, "") + t
+
+    def flush(self, slot: int) -> str:
+        """End of one stream: process its remaining frames (other slots
+        idle through the same batched step) and return the text emitted."""
+        st = self._st[slot]
+        if st._ended:
+            return ""
+        st._ended = True
+        wf = self.chunk + self.right
+        total = st._total_frames() if st._n_samples > 0 else 0
+        pieces = []
+        while st._frames_done < total:
+            left = total - st._frames_done
+            got = self._run([(slot, min(left, wf), min(left, self.chunk))])
+            pieces.append(got.get(slot, ""))
+        return "".join(pieces)
+
+    def text(self, slot: int) -> str:
+        """Everything slot has emitted so far."""
+        return self._st[slot].text
