@@ -111,3 +111,15 @@ python main.py --mode predict --corpus_path "$CORPUS" --model_path "$MODEL.ka" \
 python main.py --mode export --corpus_path "$CORPUS" --model_path "$MODEL" \
     --export_batch 8 --export_seconds 20 --export_platforms cpu,tpu \
     --export_quantize int8
+
+# elastic training: supervise the run; a crashed/OOM-killed process is
+# relaunched (up to 3 times) and resumes from model_last. --fault_step
+# injects one ungraceful death to drive the whole path.
+python main.py --mode train --corpus_path "$CORPUS" --model_path "$MODEL" \
+    --num_epochs 10 --batch_size 32 --save_every_steps 50 --max_restarts 3
+
+# streaming with a cross-chunk prefix BEAM (emitted text = the live
+# beams' agreed prefix, final by construction) + n-gram shallow fusion
+python main.py --mode stream --corpus_path "$CORPUS" --model_path "$MODEL" \
+    --wav utt.wav --decoder beam --beam_size 8 --lm_order 2 --lm_weight 0.3 \
+    --chunk_frames 64 --right_context 32

@@ -89,6 +89,15 @@ class CheckpointManager:
     def __init__(self, model_dir: str):
         self.model_dir = model_dir
         os.makedirs(model_dir, exist_ok=True)
+        # crash debris: an ungraceful death (OOM kill, --fault_step) can
+        # leave a half-written mkstemp file behind; the atomic-rename
+        # discipline means any *.tmp here is garbage by construction
+        for name in os.listdir(model_dir):
+            if name.startswith("tmp") and name.endswith(".tmp"):
+                try:
+                    os.unlink(os.path.join(model_dir, name))
+                except OSError:
+                    pass
         self.best_val = float("inf")
         self._q: queue.Queue | None = None
         self._worker: threading.Thread | None = None

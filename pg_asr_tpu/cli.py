@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import argparse
 import os
+import sys
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -207,6 +208,15 @@ def build_parser() -> argparse.ArgumentParser:
                    help="finetune_pg: greedy-decode the dev set every N "
                         "steps (real dev CER curve + best-on-CER "
                         "checkpoint); 0 disables")
+    p.add_argument("--max_restarts", type=int, default=0,
+                   help="train/finetune_pg: supervise the run and relaunch "
+                        "it up to N times if it dies ungracefully (crash, "
+                        "OOM kill); the relaunch resumes from model_last "
+                        "(utils/elastic.py). 0 = no supervision")
+    p.add_argument("--fault_step", type=int, default=None,
+                   help="train: fault injection — os._exit at global step "
+                        "N, like an OOM kill (tests the --max_restarts "
+                        "recovery path end-to-end)")
     p.add_argument("--profile_steps", type=int, default=0,
                    help="train: capture a device trace of N steady-state "
                         "steps to <model_path>/trace (TensorBoard/xprof)")
@@ -392,6 +402,17 @@ def _config(args, from_model_path: bool = False):
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
+    from .utils import elastic
+
+    if (args.max_restarts > 0 and args.mode in ("train", "finetune_pg")
+            and os.environ.get(elastic.CHILD_ENV) != "1"):
+        # become the supervisor: re-exec this CLI as a supervised child
+        # (marked via CHILD_ENV so it doesn't recurse); crashes relaunch
+        # and resume from model_last, SIGTERM forwards for a graceful stop
+        cmd = ([sys.executable, "-m", "pg_asr_tpu.cli"]
+               + list(argv if argv is not None else sys.argv[1:]))
+        return elastic.run_elastic(cmd, max_restarts=args.max_restarts)
+
     # Honour JAX_PLATFORMS=cpu BEFORE the backend initializes: this image
     # pins jax_platforms to "axon,cpu", which overrides the env var, and
     # backend init then touches the axon (TPU tunnel) plugin even for
@@ -459,7 +480,7 @@ def main(argv=None) -> int:
         from .train import train
 
         train(args.corpus_path, args.model_path, config=_config(args),
-              profile_steps=args.profile_steps)
+              profile_steps=args.profile_steps, fault_step=args.fault_step)
         return 0
 
     if args.mode == "predict":
@@ -537,11 +558,26 @@ def main(argv=None) -> int:
                if os.path.exists(cfg_path) else Config())
         alphabet = load_tokenizer(corpus, cfg.text.units)
         params, cfg = load_model(args.model_path, alphabet, cfg)
+        lm_tab = None
+        if args.lm_order:
+            # n-gram shallow fusion in the streamed beam (same table the
+            # offline --decoder beam fuses, trained on the train split)
+            from .data.dataset import load_manifest
+            from .decoding.lm import lm_from_manifest
+
+            lm_manifest = load_manifest(os.path.join(corpus, "train.tsv"),
+                                        os.path.join(corpus, "clips"))
+            lm_tab = lm_from_manifest(lm_manifest, alphabet,
+                                      order=args.lm_order)
         st = StreamingTranscriber(params, cfg, alphabet,
                                   chunk_frames=args.chunk_frames,
                                   right_context=args.right_context,
                                   left_context=args.left_context,
-                                  timestamps=args.timestamps)
+                                  timestamps=args.timestamps,
+                                  decoder=args.decoder,
+                                  beam_size=args.beam_size or 8,
+                                  lm=lm_tab, lm_weight=args.lm_weight,
+                                  length_bonus=args.length_bonus)
         wave, sr = load_audio(args.wav)
         if sr != cfg.features.sample_rate:
             from .data.dataset import _resample_linear

@@ -522,6 +522,51 @@ def _step_hash_lm(state, lp, lmn, *, K: int, A: int, Lmax: int, blank: int,
             (parent, sym))
 
 
+def _step_lm_buffer(state, lp, lmn, *, K: int, A: int, Lmax: int, blank: int,
+                    lam, beta):
+    """Streaming-capable LM-fused step: _step_hash_lm's exact candidate
+    set, merge rule, and fused top-K, but carrying the (K, Lmax) prefix
+    BUFFERS instead of emitting backpointer records (records grow with T
+    and cannot stream; the buffer carry is self-contained, which is what
+    serving._chunk_step_beam needs). Semantically identical to
+    _step_hash_lm frame-for-frame — parity is tested
+    (tests/test_serving.py streaming-LM suite vs beam_decode(lm=...)).
+
+    state: (prefixes (K, Lmax), h, last, last2, lens, p_b, p_nb, lm_sc).
+    lmn: (K, A) log P_lm(symbol | beam context).
+    """
+    prefixes, h, last, last2, lens, p_b, p_nb, lm = state
+    (new_h, new_last, new_last2, new_lens, new_pb, new_pnb, new_lm), \
+        (parent, sym) = _step_hash_lm(
+            (h, last, last2, lens, p_b, p_nb, lm), lp, lmn,
+            K=K, A=A, Lmax=Lmax, blank=blank, lam=lam, beta=beta)
+    par_ohi = (parent[:, None] == jnp.arange(K)[None, :]).astype(jnp.int32)
+    new_prefixes = par_ohi @ prefixes                              # (K, Lmax)
+    old_lens = par_ohi @ lens
+    write = ((jnp.arange(Lmax)[None, :] == old_lens[:, None])
+             & (sym >= 0)[:, None])
+    new_prefixes = jnp.where(write, jnp.maximum(sym, 0)[:, None],
+                             new_prefixes)
+    dead = new_lens == 0
+    new_prefixes = jnp.where(dead[:, None], 0, new_prefixes)
+    return (new_prefixes, new_h, new_last, new_last2, new_lens, new_pb,
+            new_pnb, new_lm)
+
+
+def lm_context_scores(lm_tab, last, last2):
+    """(K, A) log P_lm(next | context) rows for the carried beam contexts —
+    the IDENTICAL one-hot contraction as _decode_one_hash_lm's scan body
+    (ctx = max(last, 0); row/plane 0 of the table is BOS, which the blank
+    id 0 doubles as since blank can never be a prefix's last symbol)."""
+    A = lm_tab.shape[-1]
+    tab2d = lm_tab.reshape(-1, A)
+    ctx = jnp.maximum(last, 0)
+    if lm_tab.ndim == 3:
+        ctx = jnp.maximum(last2, 0) * A + ctx
+    oh = jax.nn.one_hot(ctx, tab2d.shape[0], dtype=tab2d.dtype)
+    return oh @ tab2d
+
+
 def _decode_one_hash_lm(log_probs, frame_len, lm_tab, lam, beta, *, K: int,
                         A: int, Lmax: int, blank: int):
     """Shallow-fusion variant of _decode_one_hash. lm_tab: (A, A) bigram or

@@ -267,6 +267,79 @@ def _chunk_step(params, window: jnp.ndarray, stats, carries,
     return ids, lp_max, new_stats, tuple(new_carries)
 
 
+@partial(jax.jit, static_argnames=("cfg", "chunk", "fixed_norm", "K",
+                                   "Lmax"))
+def _chunk_step_beam(params, window: jnp.ndarray, stats, carries, beam_state,
+                     n_valid: jnp.ndarray, n_committed: jnp.ndarray,
+                     cfg: Config, chunk: int, fixed_norm: bool,
+                     K: int, Lmax: int):
+    """One CTC streaming step with PREFIX BEAM SEARCH carried across
+    chunks: encode the window, then advance the buffer-implementation beam
+    state (decoding/beam._step — prefixes (K, Lmax) + lens + (p_b, p_nb),
+    a fully self-contained carry, which is exactly why the buffer variant
+    exists alongside the faster backpointer hash scan: backpointer records
+    grow with T and cannot stream) over the committed frames. With fixed
+    norm + lookahead to the stream end this accumulates the SAME per-frame
+    posteriors as the offline pass, so the final beam state is bit-equal
+    to `beam_decode(impl="buffer")` on the whole utterance (tested)."""
+    from .decoding.beam import _step
+    from .models.bilstm_ctc import linear
+
+    x, new_stats, new_carries = _encode_window(
+        params, window, stats, carries, n_valid, n_committed, cfg, chunk,
+        fixed_norm)
+    logits = linear(params["ctc_head"], x[:, :chunk])
+    log_probs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)[0]
+    A = log_probs.shape[-1]
+
+    def body(state, inp):
+        lp, t = inp
+        new = _step(state, lp, K=K, A=A, Lmax=Lmax, blank=0)
+        # frames at/past n_committed (a partial final chunk) leave the
+        # beam untouched — same discipline as _decode_one's frame_len mask
+        return jax.tree_util.tree_map(
+            lambda n, o: jnp.where(t < n_committed, n, o), new, state), None
+
+    beam_state, _ = jax.lax.scan(
+        body, beam_state, (log_probs, jnp.arange(chunk)))
+    return beam_state, new_stats, tuple(new_carries)
+
+
+@partial(jax.jit, static_argnames=("cfg", "chunk", "fixed_norm", "K",
+                                   "Lmax"))
+def _chunk_step_beam_lm(params, window: jnp.ndarray, stats, carries,
+                        beam_state, lm_tab, lam, beta,
+                        n_valid: jnp.ndarray, n_committed: jnp.ndarray,
+                        cfg: Config, chunk: int, fixed_norm: bool,
+                        K: int, Lmax: int):
+    """_chunk_step_beam with n-gram shallow fusion: the streamed carry is
+    decoding/beam._step_lm_buffer's state (prefix buffers + LM contexts +
+    cumulative LM scores), candidates rank by acoustic + lam*lm +
+    beta*len — frame-for-frame identical to the offline
+    beam_decode(lm=...) hash scan (tested)."""
+    from .decoding.beam import _step_lm_buffer, lm_context_scores
+    from .models.bilstm_ctc import linear
+
+    x, new_stats, new_carries = _encode_window(
+        params, window, stats, carries, n_valid, n_committed, cfg, chunk,
+        fixed_norm)
+    logits = linear(params["ctc_head"], x[:, :chunk])
+    log_probs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)[0]
+    A = log_probs.shape[-1]
+
+    def body(state, inp):
+        lp, t = inp
+        lmn = lm_context_scores(lm_tab, state[2], state[3])
+        new = _step_lm_buffer(state, lp, lmn, K=K, A=A, Lmax=Lmax, blank=0,
+                              lam=lam, beta=beta)
+        return jax.tree_util.tree_map(
+            lambda n, o: jnp.where(t < n_committed, n, o), new, state), None
+
+    beam_state, _ = jax.lax.scan(
+        body, beam_state, (log_probs, jnp.arange(chunk)))
+    return beam_state, new_stats, tuple(new_carries)
+
+
 @partial(jax.jit, static_argnames=("cfg", "chunk", "fixed_norm",
                                    "max_symbols"))
 def _chunk_step_rnnt(params, window: jnp.ndarray, stats, carries, dec_state,
@@ -318,8 +391,32 @@ class StreamingTranscriber:
     def __init__(self, params, cfg: Config, alphabet,
                  chunk_frames: int = 64, right_context: int = 32,
                  norm: str | tuple = "streaming", left_context: int = 512,
-                 timestamps: bool = False):
+                 timestamps: bool = False, decoder: str = "greedy",
+                 beam_size: int = 8, max_label_len: int | None = None,
+                 lm=None, lm_weight: float = 0.3,
+                 length_bonus: float = 0.0):
         self.rnnt = cfg.model.family == "transducer"
+        if decoder not in ("greedy", "beam"):
+            raise ValueError(f"decoder={decoder!r} (greedy or beam)")
+        self.beam = decoder == "beam"
+        if self.beam and (self.rnnt
+                          or cfg.model.family not in ("ctc",)):
+            raise ValueError(
+                "streaming beam search is implemented for the recurrent "
+                f"CTC family (got {cfg.model.family!r}); the transducer "
+                "streams its own frame-synchronous search and the "
+                "attention families stream greedily")
+        if self.beam and timestamps:
+            raise ValueError("streaming timestamps use greedy emission "
+                             "peaks; decoder='beam' revises hypotheses")
+        self.K = int(beam_size)
+        self.Lmax = int(max_label_len if max_label_len is not None
+                        else min(cfg.decode.max_label_len, 512))
+        if lm is not None and not self.beam:
+            raise ValueError("streaming LM fusion needs decoder='beam'")
+        self._lm = None if lm is None else jnp.asarray(lm, jnp.float32)
+        self._lam = jnp.float32(lm_weight)
+        self._beta = jnp.float32(length_bonus)
         if timestamps and self.rnnt:
             raise ValueError("streaming timestamps use CTC emission peaks; "
                              "the transducer decoder is label-synchronous")
@@ -390,6 +487,25 @@ class StreamingTranscriber:
         self._emitted = 0  # whole-stream label count (rnnt emission cap)
         self._words: list[dict] = []          # finalized word timings
         self._cur_word: list[tuple] = []      # (text, frame, logp, sub)
+        if self.beam:
+            from .decoding.beam import NEG
+
+            K, L = self.K, self.Lmax
+            p_b0 = jnp.full((K,), NEG).at[0].set(0.0)
+            if self._lm is None:
+                self._beam_state = (
+                    jnp.zeros((K, L), jnp.int32), jnp.zeros((K,), jnp.int32),
+                    p_b0, jnp.full((K,), NEG))
+            else:
+                # _step_lm_buffer layout: prefixes, hash, last, last2,
+                # lens, p_b, p_nb, cumulative lm (init = hash-LM decode's)
+                self._beam_state = (
+                    jnp.zeros((K, L), jnp.int32), jnp.zeros((K,), jnp.int32),
+                    jnp.full((K,), -1, jnp.int32),
+                    jnp.full((K,), -1, jnp.int32),
+                    jnp.zeros((K,), jnp.int32), p_b0, jnp.full((K,), NEG),
+                    jnp.zeros((K,)))
+            self._beam_emitted = 0  # common-prefix ids already emitted
         if self.rnnt:
             from .decoding.transducer import init_decode_state
 
@@ -437,6 +553,40 @@ class StreamingTranscriber:
         """Finalized word timings so far (timestamps=True). The word in
         progress finalizes at the next boundary or at flush()."""
         return list(self._words)
+
+    def _beam_snapshot(self):
+        """Host view of the carried beam: (prefixes, lens, score, live).
+        score is the DECISION key — acoustic total, plus
+        lam*lm + beta*len under fusion (the offline hash-LM's fused
+        ranking, decoding/beam._decode_one_hash_lm)."""
+        from .decoding.beam import NEG
+
+        if self._lm is None:
+            prefixes, lens, p_b, p_nb = self._beam_state
+            lm_sc = 0.0
+        else:
+            prefixes, _, _, _, lens, p_b, p_nb, lm_sc = self._beam_state
+            lm_sc = np.asarray(lm_sc, np.float64)
+        lens = np.asarray(lens)
+        tot = np.logaddexp(np.asarray(p_b, np.float64),
+                           np.asarray(p_nb, np.float64))
+        live = tot > NEG / 2
+        score = tot + float(self._lam) * lm_sc + float(self._beta) * lens
+        return np.asarray(prefixes), lens, np.where(live, score, tot), live
+
+    @property
+    def partial_text(self) -> str:
+        """decoder='beam': the CURRENT best hypothesis (may still be
+        revised by later audio, unlike the emitted/`text` stream, which is
+        the live beams' agreed prefix and therefore final)."""
+        if not self.beam:
+            return self.text
+        prefixes, lens, tot, live = self._beam_snapshot()
+        if not live.any():
+            return ""
+        best = int(np.where(live, tot, -np.inf).argmax())
+        return "".join(self.alphabet.piece(int(i))
+                       for i in prefixes[best, :lens[best]])
 
     def _window_samples(self, f0: int, wf: int | None = None) -> np.ndarray:
         """Samples backing frames [f0, f0 + wf): absolute range
@@ -488,6 +638,35 @@ class StreamingTranscriber:
                     self.cfg.transducer.max_symbols_per_frame))
             out = [piece(int(i)) for i in np.asarray(ids)[:int(n_emit)]]
             self._emitted += len(out)
+        elif self.beam:
+            if self._lm is None:
+                self._beam_state, self._stats, self._carries = \
+                    _chunk_step_beam(
+                        self.params, window, self._stats, self._carries,
+                        self._beam_state, jnp.int32(n_valid),
+                        jnp.int32(n_committed), self.cfg, self.chunk,
+                        self.fixed_norm, self.K, self.Lmax)
+            else:
+                self._beam_state, self._stats, self._carries = \
+                    _chunk_step_beam_lm(
+                        self.params, window, self._stats, self._carries,
+                        self._beam_state, self._lm, self._lam, self._beta,
+                        jnp.int32(n_valid), jnp.int32(n_committed),
+                        self.cfg, self.chunk, self.fixed_norm, self.K,
+                        self.Lmax)
+            # emit the agreed prefix: every live hypothesis extends an
+            # earlier live hypothesis by at most one trailing symbol and
+            # pruning only removes rows, so the common prefix of the live
+            # beams is monotone non-decreasing — emitted text is FINAL
+            prefixes, lens, _, live = self._beam_snapshot()
+            rows = prefixes[live]
+            m = int(lens[live].min()) if rows.size else 0
+            agree = 0
+            while agree < m and (rows[:, agree] == rows[0, agree]).all():
+                agree += 1
+            out = [piece(int(i))
+                   for i in rows[0, self._beam_emitted:agree]]
+            self._beam_emitted = max(agree, self._beam_emitted)
         else:
             ids, lp_max, self._stats, self._carries = _chunk_step(
                 self.params, window, self._stats, self._carries,
@@ -586,6 +765,19 @@ class StreamingTranscriber:
                 n_committed=min(left, self.chunk)))
         if self.timestamps:
             self._flush_word()  # finalize the word in progress
+        if self.beam:
+            # end of stream: the best hypothesis is final — emit its
+            # remainder past the agreed prefix emitted so far
+            prefixes, lens, tot, live = self._beam_snapshot()
+            if live.any():
+                best = int(np.where(live, tot, -np.inf).argmax())
+                rest = "".join(
+                    self.alphabet.piece(int(i))
+                    for i in prefixes[best, self._beam_emitted:lens[best]])
+                self._beam_emitted = int(lens[best])
+                if rest:
+                    self._text.append(rest)
+                    emitted.append(rest)
         return "".join(emitted)
 
     @property

@@ -393,7 +393,8 @@ def sharded_corpus_cer(params, rows, alphabet, cfg: Config,
 def train(corpus_path: str, model_path: str, num_epochs: int | None = None,
           batch_size: int | None = None, device=None, config: Config | None = None,
           resume: bool = True, max_steps_per_epoch: int | None = None,
-          profile_steps: int = 0, stop_after_steps: int | None = None) -> dict:
+          profile_steps: int = 0, stop_after_steps: int | None = None,
+          fault_step: int | None = None) -> dict:
     """Train a BiLSTM-CTC model on a corpus directory (train.tsv / dev.tsv /
     clips/ / alphabet.txt — the layout the reference consumes).
 
@@ -724,6 +725,21 @@ def train(corpus_path: str, model_path: str, num_epochs: int | None = None,
                 # background=True: the D2H transfer + write happen on the
                 # checkpoint worker thread, off the training step
                 ckpt.save(plan.canonical_state(mid), background=True)
+            if fault_step is not None and step == fault_step:
+                # fault injection (--fault_step, utils/elastic.py): die
+                # ungracefully — no handler, no checkpoint flush, exactly
+                # like an OOM kill — to exercise the elastic supervisor's
+                # detect-and-relaunch path. One-shot via a marker file:
+                # the last pre-crash checkpoint sits BEFORE fault_step, so
+                # the relaunch replays through step==fault_step and a bare
+                # step check would crash-loop forever.
+                marker = os.path.join(model_path, ".fault_injected")
+                if not os.path.exists(marker):
+                    with open(marker, "w") as f:
+                        f.write(str(step))
+                    from .utils.elastic import FAULT_EXIT
+
+                    os._exit(FAULT_EXIT)
             stop_now = preempted.is_set()
             if nproc > 1:
                 # one host's SIGTERM must become EVERY host's decision: a

@@ -197,7 +197,7 @@ def test_cli_wave_augment_flags():
 
     captured = {}
 
-    def fake_train(corpus, model, config=None, profile_steps=0):
+    def fake_train(corpus, model, config=None, **kwargs):
         captured["cfg"] = config
         return {}
 

@@ -28,9 +28,9 @@ def test_mode_required():
 def test_train_dispatch_builds_config(monkeypatch):
     captured = {}
 
-    def fake_train(corpus, model, config=None, profile_steps=0):
+    def fake_train(corpus, model, config=None, **kwargs):
         captured.update(corpus=corpus, model=model, config=config,
-                        profile_steps=profile_steps)
+                        profile_steps=kwargs.get("profile_steps", 0))
 
     import pg_asr_tpu.train as train_mod
     monkeypatch.setattr(train_mod, "train", fake_train)

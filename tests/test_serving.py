@@ -156,6 +156,160 @@ def test_flush_empty_stream(setup):
 
 
 # ---------------------------------------------------------------------------
+# Streaming prefix beam search (decoder="beam": the buffer beam state
+# carried across chunks, serving._chunk_step_beam)
+# ---------------------------------------------------------------------------
+
+BEAM_K, BEAM_L = 4, 12
+
+
+@pytest.fixture(scope="module")
+def beam_setup(setup):
+    """Params with a perturbed CTC head so the posteriors vary per frame
+    (a random init emits near-uniform blanks — beams would never diverge
+    and the test would compare empty strings)."""
+    cfg, params, alphabet, wave = setup
+    rng = np.random.default_rng(7)
+    head = dict(params["ctc_head"])
+    head["b"] = params["ctc_head"]["b"] + jnp.asarray(
+        rng.standard_normal(params["ctc_head"]["b"].shape) * 2.0,
+        params["ctc_head"]["b"].dtype)
+    return cfg, {**params, "ctc_head": head}, alphabet, wave
+
+
+def _offline_beam_text(cfg, params, alphabet, wave) -> str:
+    from pg_asr_tpu.decoding.beam import beam_decode
+
+    w = jnp.asarray(np.pad(wave, (0, 512)))[None, :]
+    ns = jnp.asarray([len(wave)], jnp.int32)
+    feats, mask, flens = extract_features(w, ns, cfg.features)
+    lp = bilstm_ctc.apply(params, feats, mask, cfg.model, train=False)
+    ids, lens, _ = beam_decode(lp, flens, beam_size=BEAM_K,
+                               max_label_len=BEAM_L, impl="buffer")
+    return ids_to_strings(ids, lens, alphabet)[0]
+
+
+def test_beam_single_chunk_matches_offline(beam_setup):
+    cfg, params, alphabet, wave = beam_setup
+    T = len(wave) // cfg.features.hop_length + 1
+    st = StreamingTranscriber(params, cfg, alphabet, chunk_frames=T + 4,
+                              right_context=0, decoder="beam",
+                              beam_size=BEAM_K, max_label_len=BEAM_L)
+    out = st.push(wave) + st.flush()
+    assert out == _offline_beam_text(cfg, params, alphabet, wave)
+    assert out != ""  # the perturbed head must produce real text
+
+
+def test_beam_multi_chunk_fixed_norm_full_lookahead_matches_offline(
+        beam_setup):
+    """chunk=8 + lookahead past the stream end + fixed CMVN: the carried
+    beam state over per-chunk posteriors must reproduce the OFFLINE buffer
+    beam bit-for-bit (same _step, same frames)."""
+    cfg, params, alphabet, wave = beam_setup
+    T = len(wave) // cfg.features.hop_length + 1
+    st = StreamingTranscriber(params, cfg, alphabet, chunk_frames=8,
+                              right_context=T,
+                              norm=_offline_norm_stats(cfg, wave),
+                              decoder="beam", beam_size=BEAM_K,
+                              max_label_len=BEAM_L)
+    out = st.push(wave) + st.flush()
+    assert out == _offline_beam_text(cfg, params, alphabet, wave)
+
+
+def test_beam_emitted_text_is_final(beam_setup):
+    """push() emissions are the live beams' agreed prefix — they must
+    never be revised: the concatenated stream equals the final text, and
+    every intermediate emission is a prefix of it."""
+    cfg, params, alphabet, wave = beam_setup
+    st = StreamingTranscriber(params, cfg, alphabet, chunk_frames=6,
+                              right_context=4, decoder="beam",
+                              beam_size=BEAM_K, max_label_len=BEAM_L)
+    sofar, checkpoints = "", []
+    for block in np.array_split(wave, 5):
+        sofar += st.push(block)
+        checkpoints.append(sofar)
+        assert st.partial_text.startswith(sofar)  # best extends the agreed
+    final = sofar + st.flush()
+    assert st.text == final
+    for c in checkpoints:
+        assert final.startswith(c)
+
+
+def test_beam_push_block_size_invariance(beam_setup):
+    cfg, params, alphabet, wave = beam_setup
+    outs = []
+    for blocks in ([wave], np.array_split(wave, 7)):
+        st = StreamingTranscriber(params, cfg, alphabet, chunk_frames=6,
+                                  right_context=4, decoder="beam",
+                                  beam_size=BEAM_K, max_label_len=BEAM_L)
+        outs.append("".join(st.push(b) for b in blocks) + st.flush())
+    assert outs[0] == outs[1]
+
+
+def _lm_table(alphabet, order):
+    from pg_asr_tpu.decoding.lm import train_char_ngram
+
+    texts = ["abcabc", "bca", "cabba", "abacaba", "bbcc"]
+    return train_char_ngram(texts, alphabet, order=order)
+
+
+@pytest.mark.parametrize("order", [2, 3])
+def test_beam_lm_fusion_matches_offline(beam_setup, order):
+    """Streamed n-gram fusion (chunked _step_lm_buffer carry) must equal
+    the offline beam_decode(lm=...) hash scan under full lookahead + fixed
+    norm — same candidates, same merge rule, same fused top-K."""
+    from pg_asr_tpu.decoding.beam import beam_decode
+
+    cfg, params, alphabet, wave = beam_setup
+    tab = _lm_table(alphabet, order)
+    T = len(wave) // cfg.features.hop_length + 1
+
+    w = jnp.asarray(np.pad(wave, (0, 512)))[None, :]
+    ns = jnp.asarray([len(wave)], jnp.int32)
+    feats, mask, flens = extract_features(w, ns, cfg.features)
+    lp = bilstm_ctc.apply(params, feats, mask, cfg.model, train=False)
+    ids, lens, _ = beam_decode(lp, flens, beam_size=BEAM_K,
+                               max_label_len=BEAM_L, lm=tab, lm_weight=0.4,
+                               length_bonus=0.1)
+    offline = ids_to_strings(ids, lens, alphabet)[0]
+
+    st = StreamingTranscriber(params, cfg, alphabet, chunk_frames=8,
+                              right_context=T,
+                              norm=_offline_norm_stats(cfg, wave),
+                              decoder="beam", beam_size=BEAM_K,
+                              max_label_len=BEAM_L, lm=tab, lm_weight=0.4,
+                              length_bonus=0.1)
+    assert st.push(wave) + st.flush() == offline
+
+
+def test_beam_lm_emitted_text_is_final(beam_setup):
+    cfg, params, alphabet, wave = beam_setup
+    tab = _lm_table(alphabet, 2)
+    st = StreamingTranscriber(params, cfg, alphabet, chunk_frames=6,
+                              right_context=4, decoder="beam",
+                              beam_size=BEAM_K, max_label_len=BEAM_L,
+                              lm=tab, lm_weight=0.4)
+    sofar = ""
+    for block in np.array_split(wave, 5):
+        sofar += st.push(block)
+    final = sofar + st.flush()
+    assert st.text == final
+    assert final.startswith(sofar)
+
+
+def test_beam_validation(beam_setup):
+    cfg, params, alphabet, _ = beam_setup
+    with pytest.raises(ValueError, match="timestamps"):
+        StreamingTranscriber(params, cfg, alphabet, decoder="beam",
+                             timestamps=True)
+    with pytest.raises(ValueError, match="greedy or beam"):
+        StreamingTranscriber(params, cfg, alphabet, decoder="nope")
+    with pytest.raises(ValueError, match="decoder='beam'"):
+        StreamingTranscriber(params, cfg, alphabet,
+                             lm=np.zeros((9, 9), np.float32))
+
+
+# ---------------------------------------------------------------------------
 # Streaming transducer (RNN-T over the LC-BLSTM encoder)
 # ---------------------------------------------------------------------------
 
