@@ -814,7 +814,8 @@ class BatchedStreamingTranscriber:
 
     def __init__(self, params, cfg: Config, alphabet, slots: int = 8,
                  chunk_frames: int = 64, right_context: int = 32,
-                 norm: str | tuple = "streaming"):
+                 norm: str | tuple = "streaming", decoder: str = "greedy",
+                 beam_size: int = 8, max_label_len: int | None = None):
         if cfg.model.family != "ctc":
             raise ValueError(
                 "batched streaming serves the CTC BiLSTM family (carried-"
@@ -822,9 +823,18 @@ class BatchedStreamingTranscriber:
                 "RNN-T streams through StreamingTranscriber")
         if slots < 1:
             raise ValueError("slots must be >= 1")
+        if decoder not in ("greedy", "beam"):
+            raise ValueError(f"decoder={decoder!r} (greedy or beam)")
+        self.beam = decoder == "beam"
+        self.K = int(beam_size)
+        self.Lmax = int(max_label_len if max_label_len is not None
+                        else min(cfg.decode.max_label_len, 512))
         self.params = params
         self.alphabet = alphabet
         self.slots = slots
+        # embedded single-stream transcribers hold the per-slot HOST state
+        # (sample buffer, collapse carry / emitted-prefix counter, text);
+        # the stacked DEVICE state (carries, norm stats, beam) lives here
         self._st = [StreamingTranscriber(params, cfg, alphabet,
                                          chunk_frames=chunk_frames,
                                          right_context=right_context,
