@@ -230,8 +230,27 @@ def _bench_family_chain(family: str, arrays, steps: int = FAMILY_STEPS):
         return None
 
 
-def _bench_e2e(n_utts: int = 256, epochs: int = 2,
-               cache_mb: float = 0.0) -> float | None:
+def _device_put_probe(mb: float = 16.0, reps: int = 3) -> float:
+    """Raw host->device bandwidth (MB/s) via timed jax.device_put of a
+    fresh buffer. The tunnel link has a documented failure mode where
+    sustained use degrades H2D ~70x (see bench_ours), so the e2e rows
+    carry this probe BEFORE and AFTER their epochs — the artifact itself
+    then distinguishes a code regression (probes fine, stages slow) from
+    link pathology (probes collapse)."""
+    import jax
+
+    n = int(mb * (1 << 20) // 4)
+    best = 0.0
+    for i in range(reps):
+        x = np.full((n,), float(i), np.float32)  # fresh buffer each rep
+        t0 = time.time()
+        jax.block_until_ready(jax.device_put(x))
+        best = max(best, mb / (time.time() - t0))
+    return best
+
+
+def _bench_e2e(n_utts: int = 512, epochs: int = 4,
+               cache_mb: float = 0.0) -> dict | None:
     """Sustained end-to-end training throughput: WAV files on disk ->
     native-IO batch loader + prefetch -> jitted device steps, overlapped
     (loss is only synced at the end). This is the number a real epoch
@@ -239,7 +258,13 @@ def _bench_e2e(n_utts: int = 256, epochs: int = 2,
 
     cache_mb > 0 additionally enables the built-batch RAM cache
     (--cache_audio_mb): the warm epoch populates it, so the timed epochs
-    measure the steady state a multi-epoch run actually sustains."""
+    measure the steady state a multi-epoch run actually sustains.
+
+    Returns a dict with utts_per_sec plus per-stage attribution (VERDICT
+    r3 #1): mean per-batch times for host batch BUILD (WAV decode + pad,
+    producer thread), device STAGING (device_put, producer thread),
+    consumer queue WAIT and step DISPATCH, and raw device_put bandwidth
+    probes bracketing the run."""
     import jax
 
     try:
@@ -284,35 +309,82 @@ def _bench_e2e(n_utts: int = 256, epochs: int = 2,
                                 cache_mb=cache_mb,
                                 num_workers=cfg.train.loader_threads)
 
+        # stage timers (all producer-thread): build = WAV decode + pad
+        # (the base iterator's __next__), h2d = device_put. Consumer-side:
+        # wait = blocked on the prefetch queue, dispatch = step_fn call.
+        stats = {"build_s": 0.0, "h2d_s": 0.0, "wait_s": 0.0,
+                 "dispatch_s": 0.0, "batches": 0}
+
+        def timed_source():
+            it = iter(base_it)
+            while True:
+                t0 = time.time()
+                try:
+                    b = next(it)
+                except StopIteration:
+                    return
+                stats["build_s"] += time.time() - t0
+                yield b
+
         def stage(batch):
             # device staging in the producer thread (train() does the same
             # via its shard_batch_arrays transform): H2D overlaps dispatch
             if batch.size < BATCH:
                 return None  # keep one static shape: steady-state measure
-            return tuple(jax.device_put(x) for x in
-                         (batch.wave, batch.num_samples, batch.labels,
-                          batch.label_lens))
+            t0 = time.time()
+            out = tuple(jax.device_put(x) for x in
+                        (batch.wave, batch.num_samples, batch.labels,
+                         batch.label_lens))
+            jax.block_until_ready(out)  # time the transfer, not the enqueue
+            stats["h2d_s"] += time.time() - t0
+            return out
 
         def run_epoch():
             nonlocal params, opt_state, rng
-            it = PrefetchIterator(base_it, depth=4, transform=stage)
+            it = iter(PrefetchIterator(timed_source(), depth=4,
+                                       transform=stage))
             n = 0
             last = None
-            for arrays in it:
+            while True:
+                t0 = time.time()
+                try:
+                    arrays = next(it)
+                except StopIteration:
+                    break
+                stats["wait_s"] += time.time() - t0
                 if arrays is None:
                     continue
+                t0 = time.time()
                 params, opt_state, rng, last = step_fn(
                     params, opt_state, rng, *arrays)
+                stats["dispatch_s"] += time.time() - t0
+                stats["batches"] += 1
                 n += BATCH
             if last is not None:
                 jax.block_until_ready(last)
             return n
 
+        probe_before = _device_put_probe()
         run_epoch()  # warm: compile + page cache
+        for k in stats:
+            stats[k] = 0 if k == "batches" else 0.0
         t0 = time.time()
         total = sum(run_epoch() for _ in range(epochs))
         dt = time.time() - t0
-        return total / dt if total else None
+        probe_after = _device_put_probe()
+        if not total:
+            return None
+        nb = max(stats["batches"], 1)
+        return {
+            "utts_per_sec": total / dt,
+            "build_ms_per_batch": 1000.0 * stats["build_s"] / nb,
+            "h2d_ms_per_batch": 1000.0 * stats["h2d_s"] / nb,
+            "wait_ms_per_batch": 1000.0 * stats["wait_s"] / nb,
+            "dispatch_ms_per_batch": 1000.0 * stats["dispatch_s"] / nb,
+            "batch_ms": 1000.0 * dt / nb,
+            "device_put_mbps_before": probe_before,
+            "device_put_mbps_after": probe_after,
+        }
     except Exception as e:
         print(f"[bench] e2e failed: {e!r}", file=sys.stderr)
         return None
@@ -334,10 +406,13 @@ def bench_ours(skip_extras: bool = False) -> dict:
     if not skip_extras:
         e2e = _bench_e2e_subprocess(0.0)
         if e2e:
-            e2e_rows["e2e_train_utts_per_sec"] = e2e
+            e2e_rows["e2e_train_utts_per_sec"] = e2e.pop("utts_per_sec")
+            e2e_rows["e2e_stages"] = e2e
         e2c = _bench_e2e_subprocess(2048.0)
         if e2c:
-            e2e_rows["e2e_cached_train_utts_per_sec"] = e2c
+            e2e_rows["e2e_cached_train_utts_per_sec"] = e2c.pop(
+                "utts_per_sec")
+            e2e_rows["e2e_cached_stages"] = e2c
 
     import jax
 
@@ -582,9 +657,10 @@ def bench_torch_cpu(timed_steps: int = 2) -> dict:
     }
 
 
-def _bench_e2e_subprocess(cache_mb: float) -> float | None:
+def _bench_e2e_subprocess(cache_mb: float) -> dict | None:
     """Run _bench_e2e in a clean process (see the call site for why);
-    falls back to in-process on any failure."""
+    falls back to in-process on any failure. Returns the stage-attributed
+    dict (one JSON line on the child's stdout)."""
     import subprocess
 
     try:
@@ -592,8 +668,8 @@ def _bench_e2e_subprocess(cache_mb: float) -> float | None:
             [sys.executable, os.path.abspath(__file__), "--e2e_only",
              "--e2e_cache_mb", str(cache_mb)],
             capture_output=True, text=True, timeout=600)
-        val = float(proc.stdout.strip().splitlines()[-1])
-        return val if val > 0 else None
+        out = json.loads(proc.stdout.strip().splitlines()[-1])
+        return out if out and out.get("utts_per_sec", 0) > 0 else None
     except Exception as e:
         print(f"[bench] e2e subprocess failed ({e!r}); measuring "
               "in-process (may be tunnel-degraded)", file=sys.stderr)
@@ -615,7 +691,8 @@ def main() -> int:
         _apply_forced_cpu()
         _enable_compilation_cache()
         val = _bench_e2e(cache_mb=args.e2e_cache_mb)
-        print(val if val else 0.0)
+        print(json.dumps({k: round(v, 3) for k, v in val.items()}
+                         if val else {}))
         return 0
 
     # Guard against a dead TPU tunnel: fall back to a CPU run (flagged in
@@ -662,7 +739,8 @@ def main() -> int:
     for k in ("flops_per_step", "mfu", "device_kind", "peak_flops",
               "eval_greedy_utts_per_sec", "eval_beam16_utts_per_sec",
               "eval_beam16_b128_utts_per_sec",
-              "e2e_train_utts_per_sec", "e2e_cached_train_utts_per_sec"):
+              "e2e_train_utts_per_sec", "e2e_stages",
+              "e2e_cached_train_utts_per_sec", "e2e_cached_stages"):
         if ours.get(k) is not None:
             v = ours[k]
             result[k] = round(v, 5) if isinstance(v, float) else v

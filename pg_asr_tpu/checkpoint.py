@@ -13,6 +13,7 @@ import os
 import queue
 import tempfile
 import threading
+import time
 from typing import Any
 
 import jax
@@ -86,18 +87,28 @@ class CheckpointManager:
     best updated when val improves, last every epoch — minus the reference's
     stale-snapshot bug)."""
 
-    def __init__(self, model_dir: str):
+    def __init__(self, model_dir: str, cleanup_tmp: bool = True):
         self.model_dir = model_dir
         os.makedirs(model_dir, exist_ok=True)
         # crash debris: an ungraceful death (OOM kill, --fault_step) can
         # leave a half-written mkstemp file behind; the atomic-rename
-        # discipline means any *.tmp here is garbage by construction
-        for name in os.listdir(model_dir):
-            if name.startswith("tmp") and name.endswith(".tmp"):
-                try:
-                    os.unlink(os.path.join(model_dir, name))
-                except OSError:
-                    pass
+        # discipline means any STALE *.tmp here is garbage. Only the
+        # WRITING manager (train entry, process 0 — callers pass
+        # cleanup_tmp=False for read-only/eval and non-zero hosts) may
+        # clean, and only files old enough that they cannot be another
+        # live writer's in-flight mkstemp (a predict job against a live
+        # training dir, or an elastically relaunched sibling host, must
+        # not unlink host 0's background save mid-write).
+        if cleanup_tmp:
+            now = time.time()
+            for name in os.listdir(model_dir):
+                if name.startswith("tmp") and name.endswith(".tmp"):
+                    path = os.path.join(model_dir, name)
+                    try:
+                        if now - os.path.getmtime(path) > 300.0:
+                            os.unlink(path)
+                    except OSError:
+                        pass
         self.best_val = float("inf")
         self._q: queue.Queue | None = None
         self._worker: threading.Thread | None = None

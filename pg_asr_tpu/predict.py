@@ -113,7 +113,7 @@ def load_model(model_path: str, alphabet: Alphabet, config: Config | None = None
     from .train import init_model_params
 
     params = init_model_params(jax.random.PRNGKey(0), cfg)
-    mgr = CheckpointManager(model_path)
+    mgr = CheckpointManager(model_path, cleanup_tmp=False)  # read-only
     if which == "avg":
         # uniform average of the retained per-epoch snapshots (train with
         # --keep_ckpts K) — the classic eval smoother

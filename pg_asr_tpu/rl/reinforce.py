@@ -608,7 +608,8 @@ def finetune_pg(corpus_path: str, model_path: str, num_steps: int = 200,
         ema_params = replicate(jax.tree_util.tree_map(
             lambda x: jnp.array(x, copy=True), params), mesh)
     pg_step = make_pg_step(cfg, optimizer, mesh)
-    ckpt = CheckpointManager(model_path)
+    ckpt = CheckpointManager(model_path,
+                             cleanup_tmp=jax.process_index() == 0)
     logger = StepLogger(model_path)
 
     # Resume an interrupted PG run: PG checkpoints carry epoch=-1 (the PG

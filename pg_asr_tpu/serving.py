@@ -414,6 +414,11 @@ class StreamingTranscriber:
                         else min(cfg.decode.max_label_len, 512))
         if lm is not None and not self.beam:
             raise ValueError("streaming LM fusion needs decoder='beam'")
+        if lm is None and length_bonus:
+            raise ValueError(
+                "length_bonus applies only under LM fusion (matching "
+                "offline beam_decode, which ignores it without an LM); "
+                "pass lm= or drop length_bonus")
         self._lm = None if lm is None else jnp.asarray(lm, jnp.float32)
         self._lam = jnp.float32(lm_weight)
         self._beta = jnp.float32(length_bonus)
@@ -571,7 +576,12 @@ class StreamingTranscriber:
         tot = np.logaddexp(np.asarray(p_b, np.float64),
                            np.asarray(p_nb, np.float64))
         live = tot > NEG / 2
-        score = tot + float(self._lam) * lm_sc + float(self._beta) * lens
+        # beta ranks only under fusion — offline beam_decode(lm=None)
+        # ignores length_bonus, and the per-frame _step pruning is purely
+        # acoustic, so applying it here without an LM would silently
+        # diverge from both the offline decode and the search objective
+        score = tot + (float(self._lam) * lm_sc + float(self._beta) * lens
+                       if self._lm is not None else 0.0)
         return np.asarray(prefixes), lens, np.where(live, score, tot), live
 
     @property
@@ -659,14 +669,16 @@ class StreamingTranscriber:
             # pruning only removes rows, so the common prefix of the live
             # beams is monotone non-decreasing — emitted text is FINAL
             prefixes, lens, _, live = self._beam_snapshot()
-            rows = prefixes[live]
-            m = int(lens[live].min()) if rows.size else 0
-            agree = 0
-            while agree < m and (rows[:, agree] == rows[0, agree]).all():
-                agree += 1
-            out = [piece(int(i))
-                   for i in rows[0, self._beam_emitted:agree]]
-            self._beam_emitted = max(agree, self._beam_emitted)
+            out = []
+            if live.any():
+                rows = prefixes[live]
+                m = int(lens[live].min())
+                agree = 0
+                while agree < m and (rows[:, agree] == rows[0, agree]).all():
+                    agree += 1
+                out = [piece(int(i))
+                       for i in rows[0, self._beam_emitted:agree]]
+                self._beam_emitted = max(agree, self._beam_emitted)
         else:
             ids, lp_max, self._stats, self._carries = _chunk_step(
                 self.params, window, self._stats, self._carries,
@@ -834,11 +846,15 @@ class BatchedStreamingTranscriber:
         self.slots = slots
         # embedded single-stream transcribers hold the per-slot HOST state
         # (sample buffer, collapse carry / emitted-prefix counter, text);
-        # the stacked DEVICE state (carries, norm stats, beam) lives here
+        # the stacked DEVICE state (carries, norm stats, beam) lives here.
+        # decoder= flows through so each slot carries the right host-side
+        # emission state (_beam_emitted for beam, _prev_id for greedy).
         self._st = [StreamingTranscriber(params, cfg, alphabet,
                                          chunk_frames=chunk_frames,
                                          right_context=right_context,
-                                         norm=norm)
+                                         norm=norm, decoder=decoder,
+                                         beam_size=beam_size,
+                                         max_label_len=max_label_len)
                     for _ in range(slots)]
         proto = self._st[0]
         self.cfg = proto.cfg
@@ -856,11 +872,33 @@ class BatchedStreamingTranscriber:
 
         cfg_c, chunk_c, fx = self.cfg, self.chunk, self.fixed_norm
 
-        def one(w, stats, carries, nv, nc):
-            return _chunk_step(params, w, stats, carries, nv, nc,
-                               cfg_c, chunk_c, fx)
+        if self.beam:
+            # stacked (S, K, Lmax) prefix-beam carry; per-slot search is
+            # the exact single-stream _chunk_step_beam, vmapped. Idle
+            # slots pass nc=0, which freezes their beam (the scan body
+            # masks every update with t < n_committed).
+            from .decoding.beam import NEG
 
-        self._vstep = jax.jit(jax.vmap(one, in_axes=(0, 0, 0, 0, 0)))
+            K, L = self.K, self.Lmax
+            self._beam_state = (
+                jnp.zeros((slots, K, L), jnp.int32),
+                jnp.zeros((slots, K), jnp.int32),
+                jnp.full((slots, K), NEG).at[:, 0].set(0.0),
+                jnp.full((slots, K), NEG))
+
+            def one_beam(w, stats, carries, bstate, nv, nc):
+                return _chunk_step_beam(params, w, stats, carries, bstate,
+                                        nv, nc, cfg_c, chunk_c, fx,
+                                        K, L)
+
+            self._vstep = jax.jit(
+                jax.vmap(one_beam, in_axes=(0, 0, 0, 0, 0, 0)))
+        else:
+            def one(w, stats, carries, nv, nc):
+                return _chunk_step(params, w, stats, carries, nv, nc,
+                                   cfg_c, chunk_c, fx)
+
+            self._vstep = jax.jit(jax.vmap(one, in_axes=(0, 0, 0, 0, 0)))
 
     # -- session lifecycle ---------------------------------------------------
     def open(self) -> int:
@@ -875,6 +913,13 @@ class BatchedStreamingTranscriber:
             (h.at[i].set(0), c.at[i].set(0)) for h, c in self._carries)
         self._stats = tuple(
             s.at[i].set(v) for s, v in zip(self._stats, self._norm0))
+        if self.beam:
+            from .decoding.beam import NEG
+
+            P, Ln, pb, pnb = self._beam_state
+            self._beam_state = (P.at[i].set(0), Ln.at[i].set(0),
+                                pb.at[i].set(NEG).at[i, 0].set(0.0),
+                                pnb.at[i].set(NEG))
         return i
 
     def close(self, slot: int) -> None:
@@ -911,10 +956,16 @@ class BatchedStreamingTranscriber:
             st = self._st[i]
             windows[i, 0] = st._window_samples(st._frames_done)
             nv[i], nc[i] = v, c
-        ids, _, self._stats, self._carries = self._vstep(
-            jnp.asarray(windows), self._stats, self._carries,
-            jnp.asarray(nv), jnp.asarray(nc))
-        ids = np.asarray(ids)  # (S, chunk)
+        if self.beam:
+            self._beam_state, self._stats, self._carries = self._vstep(
+                jnp.asarray(windows), self._stats, self._carries,
+                self._beam_state, jnp.asarray(nv), jnp.asarray(nc))
+            ids = None
+        else:
+            ids, _, self._stats, self._carries = self._vstep(
+                jnp.asarray(windows), self._stats, self._carries,
+                jnp.asarray(nv), jnp.asarray(nc))
+            ids = np.asarray(ids)  # (S, chunk)
 
         piece = self.alphabet.piece
         fcfg = self.cfg.features
@@ -922,11 +973,26 @@ class BatchedStreamingTranscriber:
         for i, _, c in work:
             st = self._st[i]
             toks = []
-            for sym in ids[i, :c]:
-                sym = int(sym)
-                if sym != st._prev_id and sym != 0:
-                    toks.append(piece(sym))
-                st._prev_id = sym
+            if self.beam:
+                # emit the live beams' agreed prefix — final by the same
+                # monotonicity argument as the single-stream path
+                prefixes, lens, _, live = self._beam_rows(i)
+                if live.any():
+                    rows = prefixes[live]
+                    m = int(lens[live].min())
+                    agree = 0
+                    while agree < m and (rows[:, agree]
+                                         == rows[0, agree]).all():
+                        agree += 1
+                    toks = [piece(int(t))
+                            for t in rows[0, st._beam_emitted:agree]]
+                    st._beam_emitted = max(agree, st._beam_emitted)
+            else:
+                for sym in ids[i, :c]:
+                    sym = int(sym)
+                    if sym != st._prev_id and sym != 0:
+                        toks.append(piece(sym))
+                    st._prev_id = sym
             st._frames_done += c
             keep_from = max(st._frames_done * fcfg.hop_length
                             - fcfg.n_fft // 2, 0)
@@ -937,6 +1003,18 @@ class BatchedStreamingTranscriber:
             st._text.append(text)
             out[i] = text
         return out
+
+    def _beam_rows(self, slot: int):
+        """Host view of one slot's carried beam: (prefixes, lens, tot,
+        live) — the batched analogue of StreamingTranscriber._beam_snapshot
+        (acoustic ranking; the batched path carries no LM)."""
+        from .decoding.beam import NEG
+
+        P, Ln, pb, pnb = self._beam_state
+        tot = np.logaddexp(np.asarray(pb[slot], np.float64),
+                           np.asarray(pnb[slot], np.float64))
+        live = tot > NEG / 2
+        return np.asarray(P[slot]), np.asarray(Ln[slot]), tot, live
 
     def step(self) -> dict[int, str]:
         """Process ONE chunk for every open slot with a full window ready.
@@ -971,6 +1049,19 @@ class BatchedStreamingTranscriber:
             left = total - st._frames_done
             got = self._run([(slot, min(left, wf), min(left, self.chunk))])
             pieces.append(got.get(slot, ""))
+        if self.beam:
+            # end of stream: the slot's best hypothesis is final — emit
+            # its remainder past the agreed prefix emitted so far
+            prefixes, lens, tot, live = self._beam_rows(slot)
+            if live.any():
+                best = int(np.where(live, tot, -np.inf).argmax())
+                rest = "".join(
+                    self.alphabet.piece(int(i))
+                    for i in prefixes[best, st._beam_emitted:lens[best]])
+                st._beam_emitted = int(lens[best])
+                if rest:
+                    st._text.append(rest)
+                    pieces.append(rest)
         return "".join(pieces)
 
     def text(self, slot: int) -> str:

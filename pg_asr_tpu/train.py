@@ -549,7 +549,8 @@ def train(corpus_path: str, model_path: str, num_epochs: int | None = None,
     ema_params = (jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True),
                                          params) if use_ema else None)
 
-    ckpt = CheckpointManager(model_path)
+    ckpt = CheckpointManager(model_path,
+                             cleanup_tmp=jax.process_index() == 0)
     start_epoch = 1
     state_tpl = {"params": params, "opt_state": opt_state, "step": 0,
                  "epoch": 0, "batches_done": 0,

@@ -61,6 +61,16 @@ def run_elastic(cmd: list[str], max_restarts: int = 3,
     """
     env = dict(env if env is not None else os.environ)
     env[CHILD_ENV] = "1"
+    # the child re-execs `-m pg_asr_tpu.cli`, which needs the package
+    # importable from its cwd/env; when the parent was launched as
+    # `python /path/to/main.py` from outside the repo (package not
+    # installed), only the PARENT got the script-dir sys.path entry —
+    # propagate the package location so every relaunch can import it
+    pkg_parent = os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))))
+    pp = env.get("PYTHONPATH", "")
+    if pkg_parent not in pp.split(os.pathsep):
+        env["PYTHONPATH"] = (pkg_parent + (os.pathsep + pp if pp else ""))
     restarts = 0
     state = {"stopping": False, "child": None}
 

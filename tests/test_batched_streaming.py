@@ -87,6 +87,63 @@ def test_slot_reuse_after_close(setup):
     assert srv.text(b) == _single(cfg, params, alphabet, waves[0])
 
 
+def test_batched_beam_matches_single_stream_beam(setup):
+    """decoder='beam' through the batched server: each slot's final
+    transcript equals the single-stream beam path's (the vmapped
+    _chunk_step_beam carries one prefix beam per slot; ADVICE r3 —
+    beam requests used to silently fall back to greedy)."""
+    cfg, params, alphabet, waves = setup
+    K, L = 4, 64
+
+    def single_beam(wave):
+        st = StreamingTranscriber(params, cfg, alphabet, chunk_frames=8,
+                                  right_context=4, decoder="beam",
+                                  beam_size=K, max_label_len=L)
+        return st.push(wave) + st.flush()
+
+    refs = [single_beam(w) for w in waves]
+    srv = BatchedStreamingTranscriber(params, cfg, alphabet, slots=4,
+                                      chunk_frames=8, right_context=4,
+                                      decoder="beam", beam_size=K,
+                                      max_label_len=L)
+    slots = [srv.open() for _ in waves]
+    cursors = [0] * len(waves)
+    block = 500
+    while any(c < len(w) for c, w in zip(cursors, waves)):
+        for k, w in enumerate(waves):
+            if cursors[k] < len(w):
+                srv.push(slots[k], w[cursors[k]:cursors[k] + block])
+                cursors[k] += block
+        srv.drain()
+    for k in range(len(waves)):
+        srv.flush(slots[k])
+        assert srv.text(slots[k]) == refs[k], (k, srv.text(slots[k]), refs[k])
+
+
+def test_batched_beam_slot_reuse(setup):
+    """A recycled slot's beam state resets: the reopened stream's beam
+    transcript matches a fresh single-stream beam decode."""
+    cfg, params, alphabet, waves = setup
+    K, L = 4, 64
+    srv = BatchedStreamingTranscriber(params, cfg, alphabet, slots=1,
+                                      chunk_frames=8, right_context=4,
+                                      decoder="beam", beam_size=K,
+                                      max_label_len=L)
+    a = srv.open()
+    srv.push(a, waves[1])
+    srv.drain()
+    srv.flush(a)
+    srv.close(a)
+    b = srv.open()
+    srv.push(b, waves[0])
+    srv.drain()
+    srv.flush(b)
+    st = StreamingTranscriber(params, cfg, alphabet, chunk_frames=8,
+                              right_context=4, decoder="beam",
+                              beam_size=K, max_label_len=L)
+    assert srv.text(b) == st.push(waves[0]) + st.flush()
+
+
 def test_capacity_and_family_validation(setup):
     cfg, params, alphabet, waves = setup
     srv = BatchedStreamingTranscriber(params, cfg, alphabet, slots=2,

@@ -43,6 +43,26 @@ def test_best_last_policy(tmp_path):
     assert mgr.best_val == 3.0
 
 
+def test_tmp_cleanup_gated(tmp_path):
+    """Crash-debris cleanup must not race a live writer (ADVICE r3): a
+    FRESH tmp file (another host's in-flight mkstemp) survives manager
+    construction; only STALE debris is removed, and read-only managers
+    (cleanup_tmp=False, the predict path) delete nothing."""
+    fresh = tmp_path / "tmpabc123.tmp"
+    stale = tmp_path / "tmpdef456.tmp"
+    fresh.write_bytes(b"live writer")
+    stale.write_bytes(b"debris")
+    old = os.path.getmtime(str(stale)) - 3600
+    os.utime(str(stale), (old, old))
+
+    CheckpointManager(str(tmp_path), cleanup_tmp=False)  # read-only
+    assert fresh.exists() and stale.exists()
+
+    CheckpointManager(str(tmp_path))  # the writing manager
+    assert fresh.exists()          # in-flight save untouched
+    assert not stale.exists()      # hour-old debris removed
+
+
 def test_try_restore(tmp_path):
     mgr = CheckpointManager(str(tmp_path))
     assert mgr.try_restore(_state(0)) is None
