@@ -93,10 +93,11 @@ def _apply_forced_cpu():
     if os.environ.get("PGASR_BENCH_FORCE_CPU") == "1":
         import jax
 
-        try:
-            jax.config.update("jax_platforms", "cpu")
-        except Exception:
-            pass
+        # fail LOUDLY if the force didn't take: a silent fallthrough here
+        # would let CPU-intended rows run on the TPU (or vice versa) and
+        # emit numbers whose `backend` field lies about their provenance
+        jax.config.update("jax_platforms", "cpu")
+        assert jax.default_backend() == "cpu", jax.default_backend()
 
 
 def _enable_compilation_cache():
@@ -390,6 +391,115 @@ def _bench_e2e(n_utts: int = 512, epochs: int = 4,
         return None
 
 
+def _bench_streaming(seconds: float = 20.0, slots: int = 8) -> dict | None:
+    """Streaming-serving rows (VERDICT r3 #4 — the README's latency/RTF
+    claims must live in the driver-captured artifact, not prose):
+
+      stream_chunk_ms          per-chunk wall latency, single stream,
+                               chunk=64 frames (0.8 s of audio @ hop 200)
+      stream_rtf               processing time / audio duration
+      batched_stream_utts_per_sec  S=8 lockstep sessions, whole-utterance
+                               turnaround through open/push/drain/flush
+      batched_stream_audio_xrt audio-seconds transcribed per wall-second
+                               across the batched run (aggregate inverse RTF)
+
+    Random params on synthetic audio: serving latency is content- and
+    weight-value-independent (same ops either way)."""
+    import jax
+
+    try:
+        from pg_asr_tpu.data.text import Alphabet
+        from pg_asr_tpu.models import bilstm_ctc
+        from pg_asr_tpu.serving import (BatchedStreamingTranscriber,
+                                        StreamingTranscriber)
+
+        cfg = _family_cfg("ctc")
+        params = bilstm_ctc.init_params(jax.random.PRNGKey(0), cfg.model)
+        alphabet = Alphabet.from_symbols(
+            [chr(ord("a") + i) for i in range(26)] + list("'-., "))
+        assert alphabet.size == VOCAB, (alphabet.size, VOCAB)
+        rng = np.random.default_rng(0)
+        hop = cfg.features.hop_length
+        chunk_frames, right = 64, 32
+        chunk_samples = chunk_frames * hop
+        wave = (rng.standard_normal(int(seconds * SAMPLE_RATE))
+                * 0.1).astype(np.float32)
+
+        def stream_once(st):
+            busy, n_chunks = 0.0, 0
+            for off in range(0, len(wave), chunk_samples):
+                t0 = time.time()
+                st.push(wave[off:off + chunk_samples])
+                busy += time.time() - t0
+                n_chunks += 1
+            t0 = time.time()
+            st.flush()
+            return busy + (time.time() - t0), n_chunks
+
+        st = StreamingTranscriber(params, cfg, alphabet,
+                                  chunk_frames=chunk_frames,
+                                  right_context=right)
+        stream_once(st)  # compile warm
+        st.reset()
+        busy, n_chunks = stream_once(st)
+        out = {
+            "stream_chunk_ms": 1000.0 * busy / n_chunks,
+            "stream_rtf": busy / seconds,
+            "stream_chunk_audio_ms": 1000.0 * chunk_samples / SAMPLE_RATE,
+        }
+
+        n_utts = slots * 2
+        waves = [(rng.standard_normal(int(AUDIO_SECONDS * SAMPLE_RATE))
+                  * 0.1).astype(np.float32) for _ in range(n_utts)]
+        srv = BatchedStreamingTranscriber(params, cfg, alphabet, slots=slots,
+                                          chunk_frames=chunk_frames,
+                                          right_context=right)
+
+        def run_batched():
+            t0 = time.time()
+            remaining = list(range(n_utts))
+            while remaining:
+                opened = []
+                for k in remaining[:slots]:
+                    s = srv.open()
+                    srv.push(s, waves[k])
+                    opened.append(s)
+                remaining = remaining[slots:]
+                srv.drain()
+                for s in opened:
+                    srv.flush(s)
+                    srv.close(s)
+            return time.time() - t0
+
+        run_batched()  # compile warm (vstep + flush partial shapes)
+        dt = run_batched()
+        out["batched_stream_utts_per_sec"] = n_utts / dt
+        out["batched_stream_audio_xrt"] = n_utts * AUDIO_SECONDS / dt
+        out["batched_stream_slots"] = slots
+        return out
+    except Exception as e:
+        print(f"[bench] streaming rows failed: {e!r}", file=sys.stderr)
+        return None
+
+
+def _bench_stream_subprocess() -> dict | None:
+    """Run _bench_streaming in a clean process (the tunnel's H2D
+    degradation pathology — see bench_ours — would otherwise tax the
+    per-chunk window transfers); falls back to in-process."""
+    import subprocess
+
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--stream_only"],
+            capture_output=True, text=True, timeout=900)
+        out = json.loads(proc.stdout.strip().splitlines()[-1])
+        return out or None
+    except Exception as e:
+        print(f"[bench] streaming subprocess failed ({e!r}); measuring "
+              "in-process", file=sys.stderr)
+        return _bench_streaming()
+
+
 def bench_ours(skip_extras: bool = False) -> dict:
     # Host-bound e2e rows run FIRST, in FRESH SUBPROCESSES, before this
     # process touches the device at all: under the axon tunnel, executing
@@ -413,6 +523,9 @@ def bench_ours(skip_extras: bool = False) -> dict:
             e2e_rows["e2e_cached_train_utts_per_sec"] = e2c.pop(
                 "utts_per_sec")
             e2e_rows["e2e_cached_stages"] = e2c
+        sr = _bench_stream_subprocess()
+        if sr:
+            e2e_rows.update(sr)
 
     import jax
 
@@ -685,7 +798,17 @@ def main() -> int:
     ap.add_argument("--e2e_only", action="store_true",
                     help="internal: print the e2e utts/s and exit")
     ap.add_argument("--e2e_cache_mb", type=float, default=0.0)
+    ap.add_argument("--stream_only", action="store_true",
+                    help="internal: print the streaming rows and exit")
     args = ap.parse_args()
+
+    if args.stream_only:
+        _apply_forced_cpu()
+        _enable_compilation_cache()
+        val = _bench_streaming()
+        print(json.dumps({k: (round(v, 4) if isinstance(v, float) else v)
+                          for k, v in val.items()} if val else {}))
+        return 0
 
     if args.e2e_only:
         _apply_forced_cpu()
@@ -740,7 +863,10 @@ def main() -> int:
               "eval_greedy_utts_per_sec", "eval_beam16_utts_per_sec",
               "eval_beam16_b128_utts_per_sec",
               "e2e_train_utts_per_sec", "e2e_stages",
-              "e2e_cached_train_utts_per_sec", "e2e_cached_stages"):
+              "e2e_cached_train_utts_per_sec", "e2e_cached_stages",
+              "stream_chunk_ms", "stream_rtf", "stream_chunk_audio_ms",
+              "batched_stream_utts_per_sec", "batched_stream_audio_xrt",
+              "batched_stream_slots"):
         if ours.get(k) is not None:
             v = ours[k]
             result[k] = round(v, 5) if isinstance(v, float) else v

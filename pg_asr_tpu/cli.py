@@ -45,6 +45,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--decoder", type=str, default="greedy",
                    choices=["greedy", "beam"])
     p.add_argument("--beam_size", type=int, default=None)
+    p.add_argument("--beam_prune", type=int, default=None,
+                   help="predict with --decoder beam: cap the per-frame "
+                        "candidate symbols to the top-M (M < beam+2 trades "
+                        "a bounded search deviation for speed; default "
+                        "None = exact search, docs/PERF.md beam section)")
     p.add_argument("--lm_order", type=int, default=0, choices=[0, 2, 3],
                    help="predict: shallow-fuse a character n-gram LM of "
                         "this order (trained from the corpus train.tsv) "
@@ -493,7 +498,8 @@ def main(argv=None) -> int:
         predict(test_path, aud_path, alphabet, args.model_path,
                 batch_size=args.batch_size, decoder=args.decoder,
                 which_ckpt=args.ckpt,
-                beam_size=args.beam_size, lm_order=args.lm_order,
+                beam_size=args.beam_size, beam_prune=args.beam_prune,
+                lm_order=args.lm_order,
                 lm_weight=args.lm_weight, length_bonus=args.length_bonus,
                 lm_train_tsv=(os.path.join(corpus, "train.tsv")
                               if (args.lm_order and corpus) else None),

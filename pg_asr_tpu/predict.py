@@ -155,6 +155,7 @@ def load_model(model_path: str, alphabet: Alphabet, config: Config | None = None
 def predict(test_path: str, aud_path: str, alphabet_path: str, model_path: str,
             batch_size: int = 32, config: Config | None = None,
             decoder: str = "greedy", beam_size: int | None = None,
+            beam_prune: int | None = None,
             which_ckpt: str = "best", limit: int | None = None,
             lm_order: int = 0, lm_weight: float = 0.3,
             length_bonus: float = 0.0, lm_train_tsv: str | None = None,
@@ -171,6 +172,14 @@ def predict(test_path: str, aud_path: str, alphabet_path: str, model_path: str,
     if timestamps and decoder != "greedy":
         raise ValueError("--timestamps uses CTC emission peaks — "
                          "greedy decoder only")
+    if beam_prune is not None:
+        if decoder != "beam":
+            raise ValueError("--beam_prune applies to --decoder beam")
+        if lm_pass == "rescore":
+            raise ValueError("--beam_prune shapes the fused in-beam search; "
+                             "the rescore pass decodes its n-best exactly")
+        if beam_prune < 2:
+            raise ValueError("--beam_prune must be >= 2 (blank + one symbol)")
     if lm_pass not in ("fused", "rescore"):
         raise ValueError(f"unknown lm_pass {lm_pass!r}")
     if lm_pass == "rescore" and lm_type != "neural":
@@ -339,7 +348,8 @@ def predict(test_path: str, aud_path: str, alphabet_path: str, model_path: str,
                     log_probs, frame_lens, beam_size=beam_size,
                     max_label_len=cfg.decode.max_label_len,
                     lm=lm_tab, lm_weight=lm_weight,
-                    length_bonus=length_bonus, neural_lm=neural_lm)
+                    length_bonus=length_bonus, neural_lm=neural_lm,
+                    prune=beam_prune)
             hyps = ids_to_strings(labels, lens, alphabet)
         else:
             raise ValueError(f"unknown decoder {decoder!r}")
