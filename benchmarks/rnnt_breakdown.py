@@ -205,6 +205,9 @@ def time_lattice_alone(cfg) -> float:
 
 
 def main():
+    from pg_asr_tpu.utils.cache import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()
     cfg = make_cfg()
     rng = np.random.default_rng(0)
     data = workload(rng)
