@@ -164,6 +164,15 @@ class TransducerConfig:
     # auxiliary CTC head on the encoder (standard convergence aid; adds the
     # head's params, so it round-trips through config.json)
     ctc_weight: float = 0.0
+    # Pallas fused joint-lattice kernel (ops/pallas_joint.py): computes the
+    # (B,T,U+1)/(B,T,U) emission tables straight from the e/g projections,
+    # never materializing the 4-D tanh joint in HBM. MEASURED SLOWER than
+    # the unfused XLA path at bench shapes (19.2 vs 3.9 ms fwd+bwd, v5e,
+    # B=64 T=201 U=64 J=256 A=32 bf16): XLA's operand fusion + bf16 already
+    # handle the 4-D joint near its compute floor, while the kernel pays
+    # f32 VPU tanh and 32/128 lane padding on the head matmul. Kept as an
+    # opt-in for other shapes (docs/PERF.md "RNN-T joint" section).
+    fused_joint: bool | str = False
 
 
 @dataclass(frozen=True)

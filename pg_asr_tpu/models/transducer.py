@@ -162,6 +162,36 @@ def joint_logits(params: dict, enc: jnp.ndarray,
     return linear(params["joint_out"], h)
 
 
+def joint_lattice_log_probs(params: dict, enc: jnp.ndarray,
+                            pred: jnp.ndarray, labels: jnp.ndarray,
+                            cfg: Config):
+    """enc/pred states + labels -> (lp_blank (B,T,U+1), lp_label (B,T,U)).
+
+    The training/MWER hot path over the WHOLE lattice. Default is the
+    unfused joint_logits + joint_log_probs composition — XLA fuses the
+    tanh(e ⊕ g) broadcast into the head matmul and runs it near the bf16
+    compute floor (3.9 ms fwd+bwd at bench shapes). The Pallas fused
+    kernel (ops/pallas_joint.py) is an opt-in via
+    cfg.transducer.fused_joint for regimes where the (B,T,U+1,J) tensor
+    genuinely blows HBM; it measured SLOWER at bench shapes (see the
+    kernel header). Both satisfy the same contract
+    (tests/test_pallas_joint.py)."""
+    from ..ops.lstm import resolve_use_pallas
+    from ..ops.transducer import joint_log_probs
+
+    e = linear(params["joint_enc"], enc)
+    g = linear(params["joint_pred"], pred)
+    if resolve_use_pallas(cfg.transducer.fused_joint):
+        from ..ops.pallas_joint import fused_joint_log_probs
+
+        A = params["joint_out"]["w"].shape[1]
+        onehot = jax.nn.one_hot(labels, A, dtype=jnp.float32)
+        return fused_joint_log_probs(e, g, params["joint_out"]["w"],
+                                     params["joint_out"]["b"], onehot)
+    h = jnp.tanh(e[:, :, None, :] + g[:, None, :, :])
+    return joint_log_probs(linear(params["joint_out"], h), labels)
+
+
 def apply_lattice(params: dict, feats: jnp.ndarray, frame_mask: jnp.ndarray,
                   frame_lens: jnp.ndarray, labels: jnp.ndarray,
                   label_lens: jnp.ndarray, cfg: Config, train: bool = False,
@@ -172,16 +202,14 @@ def apply_lattice(params: dict, feats: jnp.ndarray, frame_mask: jnp.ndarray,
     With with_ctc (hybrid training, TransducerConfig.ctc_weight > 0), also
     returns the auxiliary head's (B, T', A) CTC log-probs as a 4th value.
     """
-    from ..ops.transducer import joint_log_probs
-
     rngs = (jax.random.split(dropout_rng, 2)
             if dropout_rng is not None else (None, None))
     enc, out_mask, out_lens = encode(params, feats, frame_mask, frame_lens,
                                      cfg, train=train, dropout_rng=rngs[0])
     pred = predict_states(params, labels, label_lens, cfg, train=train,
                           dropout_rng=rngs[1])
-    logits = joint_logits(params, enc, pred)
-    lp_blank, lp_label = joint_log_probs(logits, labels)
+    lp_blank, lp_label = joint_lattice_log_probs(params, enc, pred, labels,
+                                                 cfg)
     if not with_ctc:
         return lp_blank, lp_label, out_lens
     ctc_lp = jax.nn.log_softmax(

@@ -325,8 +325,7 @@ def _mwer_transducer_terms(params, feats, fmask, flens, labels, label_lens,
     alignments of that hypothesis), combined by _mwer_combine."""
     from ..decoding.transducer import transducer_beam_nbest
     from ..models import transducer
-    from ..ops.transducer import (joint_log_probs, transducer_loss,
-                                  transducer_loss_terms)
+    from ..ops.transducer import transducer_loss, transducer_loss_terms
 
     rl = cfg.rl
     B, L = labels.shape
@@ -343,8 +342,8 @@ def _mwer_transducer_terms(params, feats, fmask, flens, labels, label_lens,
 
     def hyp_nll(h, hl):
         pred = transducer.predict_states(params, h, hl, cfg)
-        logits = transducer.joint_logits(params, enc, pred)
-        lp_blank, lp_label = joint_log_probs(logits, h)
+        lp_blank, lp_label = transducer.joint_lattice_log_probs(
+            params, enc, pred, h, cfg)
         return transducer_loss(lp_blank, lp_label, out_lens, hl)  # (B,)
 
     nll = jax.vmap(hyp_nll, in_axes=(1, 1), out_axes=1)(hyp, hyp_lens)
@@ -360,8 +359,8 @@ def _mwer_transducer_terms(params, feats, fmask, flens, labels, label_lens,
 
     # supervised anchor: the RNN-T loss on the ground truth (same encoder)
     pred = transducer.predict_states(params, labels, label_lens, cfg)
-    logits = transducer.joint_logits(params, enc, pred)
-    lp_blank, lp_label = joint_log_probs(logits, labels)
+    lp_blank, lp_label = transducer.joint_lattice_log_probs(
+        params, enc, pred, labels, cfg)
     a_num, a_den = transducer_loss_terms(lp_blank, lp_label, out_lens,
                                          label_lens)
     nums = {"pg": pg_num, "ent": jnp.asarray(0.0), "ctc": a_num}

@@ -16,10 +16,34 @@ import os
 
 _enabled = False
 
+# XLA-TPU caps "scoped" (stack) VMEM — the window fusions and custom
+# kernels may allocate at one schedule point — at 16 MiB by default,
+# far under the v5e's 128 MiB physical VMEM. The Pallas LSTM backward's
+# double-buffered working set at (B=64, chunk=8, H=256) is ~16.8 MiB once
+# the scheduler overlaps it with a neighboring kernel, which killed the
+# 10k-utterance stress run's compile (benchmarks/stress_scale.py) with
+# "Ran out of memory in memory space vmem while allocating on stack".
+# 32 MiB gives every kernel in this repo headroom while leaving 96 MiB
+# for XLA's streamed buffers. Respect an explicit user setting.
+#
+# Delivered via LIBTPU_INIT_ARGS, NOT XLA_FLAGS: the flag exists only in
+# libtpu's registry, and the CPU backend's strict parse_flags_from_env
+# aborts the whole process on flags it doesn't know.
+_SCOPED_VMEM_KIB = int(os.environ.get("PGASR_SCOPED_VMEM_KIB", "32768"))
+
+
+def _raise_scoped_vmem_limit() -> None:
+    args = os.environ.get("LIBTPU_INIT_ARGS", "")
+    if "xla_tpu_scoped_vmem_limit_kib" not in args:
+        os.environ["LIBTPU_INIT_ARGS"] = (
+            args + f" --xla_tpu_scoped_vmem_limit_kib={_SCOPED_VMEM_KIB}"
+        ).strip()
+
 
 def enable_persistent_compilation_cache() -> str | None:
     """Idempotent; returns the cache dir (None when disabled/unsupported)."""
     global _enabled
+    _raise_scoped_vmem_limit()
     if os.environ.get("PGASR_NO_COMPILE_CACHE") == "1":
         return None
     cache_dir = os.environ.get(
