@@ -697,6 +697,34 @@ def bench_ours(skip_extras: bool = False) -> dict:
         _ = float(beam_chain2(w2))
         out["eval_beam16_b128_utts_per_sec"] = (
             2 * BATCH * (TIMED_STEPS // 2) / (time.time() - t0))
+
+        # bounded pruning (`--beam_prune 6` on the CLI): per-frame top-6
+        # emission shortlist before the beam expansion. Measured LOSSLESS
+        # on trained posteriors (benchmarks/beam_prune_acc.py, docs/PERF.md:
+        # CER/WER identical to the exact search at prune>=4 on both a
+        # converged and a deliberately weak checkpoint).
+        def beam_one_prune(w):
+            feats, mask, _ = extract_features(w, arrays[1], cfg.features)
+            lp = bilstm_ctc.apply(params, feats, mask, cfg.model, train=False)
+            flens = jnp.sum(mask, axis=1).astype(jnp.int32)
+            _, lens, nll = beam_decode(lp.astype(jnp.float32), flens,
+                                       beam_size=16, max_label_len=256,
+                                       prune=6)
+            return jnp.sum(nll)
+
+        @jax.jit
+        def beam_chain_prune(w):
+            def body(w, _):
+                out = beam_one_prune(w)
+                return w + 1e-12 * out, out
+            w, outs = jax.lax.scan(body, w, None, length=TIMED_STEPS)
+            return outs[-1]
+
+        _ = float(beam_chain_prune(arrays[0]))  # compile
+        t0 = time.time()
+        _ = float(beam_chain_prune(arrays[0]))
+        out["eval_beam16_prune6_utts_per_sec"] = (
+            BATCH * TIMED_STEPS / (time.time() - t0))
     except Exception as e:
         print(f"[bench] beam eval row failed: {e!r}", file=sys.stderr)
 
@@ -862,6 +890,7 @@ def main() -> int:
     for k in ("flops_per_step", "mfu", "device_kind", "peak_flops",
               "eval_greedy_utts_per_sec", "eval_beam16_utts_per_sec",
               "eval_beam16_b128_utts_per_sec",
+              "eval_beam16_prune6_utts_per_sec",
               "e2e_train_utts_per_sec", "e2e_stages",
               "e2e_cached_train_utts_per_sec", "e2e_cached_stages",
               "stream_chunk_ms", "stream_rtf", "stream_chunk_audio_ms",
