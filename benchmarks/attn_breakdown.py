@@ -27,6 +27,10 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
+from pg_asr_tpu.utils.cache import enable_persistent_compilation_cache
+
+enable_persistent_compilation_cache()
+
 from pg_asr_tpu.config import (Config, FeatureConfig, ModelConfig,
                                TrainConfig, TransformerConfig)
 from pg_asr_tpu.models import transformer_ctc
@@ -35,6 +39,10 @@ from pg_asr_tpu.ops.features import extract_features
 
 BATCH = int(os.environ.get("ATTN_BATCH", "64"))
 SECONDS = float(os.environ.get("ATTN_SECONDS", "5.0"))
+# bench.py's `transformer` row runs the config DEFAULT subsample=2
+# (T'~250); set ATTN_SUBSAMPLE=2 to attribute that exact shape.
+SUBSAMPLE = int(os.environ.get("ATTN_SUBSAMPLE", "4"))
+REPEATS = int(os.environ.get("ATTN_REPEATS", "3"))
 VOCAB = 64
 LABEL_LEN = 24
 
@@ -47,13 +55,15 @@ def _rng_key():
     return training_rng(1)
 
 
-def make_cfg(size: str, dropout: float) -> Config:
+def make_cfg(size: str, dropout: float, flash: bool = False) -> Config:
     if size == "large":
         t = TransformerConfig(num_layers=16, d_model=1024, num_heads=16,
-                              ffn_dim=4096, subsample=4, dropout=dropout)
+                              ffn_dim=4096, subsample=4, dropout=dropout,
+                              flash_attention=flash)
     else:
         t = TransformerConfig(num_layers=6, d_model=256, num_heads=4,
-                              ffn_dim=1024, subsample=4, dropout=dropout)
+                              ffn_dim=1024, subsample=SUBSAMPLE,
+                              dropout=dropout, flash_attention=flash)
     return Config(
         features=FeatureConfig(kind="logmel", n_mels=80),
         model=ModelConfig(family="transformer", vocab_size=VOCAB,
@@ -102,9 +112,13 @@ def time_step(cfg, opt, data, steps=16, grad=True):
         key = _rng_key()
         p, o, l = chain(params, opt_state, key)
         jax.block_until_ready(l)
-        t0 = time.time()
-        p, o, l = chain(params, opt_state, key)
-        jax.block_until_ready(l)
+        best = float("inf")
+        for _ in range(REPEATS):  # min over repeats: robust to transient
+            t0 = time.time()      # host/chip contention on a shared box
+            p, o, l = chain(params, opt_state, key)
+            jax.block_until_ready(l)
+            best = min(best, time.time() - t0)
+        return best / steps * 1000.0
     else:
         @jax.jit
         def chain(params, rng):
@@ -123,10 +137,13 @@ def time_step(cfg, opt, data, steps=16, grad=True):
         key = _rng_key()
         l = chain(params, key)
         jax.block_until_ready(l)
-        t0 = time.time()
-        l = chain(params, key)
-        jax.block_until_ready(l)
-    return (time.time() - t0) / steps * 1000.0
+        best = float("inf")
+        for _ in range(REPEATS):
+            t0 = time.time()
+            l = chain(params, key)
+            jax.block_until_ready(l)
+            best = min(best, time.time() - t0)
+        return best / steps * 1000.0
 
 
 def main():
@@ -135,7 +152,8 @@ def main():
     data = workload(rng)
     adamw = optax.adamw(1e-4)
     sgd = optax.sgd(1e-4)
-    print(f"backend={jax.devices()[0].device_kind} size={size} B={BATCH}")
+    print(f"backend={jax.devices()[0].device_kind} size={size} B={BATCH}"
+          + (f" subsample={SUBSAMPLE}" if size == "small" else ""))
 
     rows = []
     ms = time_step(make_cfg(size, 0.1), adamw, data)
@@ -188,6 +206,15 @@ def main():
         print(f"{rows[-1][0]:36s} {ms:8.2f} ms")
     finally:
         transformer_ctc._layer_norm = orig_ln
+
+    # A/B (not a knockout — same semantics): Pallas flash-attention MHSA
+    # vs the dense einsum path (ops/flash_attn.py). Opt-in: the kernel's
+    # Mosaic compile hangs >7 min over the axon tunnel (measured, see
+    # docs/PERF.md), so it must not gate the main table.
+    if os.environ.get("ATTN_FLASH") and jax.default_backend() == "tpu":
+        ms = time_step(make_cfg(size, 0.1, flash=True), adamw, data)
+        rows.append(("full + flash attention", ms))
+        print(f"{rows[-1][0]:36s} {ms:8.2f} ms")
 
     return 0
 

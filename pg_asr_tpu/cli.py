@@ -233,6 +233,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="train: rematerialize attention-family encoder "
                         "blocks in the backward pass (less activation "
                         "memory, ~1/3 extra FLOPs)")
+    p.add_argument("--flash_attention", action="store_true",
+                   help="transformer/conformer: MHSA via the Pallas TPU "
+                        "flash kernel (tiled online softmax; no (B,H,T,T) "
+                        "score tensor in HBM). Dense-path fallback off-TPU")
     p.add_argument("--speed_perturb", type=str, default=None,
                    metavar="MIN,MAX",
                    help="train: per-utterance speed perturbation factor "
@@ -292,6 +296,12 @@ def _config(args, from_model_path: bool = False):
     if getattr(args, "remat", False):
         cfg = cfg.replace(model=cfg.model.__class__(
             **{**cfg.model.__dict__, "remat": True}))
+    if getattr(args, "flash_attention", False):
+        cfg = cfg.replace(
+            transformer=cfg.transformer.__class__(
+                **{**cfg.transformer.__dict__, "flash_attention": True}),
+            conformer=cfg.conformer.__class__(
+                **{**cfg.conformer.__dict__, "flash_attention": True}))
     if getattr(args, "moe_experts", None) is not None:
         cfg = cfg.replace(transformer=cfg.transformer.__class__(
             **{**cfg.transformer.__dict__, "num_experts": args.moe_experts}))

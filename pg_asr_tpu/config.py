@@ -117,6 +117,11 @@ class TransformerConfig:
     # char-level CTC needs T' >= 2*label_len+1; at 12.5ms/frame (hop 200)
     # subsample=2 keeps ~40 output frames/sec — safe for character targets
     subsample: int = 2
+    # MHSA via the Pallas TPU flash kernel (ops/flash_attn.py): tiled
+    # online softmax, never materializes (B,H,T,T) scores in HBM. T' pads
+    # up to the 128-frame block. Off-TPU (CPU tests/dryruns) and at
+    # non-aligned T the dense einsum path is used automatically.
+    flash_attention: bool = False
     # > 0: replace every block's dense FFN with a switch-routed
     # Mixture-of-Experts FFN of this many experts (parallel/moe.py); the
     # expert axis shards over an ('expert',) mesh axis (--mesh)
@@ -144,6 +149,9 @@ class ConformerConfig:
     conv_kernel: int = 15
     dropout: float = 0.1
     subsample: int = 2  # same T'>=2*label_len+1 consideration as transformer
+    # same semantics as TransformerConfig.flash_attention (rotary q/k are
+    # rotated BEFORE the kernel — rotary composes with any attention impl)
+    flash_attention: bool = False
 
 
 @dataclass(frozen=True)

@@ -108,21 +108,29 @@ def _rotary(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def _mhsa_rotary(p: dict, x: jnp.ndarray, key_bias: jnp.ndarray,
-                 num_heads: int) -> jnp.ndarray:
+                 num_heads: int,
+                 flash_mask: jnp.ndarray | None = None) -> jnp.ndarray:
     """Masked multi-head self-attention with rotary positions.
-    x: (B, T, d); key_bias: (B, 1, 1, T) additive f32 (-1e9 on padded keys)."""
+    x: (B, T, d); key_bias: (B, 1, 1, T) additive f32 (-1e9 on padded keys).
+    flash_mask (B, T) bool non-None routes through the Pallas flash kernel
+    (ops/flash_attn.py) — rotary rotates q/k up front, so it composes with
+    any attention implementation."""
     B, T, d = x.shape
     dh = d // num_heads
     qkv = linear(p["qkv"], x).reshape(B, T, 3, num_heads, dh)
     q = _rotary(jnp.swapaxes(qkv[:, :, 0], 1, 2))  # (B, h, T, dh)
     k = _rotary(jnp.swapaxes(qkv[:, :, 1], 1, 2))
     v = jnp.swapaxes(qkv[:, :, 2], 1, 2)
-    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
-                        preferred_element_type=jnp.float32)
-    scores = scores * (1.0 / dh ** 0.5) + key_bias
-    attn = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
-    ctx = jnp.einsum("bhqk,bhkd->bhqd", attn, v,
-                     preferred_element_type=x.dtype)
+    if flash_mask is not None:
+        from ..ops import flash_attn
+        ctx = flash_attn.mhsa(q, k, v, flash_mask, 1.0 / dh ** 0.5)
+    else:
+        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                            preferred_element_type=jnp.float32)
+        scores = scores * (1.0 / dh ** 0.5) + key_bias
+        attn = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+        ctx = jnp.einsum("bhqk,bhkd->bhqd", attn, v,
+                         preferred_element_type=x.dtype)
     return linear(p["attn_out"], jnp.swapaxes(ctx, 1, 2).reshape(B, T, d))
 
 
@@ -172,6 +180,15 @@ def encode(params: dict, feats: jnp.ndarray, frame_mask: jnp.ndarray,
         x = jnp.pad(x, ((0, 0), (0, Tp - T), (0, 0)))
     To = Tp // s
     x = x.reshape(B, To, s * F)
+    if ccfg.flash_attention:
+        # the flash kernel needs T' block-aligned; the pad is
+        # semantics-free (masked everywhere, conv input zeroed)
+        from ..ops import flash_attn
+        m = flash_attn.pad_multiple()
+        Ts = -(-To // m) * m
+        if Ts != To:
+            x = jnp.pad(x, ((0, 0), (0, Ts - To), (0, 0)))
+        To = Ts
     out_lens = subsampled_lens(frame_lens, s)
     out_mask = (jnp.arange(To)[None, :] < out_lens[:, None])
     omask = out_mask.astype(dtype)
@@ -182,6 +199,9 @@ def encode(params: dict, feats: jnp.ndarray, frame_mask: jnp.ndarray,
             if (train and dropout_rng is not None) else [None] * n_rngs)
     x = _dropout(x, ccfg.dropout, rngs[0], train)
 
+    from ..ops import flash_attn
+    flash_mask = (out_mask if ccfg.flash_attention
+                  and flash_attn.available(x.shape[1]) else None)
     key_bias = jnp.where(out_mask, 0.0, -1e9).astype(jnp.float32)[:, None, None, :]
     for i, blk in enumerate(params["blocks"]):
         def block_fn(x, blk=blk, r=rngs[1 + 4 * i: 5 + 4 * i]):
@@ -190,7 +210,7 @@ def encode(params: dict, feats: jnp.ndarray, frame_mask: jnp.ndarray,
                                           _layer_norm(blk["ln_ffn1"], x))))
             x = x + 0.5 * _dropout(h, ccfg.dropout, r[0], train)
             h = _mhsa_rotary(blk, _layer_norm(blk["ln_attn"], x), key_bias,
-                             ccfg.num_heads)
+                             ccfg.num_heads, flash_mask=flash_mask)
             x = x + _dropout(h, ccfg.dropout, r[1], train)
             h = _conv_module(blk, _layer_norm(blk["ln_conv"], x), omask,
                              ccfg.conv_kernel)

@@ -98,21 +98,28 @@ def _posenc(T: int, d: int, dtype, offset=0) -> jnp.ndarray:
 
 
 def _mhsa(p: dict, x: jnp.ndarray, key_bias: jnp.ndarray,
-          num_heads: int) -> jnp.ndarray:
+          num_heads: int, flash_mask: jnp.ndarray | None = None) -> jnp.ndarray:
     """Masked multi-head self-attention. x: (B, T, d); key_bias: (B, 1, 1, T)
-    additive f32 (-inf on padded keys)."""
+    additive f32 (-inf on padded keys). flash_mask (B, T) bool non-None
+    routes through the Pallas flash kernel (ops/flash_attn.py) instead of
+    materializing the (B, H, T, T) scores — callers pass it only when the
+    kernel can run (TPU, block-aligned T)."""
     B, T, d = x.shape
     dh = d // num_heads
     qkv = linear(p["qkv"], x).reshape(B, T, 3, num_heads, dh)
     q = jnp.swapaxes(qkv[:, :, 0], 1, 2)  # (B, h, T, dh)
     k = jnp.swapaxes(qkv[:, :, 1], 1, 2)
     v = jnp.swapaxes(qkv[:, :, 2], 1, 2)
-    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
-                        preferred_element_type=jnp.float32)
-    scores = scores * (1.0 / dh ** 0.5) + key_bias
-    attn = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
-    ctx = jnp.einsum("bhqk,bhkd->bhqd", attn, v,
-                     preferred_element_type=x.dtype)
+    if flash_mask is not None:
+        from ..ops import flash_attn
+        ctx = flash_attn.mhsa(q, k, v, flash_mask, 1.0 / dh ** 0.5)
+    else:
+        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                            preferred_element_type=jnp.float32)
+        scores = scores * (1.0 / dh ** 0.5) + key_bias
+        attn = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+        ctx = jnp.einsum("bhqk,bhkd->bhqd", attn, v,
+                         preferred_element_type=x.dtype)
     ctx = jnp.swapaxes(ctx, 1, 2).reshape(B, T, d)
     return linear(p["attn_out"], ctx)
 
@@ -167,19 +174,24 @@ def encode(params: dict, feats: jnp.ndarray, frame_mask: jnp.ndarray,
            pre_normalized: bool = False):
     """Encoder-only forward: (B, T, F) features -> (states (B, T', d),
     out_mask (B, T') bool, out_lens (B,)) with T' = ceil(T / subsample)."""
+    from ..ops import flash_attn
+    pad_to = flash_attn.pad_multiple() if tcfg.flash_attention else 1
     x, out_mask, out_lens = frontend(params, feats, frame_mask, frame_lens,
-                                     mcfg, tcfg, pos_offset=pos_offset,
+                                     mcfg, tcfg, pad_to_multiple=pad_to,
+                                     pos_offset=pos_offset,
                                      pre_normalized=pre_normalized)
     n_rngs = tcfg.num_layers * 2 + 1
     rngs = (jax.random.split(dropout_rng, n_rngs)
             if (train and dropout_rng is not None) else [None] * n_rngs)
     x = _dropout(x, tcfg.dropout, rngs[0], train)
 
+    flash_mask = (out_mask if tcfg.flash_attention
+                  and flash_attn.available(x.shape[1]) else None)
     key_bias = jnp.where(out_mask, 0.0, -1e9).astype(jnp.float32)[:, None, None, :]
     for i, blk in enumerate(params["blocks"]):
         def block_fn(x, blk=blk, r1=rngs[1 + 2 * i], r2=rngs[2 + 2 * i]):
             h = _mhsa(blk, _layer_norm(blk["ln1"], x), key_bias,
-                      tcfg.num_heads)
+                      tcfg.num_heads, flash_mask=flash_mask)
             x = x + _dropout(h, tcfg.dropout, r1, train)
             h = linear(blk["ffn_out"],
                        jax.nn.gelu(linear(blk["ffn_in"],
