@@ -448,6 +448,48 @@ def _bench_streaming(seconds: float = 20.0, slots: int = 8) -> dict | None:
             "stream_chunk_audio_ms": 1000.0 * chunk_samples / SAMPLE_RATE,
         }
 
+        # DEVICE-COMPUTE per chunk: 64 _chunk_step calls chained inside one
+        # executable (carried stats/LSTM state defeats LICM). The wall rows
+        # above pay the axon tunnel's per-call RTT (~30 ms each way); a
+        # locally attached chip pays O(100 us) dispatch, so device compute
+        # is the number a real deployment sees (docs/PERF.md protocol).
+        import jax.numpy as jnp
+
+        from pg_asr_tpu.serving import _chunk_step
+
+        wf = chunk_frames + right
+        pad = cfg.features.n_fft // 2
+        wlen = (wf - 1) * hop + 2 * pad  # _window_samples() extent
+        window = jnp.asarray(
+            (rng.standard_normal(wlen) * 0.1).astype(np.float32))[None, :]
+        nv = jnp.int32(wf)
+        nc = jnp.int32(chunk_frames)
+
+        @jax.jit
+        def dev_chain(stats, carries):
+            def body(carry, _):
+                stats, carries = carry
+                ids, lp, stats, carries = _chunk_step(
+                    st.params, window, stats, carries, nv, nc, st.cfg,
+                    st.chunk, st.fixed_norm)
+                return (stats, carries), ids[-1]
+            (stats, carries), last = jax.lax.scan(
+                body, (stats, carries), None, length=64)
+            return stats, last[-1]
+
+        stats0, carries0 = st._stats, st._carries
+        s, l = dev_chain(stats0, carries0)  # compile
+        jax.block_until_ready(l)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            s, l = dev_chain(stats0, carries0)
+            jax.block_until_ready(l)
+            best = min(best, time.time() - t0)
+        out["stream_device_compute_ms"] = 1000.0 * best / 64
+        out["stream_device_rtf"] = (best / 64) / (chunk_samples
+                                                  / SAMPLE_RATE)
+
         n_utts = slots * 2
         waves = [(rng.standard_normal(int(AUDIO_SECONDS * SAMPLE_RATE))
                   * 0.1).astype(np.float32) for _ in range(n_utts)]
@@ -725,6 +767,32 @@ def bench_ours(skip_extras: bool = False) -> dict:
         _ = float(beam_chain_prune(arrays[0]))
         out["eval_beam16_prune6_utts_per_sec"] = (
             BATCH * TIMED_STEPS / (time.time() - t0))
+
+        # production setting: B=128 batching AND the lossless prune=6
+        # shortlist together (per-frame sort launches amortize over the
+        # batch; the shortlist shrinks each launch)
+        def beam_one2_prune(w):
+            feats, mask, _ = extract_features(w, ns2, cfg.features)
+            lp = bilstm_ctc.apply(params, feats, mask, cfg.model, train=False)
+            flens = jnp.sum(mask, axis=1).astype(jnp.int32)
+            _, lens, nll = beam_decode(lp.astype(jnp.float32), flens,
+                                       beam_size=16, max_label_len=256,
+                                       prune=6)
+            return jnp.sum(nll)
+
+        @jax.jit
+        def beam_chain2_prune(w):
+            def body(w, _):
+                out = beam_one2_prune(w)
+                return w + 1e-12 * out, out
+            w, outs = jax.lax.scan(body, w, None, length=TIMED_STEPS // 2)
+            return outs[-1]
+
+        _ = float(beam_chain2_prune(w2))  # compile
+        t0 = time.time()
+        _ = float(beam_chain2_prune(w2))
+        out["eval_beam16_b128_prune6_utts_per_sec"] = (
+            2 * BATCH * (TIMED_STEPS // 2) / (time.time() - t0))
     except Exception as e:
         print(f"[bench] beam eval row failed: {e!r}", file=sys.stderr)
 
@@ -891,9 +959,11 @@ def main() -> int:
               "eval_greedy_utts_per_sec", "eval_beam16_utts_per_sec",
               "eval_beam16_b128_utts_per_sec",
               "eval_beam16_prune6_utts_per_sec",
+              "eval_beam16_b128_prune6_utts_per_sec",
               "e2e_train_utts_per_sec", "e2e_stages",
               "e2e_cached_train_utts_per_sec", "e2e_cached_stages",
               "stream_chunk_ms", "stream_rtf", "stream_chunk_audio_ms",
+              "stream_device_compute_ms", "stream_device_rtf",
               "batched_stream_utts_per_sec", "batched_stream_audio_xrt",
               "batched_stream_slots"):
         if ours.get(k) is not None:
