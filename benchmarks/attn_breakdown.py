@@ -190,6 +190,34 @@ def main():
     finally:
         transformer_ctc._mhsa = orig
 
+    # knockout: CTC loss -> mean logit (isolates the T'-step sequential
+    # forward-backward scan in ops/ctc.py). Patch THIS module's global —
+    # time_step's loss_fn resolves the name here at trace time.
+    g = globals()
+    orig_ctc = g["ctc_loss_mean"]
+    g["ctc_loss_mean"] = lambda lp, olens, labels, llens: jnp.mean(lp)
+    try:
+        ms = time_step(make_cfg(size, 0.0), adamw, data)
+        rows.append(("no CTC (mean-logit loss)", ms))
+        print(f"{rows[-1][0]:36s} {ms:8.2f} ms")
+    finally:
+        g["ctc_loss_mean"] = orig_ctc
+
+    # knockout: feature frontend -> precomputed constants (isolates the
+    # STFT-conv + log-mel + normalization; the arrays become jaxpr
+    # constants, so the step starts at the encoder input)
+    wave, ns, _, _ = data
+    pre = extract_features(wave, ns, make_cfg(size, 0.0).features)
+    pre = jax.tree_util.tree_map(jax.block_until_ready, pre)
+    orig_feats = g["extract_features"]
+    g["extract_features"] = lambda w, n, fc: pre
+    try:
+        ms = time_step(make_cfg(size, 0.0), adamw, data)
+        rows.append(("no frontend (precomputed feats)", ms))
+        print(f"{rows[-1][0]:36s} {ms:8.2f} ms")
+    finally:
+        g["extract_features"] = orig_feats
+
     # knockout: LayerNorm in bf16 (no f32 casts)
     orig_ln = transformer_ctc._layer_norm
 

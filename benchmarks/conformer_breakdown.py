@@ -192,6 +192,28 @@ def main():
     finally:
         conformer_ctc._conv_module = orig_conv
 
+    # knockout: CTC loss -> mean logit (isolates the T'-step sequential
+    # forward-backward scan in ops/ctc.py)
+    g = globals()
+    orig_ctc = g["ctc_loss_mean"]
+    g["ctc_loss_mean"] = lambda lp, olens, labels, llens: jnp.mean(lp)
+    try:
+        row("no CTC (mean-logit loss)", time_step(make_cfg(0.0), adamw, data))
+    finally:
+        g["ctc_loss_mean"] = orig_ctc
+
+    # knockout: feature frontend -> precomputed constants (isolates the
+    # STFT-conv + log-mel + normalization)
+    wave, ns, _, _ = data
+    pre = extract_features(wave, ns, make_cfg(0.0).features)
+    pre = jax.tree_util.tree_map(jax.block_until_ready, pre)
+    orig_feats = g["extract_features"]
+    g["extract_features"] = lambda w, n, fc: pre
+    try:
+        row("no frontend (precomputed feats)", time_step(make_cfg(0.0), adamw, data))
+    finally:
+        g["extract_features"] = orig_feats
+
     # knockout: LayerNorm in bf16
     orig_ln = conformer_ctc._layer_norm
 

@@ -68,6 +68,14 @@ def main():
     bench(16384, 1024, 4096, 64, "ffn pair 16384x(1024x4096)")
     # MXU-saturating square: the chip's achievable bf16 peak
     bench(8192, 8192, 8192, 32, "square 8192^3")
+    # DEFAULT-shape rows (VERDICT r3 #6): the d=256 transformer/conformer
+    # families push B*T'=16000 activation rows through 256-wide matmuls —
+    # the contraction dim is 2 MXU tiles, so the per-tile pipeline never
+    # amortizes. If the bare rate here matches the models' achieved TF/s,
+    # their 0.22-0.33 MFU is the SHAPE ceiling, not framework overhead.
+    bench(16000, 256, 1024, 512, "ffn pair 16000x(256x1024) (d=256 small)")
+    bench(16000, 256, 768, 512, "qkv-ish pair 16000x(256x768)")
+    bench(16000, 256, 256, 1024, "square chain 16000x256x256")
     return 0
 
 
