@@ -83,6 +83,12 @@ def workload(rng):
 
 
 def time_step(cfg, opt, data, steps=16, grad=True):
+    # transformer_ctc.apply is itself @jit with static cfgs: a warm pjit
+    # trace cache would silently serve the UNPATCHED jaxpr to knockout
+    # rows whose statics/avals match an earlier row (advisor r4, medium).
+    # Clear all caches so every row re-traces and resolves the patched
+    # globals. Returns (ms_per_step, final_loss) for the sanity assert.
+    jax.clear_caches()
     wave, ns, labels, llens = data
     params = transformer_ctc.init_params(jax.random.PRNGKey(0), cfg.model,
                                          cfg.transformer)
@@ -118,7 +124,7 @@ def time_step(cfg, opt, data, steps=16, grad=True):
             p, o, l = chain(params, opt_state, key)
             jax.block_until_ready(l)
             best = min(best, time.time() - t0)
-        return best / steps * 1000.0
+        return best / steps * 1000.0, float(l)
     else:
         @jax.jit
         def chain(params, rng):
@@ -143,7 +149,7 @@ def time_step(cfg, opt, data, steps=16, grad=True):
             l = chain(params, key)
             jax.block_until_ready(l)
             best = min(best, time.time() - t0)
-        return best / steps * 1000.0
+        return best / steps * 1000.0, float(l)
 
 
 def main():
@@ -156,21 +162,25 @@ def main():
           + (f" subsample={SUBSAMPLE}" if size == "small" else ""))
 
     rows = []
-    ms = time_step(make_cfg(size, 0.1), adamw, data)
-    rows.append(("full (adamw, dropout .1)", ms))
-    print(f"{rows[-1][0]:36s} {ms:8.2f} ms")
+    baseline_loss = [None]
 
-    ms = time_step(make_cfg(size, 0.0), adamw, data)
-    rows.append(("no dropout", ms))
-    print(f"{rows[-1][0]:36s} {ms:8.2f} ms")
+    def row(name, result, knockout=False):
+        ms, loss = result
+        if knockout and baseline_loss[0] is not None:
+            # a knockout changes semantics; identical loss means the
+            # monkeypatch silently didn't take effect (advisor r4)
+            assert loss != baseline_loss[0], (
+                f"knockout '{name}' produced the baseline loss "
+                f"{loss} — the patch did not take effect")
+        rows.append((name, ms))
+        print(f"{name:36s} {ms:8.2f} ms")
+        return ms, loss
 
-    ms = time_step(make_cfg(size, 0.0), sgd, data)
-    rows.append(("sgd, no dropout", ms))
-    print(f"{rows[-1][0]:36s} {ms:8.2f} ms")
-
-    ms = time_step(make_cfg(size, 0.0), None, data, grad=False)
-    rows.append(("forward+loss only", ms))
-    print(f"{rows[-1][0]:36s} {ms:8.2f} ms")
+    row("full (adamw, dropout .1)", time_step(make_cfg(size, 0.1), adamw, data))
+    _, bl = row("no dropout", time_step(make_cfg(size, 0.0), adamw, data))
+    baseline_loss[0] = bl
+    row("sgd, no dropout", time_step(make_cfg(size, 0.0), sgd, data))
+    row("forward+loss only", time_step(make_cfg(size, 0.0), None, data, grad=False))
 
     # knockout: attention einsums+softmax -> pass-through of v
     orig = transformer_ctc._mhsa
@@ -184,9 +194,8 @@ def main():
 
     transformer_ctc._mhsa = mhsa_noattn
     try:
-        ms = time_step(make_cfg(size, 0.0), adamw, data)
-        rows.append(("no attention (qkv/out kept)", ms))
-        print(f"{rows[-1][0]:36s} {ms:8.2f} ms")
+        row("no attention (qkv/out kept)",
+            time_step(make_cfg(size, 0.0), adamw, data), knockout=True)
     finally:
         transformer_ctc._mhsa = orig
 
@@ -197,9 +206,8 @@ def main():
     orig_ctc = g["ctc_loss_mean"]
     g["ctc_loss_mean"] = lambda lp, olens, labels, llens: jnp.mean(lp)
     try:
-        ms = time_step(make_cfg(size, 0.0), adamw, data)
-        rows.append(("no CTC (mean-logit loss)", ms))
-        print(f"{rows[-1][0]:36s} {ms:8.2f} ms")
+        row("no CTC (mean-logit loss)",
+            time_step(make_cfg(size, 0.0), adamw, data), knockout=True)
     finally:
         g["ctc_loss_mean"] = orig_ctc
 
@@ -212,9 +220,8 @@ def main():
     orig_feats = g["extract_features"]
     g["extract_features"] = lambda w, n, fc: pre
     try:
-        ms = time_step(make_cfg(size, 0.0), adamw, data)
-        rows.append(("no frontend (precomputed feats)", ms))
-        print(f"{rows[-1][0]:36s} {ms:8.2f} ms")
+        row("no frontend (precomputed feats)",
+            time_step(make_cfg(size, 0.0), adamw, data), knockout=True)
     finally:
         g["extract_features"] = orig_feats
 
@@ -229,9 +236,8 @@ def main():
 
     transformer_ctc._layer_norm = ln_bf16
     try:
-        ms = time_step(make_cfg(size, 0.0), adamw, data)
-        rows.append(("bf16 LayerNorm", ms))
-        print(f"{rows[-1][0]:36s} {ms:8.2f} ms")
+        row("bf16 LayerNorm",
+            time_step(make_cfg(size, 0.0), adamw, data), knockout=True)
     finally:
         transformer_ctc._layer_norm = orig_ln
 
@@ -240,9 +246,8 @@ def main():
     # Mosaic compile hangs >7 min over the axon tunnel (measured, see
     # docs/PERF.md), so it must not gate the main table.
     if os.environ.get("ATTN_FLASH") and jax.default_backend() == "tpu":
-        ms = time_step(make_cfg(size, 0.1, flash=True), adamw, data)
-        rows.append(("full + flash attention", ms))
-        print(f"{rows[-1][0]:36s} {ms:8.2f} ms")
+        row("full + flash attention",
+            time_step(make_cfg(size, 0.1, flash=True), adamw, data))
 
     return 0
 

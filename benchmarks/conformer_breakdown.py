@@ -72,6 +72,14 @@ def workload(rng):
 
 
 def time_step(cfg, opt, data, steps=16, grad=True):
+    # conformer_ctc.apply is itself @jit with static cfgs: a warm pjit
+    # trace cache would silently serve the UNPATCHED jaxpr to every
+    # knockout row whose statics/avals match an earlier row (advisor r4,
+    # high). Clearing all caches forces a fresh trace that resolves the
+    # monkeypatched globals. Returns (ms_per_step, final_loss) — callers
+    # assert a knockout's loss differs from baseline as proof the patch
+    # took effect.
+    jax.clear_caches()
     wave, ns, labels, llens = data
     params = conformer_ctc.init_params(jax.random.PRNGKey(0), cfg.model,
                                        cfg.conformer)
@@ -108,7 +116,7 @@ def time_step(cfg, opt, data, steps=16, grad=True):
             p, o, l = chain(params, opt_state, key)
             jax.block_until_ready(l)
             best = min(best, time.time() - t0)
-        return best / steps * 1000.0
+        return best / steps * 1000.0, float(l)
     else:
         @jax.jit
         def chain(params, rng):
@@ -133,7 +141,7 @@ def time_step(cfg, opt, data, steps=16, grad=True):
             l = chain(params, key)
             jax.block_until_ready(l)
             best = min(best, time.time() - t0)
-        return best / steps * 1000.0
+        return best / steps * 1000.0, float(l)
 
 
 def main():
@@ -144,11 +152,22 @@ def main():
     print(f"backend={jax.devices()[0].device_kind} B={BATCH} "
           f"6L x d256 x h4 x ffn1024 conv15 subsample2")
 
-    def row(name, ms):
+    baseline_loss = [None]
+
+    def row(name, result, knockout=False):
+        ms, loss = result
+        if knockout and baseline_loss[0] is not None:
+            # a knockout changes semantics; identical loss means the
+            # monkeypatch silently didn't take effect (advisor r4, high)
+            assert loss != baseline_loss[0], (
+                f"knockout '{name}' produced the baseline loss "
+                f"{loss} — the patch did not take effect")
         print(f"{name:36s} {ms:8.2f} ms")
+        return ms, loss
 
     row("full (adamw, dropout .1)", time_step(make_cfg(0.1), adamw, data))
-    row("no dropout", time_step(make_cfg(0.0), adamw, data))
+    _, bl = row("no dropout", time_step(make_cfg(0.0), adamw, data))
+    baseline_loss[0] = bl
     row("sgd, no dropout", time_step(make_cfg(0.0), sgd, data))
     row("forward+loss only",
         time_step(make_cfg(0.0), None, data, grad=False))
@@ -164,7 +183,7 @@ def main():
     conformer_ctc._mhsa_rotary = mhsa_noattn
     try:
         row("no attention (qkv/out kept)",
-            time_step(make_cfg(0.0), adamw, data))
+            time_step(make_cfg(0.0), adamw, data), knockout=True)
     finally:
         conformer_ctc._mhsa_rotary = orig_mhsa
 
@@ -173,7 +192,7 @@ def main():
     conformer_ctc._rotary = lambda x: x
     try:
         row("no rotary (identity positions)",
-            time_step(make_cfg(0.0), adamw, data))
+            time_step(make_cfg(0.0), adamw, data), knockout=True)
     finally:
         conformer_ctc._rotary = orig_rot
 
@@ -188,7 +207,7 @@ def main():
     conformer_ctc._conv_module = conv_no_depthwise
     try:
         row("no depthwise conv (pointwise kept)",
-            time_step(make_cfg(0.0), adamw, data))
+            time_step(make_cfg(0.0), adamw, data), knockout=True)
     finally:
         conformer_ctc._conv_module = orig_conv
 
@@ -198,7 +217,8 @@ def main():
     orig_ctc = g["ctc_loss_mean"]
     g["ctc_loss_mean"] = lambda lp, olens, labels, llens: jnp.mean(lp)
     try:
-        row("no CTC (mean-logit loss)", time_step(make_cfg(0.0), adamw, data))
+        row("no CTC (mean-logit loss)",
+            time_step(make_cfg(0.0), adamw, data), knockout=True)
     finally:
         g["ctc_loss_mean"] = orig_ctc
 
@@ -210,7 +230,8 @@ def main():
     orig_feats = g["extract_features"]
     g["extract_features"] = lambda w, n, fc: pre
     try:
-        row("no frontend (precomputed feats)", time_step(make_cfg(0.0), adamw, data))
+        row("no frontend (precomputed feats)",
+            time_step(make_cfg(0.0), adamw, data), knockout=True)
     finally:
         g["extract_features"] = orig_feats
 
@@ -225,7 +246,8 @@ def main():
 
     conformer_ctc._layer_norm = ln_bf16
     try:
-        row("bf16 LayerNorm", time_step(make_cfg(0.0), adamw, data))
+        row("bf16 LayerNorm",
+            time_step(make_cfg(0.0), adamw, data), knockout=True)
     finally:
         conformer_ctc._layer_norm = orig_ln
 
