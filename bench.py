@@ -801,6 +801,12 @@ def bench_ours(skip_extras: bool = False) -> dict:
         _ = float(beam_chain2_prune(w2))
         out["eval_beam16_b128_prune6_utts_per_sec"] = (
             2 * BATCH * (TIMED_STEPS // 2) / (time.time() - t0))
+        # ... which IS the out-of-the-box `--mode predict --decoder beam`
+        # path since r5: cli.py defaults beam batches to 128 and
+        # DecodeConfig.beam_prune to 6 (measured lossless at >=4 on
+        # trained posteriors, docs/PERF.md beam-prune table)
+        out["eval_beam_default_utts_per_sec"] = (
+            out["eval_beam16_b128_prune6_utts_per_sec"])
     except Exception as e:
         print(f"[bench] beam eval row failed: {e!r}", file=sys.stderr)
 
@@ -968,6 +974,7 @@ def main() -> int:
               "eval_beam16_b128_utts_per_sec",
               "eval_beam16_prune6_utts_per_sec",
               "eval_beam16_b128_prune6_utts_per_sec",
+              "eval_beam_default_utts_per_sec",
               "e2e_train_utts_per_sec", "e2e_stages",
               "e2e_cached_train_utts_per_sec", "e2e_cached_stages",
               "stream_chunk_ms", "stream_rtf", "stream_chunk_audio_ms",

@@ -31,7 +31,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--model_path", type=str,
                    help="dir for checkpoints, logs, loss curves")
     p.add_argument("--num_epochs", nargs="?", type=int, default=10)
-    p.add_argument("--batch_size", nargs="?", type=int, default=32)
+    p.add_argument("--batch_size", nargs="?", type=int, default=None,
+                   help="default 32; `--mode predict --decoder beam` "
+                        "defaults to 128 (larger eval batches keep the "
+                        "on-device beam search MXU-bound, docs/PERF.md "
+                        "beam section)")
     p.add_argument("--device", type=int, default=None,
                    help="accepted for reference-CLI parity; device selection "
                         "is mesh-driven on TPU")
@@ -47,9 +51,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--beam_size", type=int, default=None)
     p.add_argument("--beam_prune", type=int, default=None,
                    help="predict with --decoder beam: cap the per-frame "
-                        "candidate symbols to the top-M (M < beam+2 trades "
-                        "a bounded search deviation for speed; default "
-                        "None = exact search, docs/PERF.md beam section)")
+                        "candidate symbols to the top-M. Default 6 "
+                        "(config decode.beam_prune) — measured LOSSLESS "
+                        "at M>=4 on trained posteriors (identical CER/WER "
+                        "to the exact search on converged AND "
+                        "undertrained checkpoints; docs/PERF.md "
+                        "beam-prune table) and ~1.25x faster. Pass 0 for "
+                        "the exact search (all beam+2 candidates)")
     p.add_argument("--lm_order", type=int, default=0, choices=[0, 2, 3],
                    help="predict: shallow-fuse a character n-gram LM of "
                         "this order (trained from the corpus train.tsv) "
@@ -366,7 +374,8 @@ def _config(args, from_model_path: bool = False):
             **{**cfg.rl.__dict__, "reward": args.pg_reward}))
     tr = dict(cfg.train.__dict__)
     tr["num_epochs"] = args.num_epochs
-    tr["batch_size"] = args.batch_size
+    if args.batch_size is not None:
+        tr["batch_size"] = args.batch_size
     if args.learning_rate:
         tr["learning_rate"] = args.learning_rate
     if getattr(args, "lr_schedule", None):
@@ -505,8 +514,12 @@ def main(argv=None) -> int:
         alphabet = args.alphabet or os.path.join(corpus, "alphabet.txt")
         from .predict import predict
 
+        # production default: beam eval batches at 128 (keeps the
+        # on-device search MXU-bound; PERF.md beam table), greedy at 32
+        bs = args.batch_size if args.batch_size is not None else (
+            128 if args.decoder == "beam" else 32)
         predict(test_path, aud_path, alphabet, args.model_path,
-                batch_size=args.batch_size, decoder=args.decoder,
+                batch_size=bs, decoder=args.decoder,
                 which_ckpt=args.ckpt,
                 beam_size=args.beam_size, beam_prune=args.beam_prune,
                 lm_order=args.lm_order,
@@ -524,7 +537,7 @@ def main(argv=None) -> int:
         from .selftrain import pseudo_label
 
         pseudo_label(wav_dir, alphabet, args.model_path,
-                     out_tsv=args.out_tsv, batch_size=args.batch_size,
+                     out_tsv=args.out_tsv, batch_size=args.batch_size or 32,
                      min_conf=args.min_conf, which_ckpt=args.ckpt)
         return 0
 
@@ -536,7 +549,7 @@ def main(argv=None) -> int:
         from .alignment import align_corpus
 
         align_corpus(test_path, aud_path, alphabet, args.model_path,
-                     batch_size=args.batch_size, which_ckpt=args.ckpt)
+                     batch_size=args.batch_size or 32, which_ckpt=args.ckpt)
         return 0
 
     if args.mode == "export":
@@ -617,7 +630,7 @@ def main(argv=None) -> int:
         from .rl.reinforce import finetune_pg
 
         finetune_pg(args.corpus_path, args.model_path,
-                    num_steps=args.pg_steps, batch_size=args.batch_size,
+                    num_steps=args.pg_steps, batch_size=args.batch_size or 32,
                     config=_config(args, from_model_path=True),
                     eval_every=args.pg_eval_every)
         return 0

@@ -204,6 +204,13 @@ class DecodeConfig:
     beam_size: int = 16  # reference eval used 5 (reference model.py:324)
     blank: int = 0
     max_label_len: int = 256
+    # Per-frame top-M symbol cap for the fused CTC beam search
+    # (decoding/beam.py). Measured LOSSLESS at >= 4 on trained posteriors
+    # (identical CER/WER to the exact search on both a converged and an
+    # undertrained checkpoint — docs/PERF.md beam-prune table); 6 keeps a
+    # 50% margin and is ~1.25x faster end to end. 0 = exact search
+    # (keeps all beam_size+2 per-frame candidates).
+    beam_prune: int = 6
 
 
 @dataclass(frozen=True)

@@ -172,14 +172,20 @@ def predict(test_path: str, aud_path: str, alphabet_path: str, model_path: str,
     if timestamps and decoder != "greedy":
         raise ValueError("--timestamps uses CTC emission peaks — "
                          "greedy decoder only")
+    # beam_prune: None -> config default (DecodeConfig.beam_prune, 6 —
+    # measured lossless at >= 4 on trained posteriors, docs/PERF.md);
+    # 0 -> exact search; explicit M >= 2 -> top-M cap. The default is
+    # resolved after the config loads (below); only an EXPLICIT flag is
+    # validated against the decoder/pass it cannot apply to.
     if beam_prune is not None:
         if decoder != "beam":
             raise ValueError("--beam_prune applies to --decoder beam")
-        if lm_pass == "rescore":
+        if lm_pass == "rescore" and beam_prune != 0:
             raise ValueError("--beam_prune shapes the fused in-beam search; "
                              "the rescore pass decodes its n-best exactly")
-        if beam_prune < 2:
-            raise ValueError("--beam_prune must be >= 2 (blank + one symbol)")
+        if beam_prune != 0 and beam_prune < 2:
+            raise ValueError("--beam_prune must be >= 2 (blank + one "
+                             "symbol), or 0 for the exact search")
     if lm_pass not in ("fused", "rescore"):
         raise ValueError(f"unknown lm_pass {lm_pass!r}")
     if lm_pass == "rescore" and lm_type != "neural":
@@ -201,6 +207,12 @@ def predict(test_path: str, aud_path: str, alphabet_path: str, model_path: str,
         alphabet = Alphabet.load(alphabet_path)
     params, cfg = load_model(model_path, alphabet, config, which=which_ckpt)
     beam_size = beam_size or cfg.decode.beam_size
+    if beam_prune is None:
+        # the config default applies only where a prune CAN apply (the
+        # fused CTC beam search); rescore/transducer/seq2seq paths
+        # decode exactly and just ignore it
+        beam_prune = cfg.decode.beam_prune if lm_pass != "rescore" else 0
+    beam_prune = beam_prune or None  # 0 -> exact (None internally)
 
     if decoder not in ("greedy", "beam"):
         raise ValueError(f"unknown decoder {decoder!r}")

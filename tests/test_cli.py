@@ -17,7 +17,10 @@ def test_parser_reference_flags_accepted():
 def test_parser_defaults_match_reference():
     a = cli.build_parser().parse_args(["--mode", "train"])
     assert a.num_epochs == 10   # reference main.py:22
-    assert a.batch_size == 32   # reference main.py:23
+    # reference main.py:23 default (32) is applied per-mode at dispatch
+    # (train keeps 32 via TrainConfig; predict --decoder beam uses 128),
+    # so the parser leaves it None for "not given"
+    assert a.batch_size is None
 
 
 def test_mode_required():
@@ -66,6 +69,29 @@ def test_predict_dispatch_defaults_paths(monkeypatch):
     assert captured["alphabet"] == "/c/alphabet.txt"
     assert captured["decoder"] == "beam"
     assert captured["beam_size"] == 7
+    # production default (r5): beam eval batches at 128 unless the user
+    # sets --batch_size; greedy keeps 32 (next test)
+    assert captured["batch_size"] == 128
+    assert captured["beam_prune"] is None  # predict resolves config default
+
+
+def test_predict_dispatch_batch_defaults_greedy(monkeypatch):
+    captured = {}
+
+    def fake_predict(test_path, aud_path, alphabet, model_path, **kw):
+        captured.update(**kw)
+
+    import pg_asr_tpu.predict as predict_mod
+    monkeypatch.setattr(predict_mod, "predict", fake_predict)
+    rc = cli.main(["--mode", "predict", "--corpus_path", "/c",
+                   "--model_path", "/m"])
+    assert rc == 0
+    assert captured["batch_size"] == 32
+    rc = cli.main(["--mode", "predict", "--corpus_path", "/c",
+                   "--model_path", "/m", "--decoder", "beam",
+                   "--batch_size", "16"])
+    assert rc == 0
+    assert captured["batch_size"] == 16  # explicit flag wins over the 128
 
 
 def test_finetune_pg_dispatch(monkeypatch):
