@@ -54,16 +54,24 @@ def padding_waste(corpus: str, batch_size: int) -> dict:
             "total_audio_hours": round(true_s / 16000 / 3600.0, 2)}
 
 
-def run_cli(args_list: list[str], timeout: float) -> tuple[float, str]:
+def run_cli(args_list: list[str], timeout: float) -> tuple[float, str, list]:
     t0 = time.time()
     proc = subprocess.run([sys.executable, os.path.join(REPO, "main.py")]
                           + args_list, capture_output=True, text=True,
                           timeout=timeout)
     dt = time.time() - t0
-    tail = "\n".join((proc.stdout + proc.stderr).splitlines()[-6:])
+    full = proc.stdout + proc.stderr
+    tail = "\n".join(full.splitlines()[-6:])
     if proc.returncode != 0:
         raise RuntimeError(f"CLI failed rc={proc.returncode}:\n{tail}")
-    return dt, tail
+    # per-epoch seconds from the train log ("[train] epoch k/N ... (12.3s,
+    # M steps)") — epoch 1 carries the compile, later epochs are the
+    # steady state a long run sustains
+    import re
+
+    epoch_s = [float(m) for m in
+               re.findall(r"\((\d+(?:\.\d+)?)s, \d+ steps\)", full)]
+    return dt, tail, epoch_s
 
 
 def main() -> int:
@@ -89,14 +97,18 @@ def main() -> int:
         waste = padding_waste(corpus, 64)
         n_train = sum(1 for _ in open(os.path.join(corpus, "train.tsv"))) - 1
         print("[stress] volume: 2-epoch CLI train ...", file=sys.stderr)
-        dt, tail = run_cli(
+        dt, tail, epoch_s = run_cli(
             ["--mode", "train", "--corpus_path", corpus, "--model_path",
              "/tmp/pgasr_stress_10k_model", "--num_epochs", "2",
              "--batch_size", "64"], timeout=3600)
+        steady = epoch_s[-1] if len(epoch_s) >= 2 else None
         results["volume_10k"] = {
             "n_train_utts": n_train, "epochs": 2,
             "wall_s": round(dt, 1),
             "utts_per_sec": round(2 * n_train / dt, 1),
+            "epoch_s": epoch_s,
+            "steady_epoch_utts_per_sec": (round(n_train / steady, 1)
+                                          if steady else None),
             "audio_hours_per_hour": round(
                 2 * waste["total_audio_hours"] / (dt / 3600.0), 1),
             **waste,
@@ -115,16 +127,20 @@ def main() -> int:
         n_train = sum(1 for _ in open(os.path.join(corpus, "train.tsv"))) - 1
         print("[stress] long: conformer --remat CLI train ...",
               file=sys.stderr)
-        dt, tail = run_cli(
+        dt, tail, epoch_s = run_cli(
             ["--mode", "train", "--corpus_path", corpus, "--model_path",
              "/tmp/pgasr_stress_long_model", "--num_epochs", "2",
              "--batch_size", "16", "--model", "conformer", "--remat"],
             timeout=3600)
+        steady = epoch_s[-1] if len(epoch_s) >= 2 else None
         results["long_30s"] = {
             "n_train_utts": n_train, "epochs": 2, "batch": 16,
             "model": "conformer+remat",
             "wall_s": round(dt, 1),
             "utts_per_sec": round(2 * n_train / dt, 2),
+            "epoch_s": epoch_s,
+            "steady_epoch_utts_per_sec": (round(n_train / steady, 2)
+                                          if steady else None),
             "audio_hours_per_hour": round(
                 2 * waste["total_audio_hours"] / (dt / 3600.0), 1),
             **waste,
