@@ -451,6 +451,26 @@ def main(argv=None) -> int:
         except Exception:
             pass
 
+    # Scoped-VMEM budget: the Pallas LSTM backward wants a 32 MiB stack
+    # at long-T shapes (16 MiB default OOMs the 10k-utt stress compile),
+    # but raising it globally costs the attention families ~20%/step in
+    # changed XLA scheduling (benchmarks/vmem_ab.py). Request it only for
+    # processes that run a recurrent (LSTM-scan) family. Must happen
+    # before the TPU backend initializes.
+    try:
+        _probe = _config(args)
+        _fam = _probe.model.family
+        _needs_vmem = (_fam in ("ctc", "seq2seq")
+                       or (_fam == "transducer"
+                           and _probe.transducer.encoder == "bilstm")
+                       or args.mode == "train_lm")
+    except Exception:
+        _needs_vmem = True  # can't tell -> prefer the compile that works
+    if _needs_vmem:
+        from .utils.cache import request_scoped_vmem
+
+        request_scoped_vmem()
+
     # persistent XLA compile cache: repeat runs (and irrelevant-flag
     # changes) skip the tunnel's minutes-long server-side compiles
     from .utils.cache import enable_persistent_compilation_cache

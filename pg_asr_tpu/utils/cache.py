@@ -23,21 +23,40 @@ _enabled = False
 # the scheduler overlaps it with a neighboring kernel, which killed the
 # 10k-utterance stress run's compile (benchmarks/stress_scale.py) with
 # "Ran out of memory in memory space vmem while allocating on stack".
-# 32 MiB gives every kernel in this repo headroom while leaving 96 MiB
-# for XLA's streamed buffers. Respect an explicit user setting.
+#
+# BUT the bigger budget is NOT free: it changes XLA-TPU's fusion and
+# scheduling choices on models that never needed it. Raising it globally
+# in r4 regressed the d=256 transformer train step 8.09 -> 9.73 ms/step
+# (+20%, benchmarks/vmem_ab.py — the whole BENCH_r03->r04 "transformer
+# regression"). So the bump is now requested per-process by the callers
+# that own Pallas-LSTM backward paths (cli.py gates on model family)
+# instead of being applied to every process that enables the cache.
 #
 # Delivered via LIBTPU_INIT_ARGS, NOT XLA_FLAGS: the flag exists only in
 # libtpu's registry, and the CPU backend's strict parse_flags_from_env
-# aborts the whole process on flags it doesn't know.
-_SCOPED_VMEM_KIB = int(os.environ.get("PGASR_SCOPED_VMEM_KIB", "32768"))
+# aborts the whole process on flags it doesn't know. An explicit
+# PGASR_SCOPED_VMEM_KIB always wins (0 = leave libtpu's default).
+_ENV_SCOPED_VMEM_KIB = os.environ.get("PGASR_SCOPED_VMEM_KIB")
+
+
+def _set_scoped_vmem(kib: int) -> None:
+    args = os.environ.get("LIBTPU_INIT_ARGS", "")
+    if "xla_tpu_scoped_vmem_limit_kib" not in args and kib > 0:
+        os.environ["LIBTPU_INIT_ARGS"] = (
+            args + f" --xla_tpu_scoped_vmem_limit_kib={kib}").strip()
+
+
+def request_scoped_vmem(kib: int = 32768) -> None:
+    """Ask libtpu for a larger scoped-VMEM stack budget. Must run before
+    the TPU backend initializes (libtpu reads LIBTPU_INIT_ARGS once).
+    A user's PGASR_SCOPED_VMEM_KIB (applied at import) takes precedence."""
+    if _ENV_SCOPED_VMEM_KIB is None:
+        _set_scoped_vmem(kib)
 
 
 def _raise_scoped_vmem_limit() -> None:
-    args = os.environ.get("LIBTPU_INIT_ARGS", "")
-    if "xla_tpu_scoped_vmem_limit_kib" not in args:
-        os.environ["LIBTPU_INIT_ARGS"] = (
-            args + f" --xla_tpu_scoped_vmem_limit_kib={_SCOPED_VMEM_KIB}"
-        ).strip()
+    if _ENV_SCOPED_VMEM_KIB is not None:
+        _set_scoped_vmem(int(_ENV_SCOPED_VMEM_KIB))
 
 
 def enable_persistent_compilation_cache() -> str | None:
