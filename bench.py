@@ -52,10 +52,11 @@ SAMPLE_RATE = 16000
 LABEL_LEN = int(os.environ.get("PGASR_BENCH_LABEL_LEN", 64))
 VOCAB = 32
 WARMUP_STEPS = 3
-# Chain enough steps that the fixed per-call dispatch+readback latency of the
-# TPU tunnel (~30 ms, measured with an empty lax.scan chain) amortizes below
-# the per-step noise: at 8 steps it inflated step_ms by ~3.5 ms (12.6 vs the
-# true ~9.1 ms device time); 64 steps bring the bias under 0.5 ms while the
+# Chain steps inside one executable so the fixed per-call dispatch+readback
+# latency of the TPU tunnel (~25-30 ms, measured: _tunnel_rtt_s) is paid once
+# per blocked call, then EXPLICITLY subtracted from every chain total
+# (_minus_rtt) — at 32-step family chains the raw bias is ~0.9 ms/step, far
+# above per-step noise, and it tracks tunnel weather across rounds. The
 # ~0.6 s total run stays well below the shared chip's preemption horizon.
 TIMED_STEPS = int(os.environ.get("PGASR_BENCH_STEPS", 64))
 FAMILY_STEPS = max(TIMED_STEPS // 2, 1)  # secondary-family chains
@@ -142,6 +143,46 @@ def _chain_flops(jitted, *args) -> float | None:
         return None
 
 
+_RTT_CACHE: dict = {}
+
+
+def _tunnel_rtt_s() -> float:
+    """Fixed per-blocked-call dispatch+readback latency of the backend.
+
+    Under the axon TPU tunnel even a trivial jitted call blocks ~25-30 ms
+    of wall time — an additive constant that EVERY chain timing pays once
+    per blocked call, regardless of chain length. Measured r5: timing a
+    (12864,256)x(256,768) GEMM chain at L=8/16/32/64/128 fits
+    total = 24.5 ms + 54 us/iter — the marginal (true device) rate is
+    ~95% of nameplate while the naive total/L at L=64 reads 4x slower.
+    A locally attached chip pays O(100 us) for the same call.
+
+    Chain rows therefore report (total - rtt)/steps as step_ms — the
+    device rate a real deployment sees — and carry step_ms_raw plus
+    tunnel_rtt_ms so the artifact stays self-explaining. Min over 5
+    trivial blocked calls; cached per process."""
+    import jax
+
+    if "rtt" not in _RTT_CACHE:
+        f = jax.jit(lambda x: x.sum())
+        x = jax.numpy.ones((8, 8), jax.numpy.float32)
+        float(f(x))  # compile
+        best = float("inf")
+        for _ in range(5):
+            t0 = time.time()
+            float(f(x))
+            best = min(best, time.time() - t0)
+        _RTT_CACHE["rtt"] = best
+    return _RTT_CACHE["rtt"]
+
+
+def _minus_rtt(total_s: float) -> float:
+    """Chain total with the fixed per-call latency removed (floored at
+    half the raw total: the correction is additive noise removal, never
+    allowed to manufacture a >2x speedup on pathologically short chains)."""
+    return max(total_s - _tunnel_rtt_s(), total_s * 0.5)
+
+
 def _workload(rng):
     n = int(AUDIO_SECONDS * SAMPLE_RATE)
     wave = (rng.standard_normal((BATCH, n)) * 0.1).astype(np.float32)
@@ -220,15 +261,17 @@ def _bench_family_chain(family: str, arrays, steps: int = FAMILY_STEPS):
         # min over repeats: one-shot timing let transient chip/host
         # contention masquerade as an 18% family regression in BENCH_r04
         # (VERDICT r4 weak #1) — same protocol as attn_breakdown.py
-        dt = float("inf")
+        dt_raw = float("inf")
         for _ in range(3):
             t0 = time.time()
             p, o, losses = chain(p, o, rng)
             _ = float(losses[-1])
-            dt = min(dt, time.time() - t0)
+            dt_raw = min(dt_raw, time.time() - t0)
+        dt = _minus_rtt(dt_raw)
         return {
             "utts_per_sec": BATCH * steps / dt,
             "step_ms": 1000.0 * dt / steps,
+            "step_ms_raw": 1000.0 * dt_raw / steps,
             "flops_per_step": flops,  # cost analysis counts the scan body once
         }
     except Exception as e:
@@ -675,12 +718,13 @@ def bench_ours(skip_extras: bool = False) -> dict:
 
     # min over repeats (same protocol as the family rows / breakdowns):
     # robust to transient host/chip contention on the shared tunnel box
-    dt = float("inf")
+    dt_raw = float("inf")
     for _ in range(3):
         t0 = time.time()
         params, opt_state, losses = run_chain(params, opt_state, rng)
         loss_val = float(losses[-1])
-        dt = min(dt, time.time() - t0)
+        dt_raw = min(dt_raw, time.time() - t0)
+    dt = _minus_rtt(dt_raw)
     utts_per_sec = BATCH * TIMED_STEPS / dt
 
     device = jax.devices()[0]
@@ -694,6 +738,8 @@ def bench_ours(skip_extras: bool = False) -> dict:
     out = {
         "utts_per_sec": utts_per_sec,
         "step_ms": 1000.0 * dt / TIMED_STEPS,
+        "step_ms_raw": 1000.0 * dt_raw / TIMED_STEPS,
+        "tunnel_rtt_ms": 1000.0 * _tunnel_rtt_s(),
         "compile_s": compile_s,
         "loss": loss_val,
         "flops_per_step": flagship_flops,  # scan body counted once (see _chain_flops)
@@ -727,7 +773,8 @@ def bench_ours(skip_extras: bool = False) -> dict:
         _ = float(eval_chain(arrays[0]))  # compile
         t0 = time.time()
         _ = float(eval_chain(arrays[0]))
-        out["eval_greedy_utts_per_sec"] = BATCH * TIMED_STEPS / (time.time() - t0)
+        out["eval_greedy_utts_per_sec"] = (BATCH * TIMED_STEPS
+                                           / _minus_rtt(time.time() - t0))
     except Exception as e:
         print(f"[bench] eval row failed: {e!r}", file=sys.stderr)
 
@@ -756,7 +803,7 @@ def bench_ours(skip_extras: bool = False) -> dict:
         t0 = time.time()
         _ = float(beam_chain(arrays[0]))
         out["eval_beam16_utts_per_sec"] = (BATCH * TIMED_STEPS
-                                           / (time.time() - t0))
+                                           / _minus_rtt(time.time() - t0))
 
         # production eval batching: the beam's per-frame fixed costs (the
         # top-K sort launch per scan step) amortize over a bigger batch —
@@ -784,7 +831,7 @@ def bench_ours(skip_extras: bool = False) -> dict:
         t0 = time.time()
         _ = float(beam_chain2(w2))
         out["eval_beam16_b128_utts_per_sec"] = (
-            2 * BATCH * (TIMED_STEPS // 2) / (time.time() - t0))
+            2 * BATCH * (TIMED_STEPS // 2) / _minus_rtt(time.time() - t0))
 
         # bounded pruning (`--beam_prune 6` on the CLI): per-frame top-6
         # emission shortlist before the beam expansion. Measured LOSSLESS
@@ -812,7 +859,7 @@ def bench_ours(skip_extras: bool = False) -> dict:
         t0 = time.time()
         _ = float(beam_chain_prune(arrays[0]))
         out["eval_beam16_prune6_utts_per_sec"] = (
-            BATCH * TIMED_STEPS / (time.time() - t0))
+            BATCH * TIMED_STEPS / _minus_rtt(time.time() - t0))
 
         # production setting: B=128 batching AND the lossless prune=6
         # shortlist together (per-frame sort launches amortize over the
@@ -838,7 +885,7 @@ def bench_ours(skip_extras: bool = False) -> dict:
         t0 = time.time()
         _ = float(beam_chain2_prune(w2))
         out["eval_beam16_b128_prune6_utts_per_sec"] = (
-            2 * BATCH * (TIMED_STEPS // 2) / (time.time() - t0))
+            2 * BATCH * (TIMED_STEPS // 2) / _minus_rtt(time.time() - t0))
         # ... which IS the out-of-the-box `--mode predict --decoder beam`
         # path since r5: cli.py defaults beam batches to 128 and
         # DecodeConfig.beam_prune to 6 (measured lossless at >=4 on
@@ -1031,7 +1078,8 @@ def main() -> int:
     }
     if tpu_unreachable:
         result["tpu_unreachable"] = True  # CPU fallback numbers, not TPU
-    for k in ("flops_per_step", "mfu", "device_kind", "peak_flops",
+    for k in ("step_ms_raw", "tunnel_rtt_ms",
+              "flops_per_step", "mfu", "device_kind", "peak_flops",
               "eval_greedy_utts_per_sec", "eval_beam16_utts_per_sec",
               "eval_beam16_b128_utts_per_sec",
               "eval_beam16_prune6_utts_per_sec",
@@ -1056,8 +1104,8 @@ def main() -> int:
             result[k] = round(v, 5) if isinstance(v, float) else v
     for family in ("transformer", "conformer", "transducer", "seq2seq",
                    "moe", "transformer_large"):
-        for suffix in ("train_utts_per_sec", "step_ms", "flops_per_step",
-                       "mfu"):
+        for suffix in ("train_utts_per_sec", "step_ms", "step_ms_raw",
+                       "flops_per_step", "mfu"):
             k = f"{family}_{suffix}"
             if ours.get(k) is not None:
                 result[k] = round(ours[k], 5)
