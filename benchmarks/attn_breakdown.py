@@ -185,10 +185,9 @@ def main():
     # knockout: attention einsums+softmax -> pass-through of v
     orig = transformer_ctc._mhsa
 
-    def mhsa_noattn(p, x, key_bias, num_heads):
+    def mhsa_noattn(p, x, key_bias, num_heads, flash_mask=None):
         from pg_asr_tpu.models.bilstm_ctc import linear
         qkv = linear(p["qkv"], x)
-        B, T, _ = qkv.shape
         v = qkv[..., 2 * x.shape[-1]:]
         return linear(p["attn_out"], v)
 

@@ -1,23 +1,23 @@
-"""Bare-GEMM ceiling at the SMALL (default bench) encoder shapes
-(VERDICT r4 #1/#2: transformer MFU 0.27 / conformer 0.32 vs targets
-0.33/0.40 — prove what the d=256 shapes can physically reach).
+"""Bare-GEMM rates at the SMALL (default bench) encoder shapes, measured
+with a MARGINAL (two-length) protocol (VERDICT r4 #1/#2: prove what the
+d=256 shapes can physically reach).
 
-The small encoders' matmuls all have huge M (B*T' ~= 12.9k activation
-rows) but small K/N (256/768/1024). The MXU is a 128x128 systolic array:
-a K=256 contraction runs 2 passes deep, so weight-stationary efficiency
-and HBM streaming of the activations bound the rate well below the
-square-shape nameplate. This harness measures bare bf16 GEMM chains at
-the models' EXACT shapes with nothing around them; the fraction-of-peak
-it reports IS the MFU ceiling any full step at these shapes can approach
-(cost-analysis FLOPs / step time / nameplate — same accounting as
-bench.py's mfu field).
+Protocol matters more than the shapes here. A single blocked timing of a
+chained-GEMM executable pays the axon tunnel's fixed ~25 ms dispatch+
+readback latency once per call; at the few-GFLOP sizes of the d=256
+models that constant dominates and a naive total/L reads 4-8x slower
+than the device truly runs (the first version of this harness concluded
+"9.5% of peak ceiling" — BELOW the conformer's measured full-step 0.33
+MFU, a contradiction that exposed the artifact). This version times each
+shape at TWO chain lengths and reports the marginal rate
+(t(2L) - t(L)) / L, which cancels the constant exactly.
 
-Shapes (fwd; the backward runs the transposes, measured separately):
-  qkv        (M, 256)  x (256, 768)
-  attn_out   (M, 256)  x (256, 256)
-  ffn_in     (M, 256)  x (256, 1024)
-  ffn_out    (M, 1024) x (1024, 256)
-  scores/ctx attention einsums at (B*h, T', dh) x (B*h, dh, T')
+Measured r5 on the v5e (see docs/PERF.md small-shape section): the fwd
+GEMMs at M = B*T' = 12 864, K=256 run at ~90-95% of the bf16 nameplate —
+the MXU is NOT starved by the small K; the families' 0.26-0.35 MFU gap
+lives in the non-GEMM glue (attention softmax/score traffic, depthwise
+conv, dropout masks, CTC scan), which the knockout breakdowns attribute
+row by row.
 
 Run (TPU): python benchmarks/small_shape_ceiling.py
 """
@@ -38,36 +38,73 @@ enable_persistent_compilation_cache()
 PEAK = 197e12  # v5e bf16 dense nameplate
 B, TP, D, H = 64, 201, 256, 4  # bench conformer/transformer small shapes
 M = B * TP  # 12 864 activation rows
+L1, L2 = 32, 96  # marginal protocol chain lengths
 
 
-def bench_gemm(m, kk, n, label, iters=64):
-    """One (m,kk)x(kk,n) GEMM chained iters times; best-of-3 TF/s."""
+def _timed(f, *args, reps=3):
+    float(f(*args))  # compile/warm
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.time()
+        float(f(*args))
+        best = min(best, time.time() - t0)
+    return best
+
+
+def _marginal(make_chain, flops_per_iter, label):
+    """Best-of-3 at L1 and L2 iterations; marginal rate cancels the
+    tunnel's fixed per-call latency."""
+    t1 = _timed(make_chain(L1), *make_chain.args)
+    t2 = _timed(make_chain(L2), *make_chain.args)
+    dt = max(t2 - t1, 1e-9)
+    rate = flops_per_iter * (L2 - L1) / dt
+    print(f"{label:44s} {rate / 1e12:7.1f} TF/s  {rate / PEAK:5.1%} of peak"
+          f"   (intercept {1e3 * (t1 - dt * L1 / (L2 - L1)):.1f} ms)",
+          flush=True)
+    return rate
+
+
+def bench_gemm(m, kk, n, label):
+    """(m,kk)x(kk,n) then (m,n)x(n,kk) chained; dependency-carried."""
     key = jax.random.PRNGKey(0)
     x = jax.random.normal(key, (m, kk), jnp.bfloat16)
     a = jax.random.normal(key, (kk, n), jnp.bfloat16) * 0.02
     b = jax.random.normal(key, (n, kk), jnp.bfloat16) * 0.02
 
-    @jax.jit
-    def f(x, a, b):
-        def body(c, _):
-            return jnp.dot(jnp.dot(c, a), b), ()
-        c, _ = jax.lax.scan(body, x, None, length=iters)
-        return jnp.sum(c.astype(jnp.float32))
+    def make_chain(iters):
+        @jax.jit
+        def f(x, a, b):
+            def body(c, _):
+                return jnp.dot(jnp.dot(c, a), b), ()
+            c, _ = jax.lax.scan(body, x, None, length=iters)
+            return jnp.sum(c.astype(jnp.float32))
+        return f
 
-    float(f(x, a, b))
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.time()
-        float(f(x, a, b))
-        best = min(best, time.time() - t0)
-    fl = iters * 2 * 2 * m * kk * n  # two GEMMs per iteration
-    rate = fl / best
-    print(f"{label:42s} {rate / 1e12:7.1f} TF/s  {rate / PEAK:5.1%} of peak",
-          flush=True)
-    return rate
+    make_chain.args = (x, a, b)
+    return _marginal(make_chain, 2 * 2 * m * kk * n, label)
 
 
-def bench_attn_einsum(label, iters=64):
+def bench_dw(label):
+    """Backward dW shape: (D, M) x (M, 3D) — huge-K, tiny output."""
+    key = jax.random.PRNGKey(2)
+    act = jax.random.normal(key, (M, D), jnp.bfloat16)
+    g = jax.random.normal(key, (M, 3 * D), jnp.bfloat16)
+
+    def make_chain(iters):
+        @jax.jit
+        def f(act, g):
+            def body(c, _):
+                w = jnp.dot(act.T, g)
+                return c + jnp.sum(w.astype(jnp.float32)), ()
+            c, _ = jax.lax.scan(body, 0.0, None, length=iters)
+            return c
+        return f
+
+    make_chain.args = (act, g)
+    return _marginal(make_chain, 2 * D * M * 3 * D, label)
+
+
+def bench_attn_einsum(label):
     """The attention score+context pair as batched (B*h) GEMMs at
     (T', dh) x (dh, T') — the shape XLA actually tiles for MHSA."""
     dh = D // H
@@ -76,63 +113,51 @@ def bench_attn_einsum(label, iters=64):
     k = jax.random.normal(key, (B * H, TP, dh), jnp.bfloat16)
     v = jax.random.normal(key, (B * H, TP, dh), jnp.bfloat16)
 
-    @jax.jit
-    def f(q, k, v):
-        def body(c, _):
-            s = jnp.einsum("bqd,bkd->bqk", c, k,
-                           preferred_element_type=jnp.float32)
-            ctx = jnp.einsum("bqk,bkd->bqd", s.astype(jnp.bfloat16), v)
-            return ctx, ()
-        c, _ = jax.lax.scan(body, q, None, length=iters)
-        return jnp.sum(c.astype(jnp.float32))
+    def make_chain(iters):
+        @jax.jit
+        def f(q, k, v):
+            def body(c, _):
+                s = jnp.einsum("bqd,bkd->bqk", c, k,
+                               preferred_element_type=jnp.float32)
+                ctx = jnp.einsum("bqk,bkd->bqd", s.astype(jnp.bfloat16), v)
+                return ctx, ()
+            c, _ = jax.lax.scan(body, q, None, length=iters)
+            return jnp.sum(c.astype(jnp.float32))
+        return f
 
-    float(f(q, k, v))
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.time()
-        float(f(q, k, v))
-        best = min(best, time.time() - t0)
-    fl = iters * 2 * 2 * (B * H) * TP * TP * dh
-    rate = fl / best
-    print(f"{label:42s} {rate / 1e12:7.1f} TF/s  {rate / PEAK:5.1%} of peak",
-          flush=True)
-    return rate
+    make_chain.args = (q, k, v)
+    return _marginal(make_chain, 2 * 2 * (B * H) * TP * TP * (D // H), label)
 
 
 def main():
     print(f"backend={jax.devices()[0].device_kind} "
-          f"M={M} (B={B} x T'={TP}) d={D}")
+          f"M={M} (B={B} x T'={TP}) d={D}  marginal protocol L={L1}/{L2}")
     rates = {}
-    rates["qkv 256x768"] = bench_gemm(M, D, 3 * D, "qkv (M,256)x(256,768)")
-    rates["attn_out 256x256"] = bench_gemm(M, D, D,
-                                           "attn_out (M,256)x(256,256)")
-    rates["ffn 256x1024"] = bench_gemm(M, D, 4 * D,
-                                       "ffn pair (M,256)x(256,1024)x(1024,256)")
-    rates["attn einsums"] = bench_attn_einsum(
+    rates["qkv"] = bench_gemm(M, D, 3 * D, "qkv (M,256)x(256,768)")
+    rates["attn_out"] = bench_gemm(M, D, D, "attn_out (M,256)x(256,256)")
+    rates["ffn"] = bench_gemm(M, D, 4 * D,
+                              "ffn pair (M,256)x(256,1024)x(1024,256)")
+    rates["dW"] = bench_dw("bwd dW (256,12864)x(12864,768)")
+    rates["attn_einsums"] = bench_attn_einsum(
         "attention einsums (B*h)x(T',32)x(32,T')")
-    # reference points: what the chip gives big shapes
-    rates["square 4096"] = bench_gemm(4096, 4096, 4096,
-                                      "square 4096^3 (MXU saturation ref)",
-                                      iters=16)
-    rates["large ffn 1024x4096"] = bench_gemm(8000, 1024, 4096,
-                                              "large-model ffn (8000,1024)x"
-                                              "(1024,4096)", iters=16)
-    # FLOP-weighted ceiling for the conformer step: weights from the
-    # model's per-block GEMM FLOPs (fwd; bwd doubles every term equally
-    # so the weighting is unchanged)
+    rates["square4096"] = bench_gemm(4096, 4096, 4096,
+                                     "square 4096^3 (MXU saturation ref)")
+    # FLOP-weighted rate over a conformer block's GEMM mix (fwd weights;
+    # bwd doubles every dX term and adds dW terms measured separately)
     fl_qkv = 2 * M * D * 3 * D
     fl_out = 2 * M * D * D
-    fl_ffn = 2 * (2 * M * D * 4 * D)  # two macaron FFN pairs per block
-    fl_conv_pw = 2 * (M * D * 2 * D + M * D * D)  # GLU in + out pointwise
+    fl_ffn = 2 * (2 * M * D * 4 * D)
+    fl_conv_pw = 2 * (M * D * 2 * D + M * D * D)
     fl_attn = 2 * 2 * (B * H) * TP * TP * (D // H)
     tot = fl_qkv + fl_out + fl_ffn + fl_conv_pw + fl_attn
-    w_rate = tot / (fl_qkv / rates["qkv 256x768"]
-                    + fl_out / rates["attn_out 256x256"]
-                    + (fl_ffn + fl_conv_pw) / rates["ffn 256x1024"]
-                    + fl_attn / rates["attn einsums"])
-    print(f"\nFLOP-weighted conformer-block GEMM rate: "
-          f"{w_rate / 1e12:.1f} TF/s -> MFU ceiling if everything "
-          f"non-GEMM were free: {w_rate / PEAK:.3f}")
+    w_rate = tot / (fl_qkv / rates["qkv"]
+                    + fl_out / rates["attn_out"]
+                    + (fl_ffn + fl_conv_pw) / rates["ffn"]
+                    + fl_attn / rates["attn_einsums"])
+    print(f"\nFLOP-weighted conformer-block fwd GEMM rate: "
+          f"{w_rate / 1e12:.1f} TF/s ({w_rate / PEAK:.1%} of peak) — the "
+          f"MFU gap is NOT the GEMMs; see the knockout breakdowns for "
+          f"where it lives.")
     return 0
 
 

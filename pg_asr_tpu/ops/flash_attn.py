@@ -27,7 +27,15 @@ keep the dense einsum path (CPU tests, 8-virtual-device dryruns, streaming
 windows of odd length all stay on dense).
 
 Opt-in via TransformerConfig/ConformerConfig.flash_attention (CLI
---flash_attention); measured A/B vs the dense path in docs/PERF.md.
+--flash_attention). MEASURED AND IT LOSES at the d=256 bench shapes
+(r5, benchmarks/conformer_breakdown.py, v5e): conformer full train step
+12.97 ms dense vs 27.04 ms flash (B=64, h=4, T'=201→pad 256, dh=64) —
+the block-grid padding and dh=64 half-filled lanes cost far more than
+the 41 MB dense score tensor's HBM traffic, which XLA's fused
+masked-softmax already streams near roofline. Kept opt-in for large-T
+regimes (the score tensor grows as T'^2; the crossover is beyond the
+bench shapes), with this header as the honest record — same treatment
+as ops/quant.py / ops/pallas_joint.py.
 Capability context: generalizes the reference's attention
 (reference model.py:58-94) like the dense path does; this is purely a
 memory-layout optimization.
