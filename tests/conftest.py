@@ -66,6 +66,24 @@ _HEAVY_MODULES = {
     "test_seq2seq_driver.py", "test_train_options.py", "test_multihost.py",
     "test_preempt.py", "test_selftrain.py",
 }
+# Individual compile-bound tests inside otherwise-fast modules (r5 tier
+# re-budget, VERDICT r4 #8: a cold `-m 'not heavy'` run had crept past 30
+# minutes on this one-core box). Criteria for this list: >25 s WARM (so
+# multi-minute cold), and either (a) a shard_map/multi-device build — the
+# heavy tier's existing definition — or (b) an end-to-end driver run whose
+# operator coverage is duplicated by a faster sibling in the same module.
+# Correctness/parity tests stay in the default tier regardless of cost.
+_HEAVY_TESTS = {
+    ("test_transducer.py", "test_hybrid_shard_map_matches_single_device"),
+    ("test_mwer.py", "test_mwer_shard_parity"),
+    ("test_transformer.py", "test_transformer_train_predict_pg"),
+    ("test_conformer.py", "test_conformer_train_predict_pg"),
+    ("test_torch_import.py", "test_cli_train_warm_start"),
+    ("test_bpe.py", "test_cli_bpe_end_to_end"),
+    ("test_bpe.py", "test_train_resume_keeps_checkpoint_units"),
+    ("test_overfit_cer.py", "test_overfit_reaches_low_train_cer"),
+    ("test_train_smoke.py", "test_interrupted_training_resumes"),
+}
 
 
 def pytest_collection_modifyitems(config, items):
@@ -75,7 +93,8 @@ def pytest_collection_modifyitems(config, items):
         name = os.path.basename(str(item.fspath))
         if name in _QUICK_MODULES:
             item.add_marker(pytest.mark.quick)
-        if name in _HEAVY_MODULES:
+        if (name in _HEAVY_MODULES
+                or (name, item.name.split("[")[0]) in _HEAVY_TESTS):
             item.add_marker(pytest.mark.heavy)
 
 
