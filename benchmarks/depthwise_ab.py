@@ -1,6 +1,15 @@
 """A/B the conformer depthwise-conv implementation at bench shapes
-(follow-up to conformer_breakdown.py r5: the conv module is 1.40 ms of the
-11.83 ms no-dropout step — the second-largest non-GEMM component).
+(follow-up to conformer_breakdown.py r5: the conv module is ~1.3 ms of
+the no-dropout step — the second-largest non-GEMM component).
+
+RESULT (r5, v5e): a wash — grouped 0.770 / tap-sum 0.778 / two-halves
+0.784 ms per fwd+bwd call at 32-call chains, and those totals are ~the
+tunnel RTT alone, i.e. the ISOLATED conv window op costs ~50 us — near
+its ~40 MB traffic roofline. The knockout's 1.27 ms/step is therefore
+not the conv op's lowering (all three are equal) but the module's
+surrounding memory traffic in context (mid-LN + swish + the extra HBM
+round-trips between the pointwise GEMMs). The grouped
+lax.conv_general_dilated stays.
 
 Three candidate lowerings of the (B, T, d) depthwise conv, k=15, fwd+bwd:
   grouped   lax.conv_general_dilated feature_group_count=d (current,

@@ -38,7 +38,6 @@ enable_persistent_compilation_cache()
 PEAK = 197e12  # v5e bf16 dense nameplate
 B, TP, D, H = 64, 201, 256, 4  # bench conformer/transformer small shapes
 M = B * TP  # 12 864 activation rows
-L1, L2 = 32, 96  # marginal protocol chain lengths
 
 
 def _timed(f, *args, reps=3):
@@ -52,14 +51,21 @@ def _timed(f, *args, reps=3):
 
 
 def _marginal(make_chain, flops_per_iter, label):
-    """Best-of-3 at L1 and L2 iterations; marginal rate cancels the
-    tunnel's fixed per-call latency."""
+    """Marginal rate between two chain lengths cancels the tunnel's fixed
+    per-call latency. Lengths are auto-scaled so the Δ-window is ~0.4 s of
+    device time: the RTT's run-to-run spread is ~0.5-2 ms, so a
+    fixed-small-L window (the first rewrite used L=32/96) drowns the
+    few-GFLOP shapes in noise and can print >100%-of-peak garbage."""
+    iter_est = flops_per_iter / PEAK  # optimistic per-iter seconds
+    L2 = max(int(0.4 / iter_est), 64)
+    L1 = max(L2 // 4, 16)
     t1 = _timed(make_chain(L1), *make_chain.args)
     t2 = _timed(make_chain(L2), *make_chain.args)
     dt = max(t2 - t1, 1e-9)
     rate = flops_per_iter * (L2 - L1) / dt
     print(f"{label:44s} {rate / 1e12:7.1f} TF/s  {rate / PEAK:5.1%} of peak"
-          f"   (intercept {1e3 * (t1 - dt * L1 / (L2 - L1)):.1f} ms)",
+          f"   (L={L1}/{L2}, intercept "
+          f"{1e3 * (t1 - dt * L1 / (L2 - L1)):.1f} ms)",
           flush=True)
     return rate
 
@@ -94,9 +100,11 @@ def bench_dw(label):
         @jax.jit
         def f(act, g):
             def body(c, _):
-                w = jnp.dot(act.T, g)
-                return c + jnp.sum(w.astype(jnp.float32)), ()
-            c, _ = jax.lax.scan(body, 0.0, None, length=iters)
+                # carry-dependent operand so LICM can't hoist the dot out
+                # of the loop (it did: the first run printed 5938% of peak)
+                w = jnp.dot((act + (c * 1e-30).astype(act.dtype)).T, g)
+                return jnp.sum(w.astype(jnp.float32)), ()
+            c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=iters)
             return c
         return f
 
@@ -131,7 +139,7 @@ def bench_attn_einsum(label):
 
 def main():
     print(f"backend={jax.devices()[0].device_kind} "
-          f"M={M} (B={B} x T'={TP}) d={D}  marginal protocol L={L1}/{L2}")
+          f"M={M} (B={B} x T'={TP}) d={D}  marginal protocol, ~0.4 s windows")
     rates = {}
     rates["qkv"] = bench_gemm(M, D, 3 * D, "qkv (M,256)x(256,768)")
     rates["attn_out"] = bench_gemm(M, D, D, "attn_out (M,256)x(256,256)")

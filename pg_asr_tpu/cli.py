@@ -460,9 +460,12 @@ def main(argv=None) -> int:
     try:
         _probe = _config(args)
         _fam = _probe.model.family
-        _needs_vmem = (_fam in ("ctc", "seq2seq")
-                       or (_fam == "transducer"
-                           and _probe.transducer.encoder == "bilstm")
+        # ctc/seq2seq/bilstm-transducer/train_lm: REQUIRED (Pallas LSTM
+        # backward OOMs the 16 MiB stack at long-T stress shapes).
+        # transducer with any encoder: measured 2.7% faster at 32 MiB
+        # (14.54 vs 14.94 ms/step, benchmarks/vmem_ab.py transducer) —
+        # unlike transformer/conformer, which regress ~20% there.
+        _needs_vmem = (_fam in ("ctc", "seq2seq", "transducer")
                        or args.mode == "train_lm")
     except Exception:
         _needs_vmem = True  # can't tell -> prefer the compile that works
