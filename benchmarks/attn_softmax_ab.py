@@ -40,7 +40,8 @@ REPEATS = int(os.environ.get("AB_REPEATS", "5"))
 STEPS = 16
 
 
-def mhsa_bf16(p, x, key_bias, num_heads, flash_mask=None):
+def mhsa_bf16(p, x, key_bias, num_heads, flash_mask=None,
+              softmax_bf16=False):
     """transformer_ctc._mhsa with scores+softmax in the compute dtype."""
     B, T, d = x.shape
     dh = d // num_heads
@@ -56,7 +57,8 @@ def mhsa_bf16(p, x, key_bias, num_heads, flash_mask=None):
     return linear(p["attn_out"], jnp.swapaxes(ctx, 1, 2).reshape(B, T, d))
 
 
-def mhsa_rotary_bf16(p, x, key_bias, num_heads, flash_mask=None):
+def mhsa_rotary_bf16(p, x, key_bias, num_heads, flash_mask=None,
+                     softmax_bf16=False):
     """conformer_ctc._mhsa_rotary with scores+softmax in compute dtype."""
     B, T, d = x.shape
     dh = d // num_heads

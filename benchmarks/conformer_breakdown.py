@@ -175,7 +175,8 @@ def main():
     # knockout: attention einsums+softmax+rotary -> pass-through of v
     orig_mhsa = conformer_ctc._mhsa_rotary
 
-    def mhsa_noattn(p, x, key_bias, num_heads, flash_mask=None):
+    def mhsa_noattn(p, x, key_bias, num_heads, flash_mask=None,
+                    softmax_bf16=False):
         qkv = linear(p["qkv"], x)
         v = qkv[..., 2 * x.shape[-1]:]
         return linear(p["attn_out"], v)

@@ -152,6 +152,17 @@ class ConformerConfig:
     # same semantics as TransformerConfig.flash_attention (rotary q/k are
     # rotated BEFORE the kernel — rotary composes with any attention impl)
     flash_attention: bool = False
+    # Attention scores + softmax in the compute dtype (bf16) instead of
+    # f32. Measured 5.7%/step faster on the conformer at bench shapes
+    # (13.72 -> 12.94 ms, benchmarks/attn_softmax_ab.py) with identical
+    # convergence on the synthetic-corpus CER check (docs/PERF.md r5);
+    # max-subtraction keeps the exp stable and the sum spans <= a few
+    # hundred keys, so the attention-weight error is ~1e-2 relative.
+    # Set False for bit-level f32-softmax parity with r4 checkpoints'
+    # training curves (eval/decode outputs are unaffected either way
+    # beyond normal bf16 noise). The transformer family measured a WASH
+    # (9.50 vs 9.47 ms) and keeps f32 softmax unconditionally.
+    attn_softmax_bf16: bool = True
 
 
 @dataclass(frozen=True)

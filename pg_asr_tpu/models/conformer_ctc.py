@@ -109,12 +109,16 @@ def _rotary(x: jnp.ndarray) -> jnp.ndarray:
 
 def _mhsa_rotary(p: dict, x: jnp.ndarray, key_bias: jnp.ndarray,
                  num_heads: int,
-                 flash_mask: jnp.ndarray | None = None) -> jnp.ndarray:
+                 flash_mask: jnp.ndarray | None = None,
+                 softmax_bf16: bool = False) -> jnp.ndarray:
     """Masked multi-head self-attention with rotary positions.
     x: (B, T, d); key_bias: (B, 1, 1, T) additive f32 (-1e9 on padded keys).
     flash_mask (B, T) bool non-None routes through the Pallas flash kernel
     (ops/flash_attn.py) — rotary rotates q/k up front, so it composes with
-    any attention implementation."""
+    any attention implementation. softmax_bf16 keeps scores+softmax in the
+    compute dtype (ConformerConfig.attn_softmax_bf16: measured 5.7%/step
+    faster at bench shapes, benchmarks/attn_softmax_ab.py; max-subtract
+    keeps the exp stable over <= a few hundred keys)."""
     B, T, d = x.shape
     dh = d // num_heads
     qkv = linear(p["qkv"], x).reshape(B, T, 3, num_heads, dh)
@@ -125,9 +129,10 @@ def _mhsa_rotary(p: dict, x: jnp.ndarray, key_bias: jnp.ndarray,
         from ..ops import flash_attn
         ctx = flash_attn.mhsa(q, k, v, flash_mask, 1.0 / dh ** 0.5)
     else:
+        score_t = x.dtype if softmax_bf16 else jnp.float32
         scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
-                            preferred_element_type=jnp.float32)
-        scores = scores * (1.0 / dh ** 0.5) + key_bias
+                            preferred_element_type=score_t)
+        scores = scores * (1.0 / dh ** 0.5) + key_bias.astype(score_t)
         attn = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
         ctx = jnp.einsum("bhqk,bhkd->bhqd", attn, v,
                          preferred_element_type=x.dtype)
@@ -210,7 +215,9 @@ def encode(params: dict, feats: jnp.ndarray, frame_mask: jnp.ndarray,
                                           _layer_norm(blk["ln_ffn1"], x))))
             x = x + 0.5 * _dropout(h, ccfg.dropout, r[0], train)
             h = _mhsa_rotary(blk, _layer_norm(blk["ln_attn"], x), key_bias,
-                             ccfg.num_heads, flash_mask=flash_mask)
+                             ccfg.num_heads, flash_mask=flash_mask,
+                             softmax_bf16=getattr(ccfg, "attn_softmax_bf16",
+                                                  False))
             x = x + _dropout(h, ccfg.dropout, r[1], train)
             h = _conv_module(blk, _layer_norm(blk["ln_conv"], x), omask,
                              ccfg.conv_kernel)
