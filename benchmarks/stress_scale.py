@@ -35,7 +35,11 @@ sys.path.insert(0, REPO)
 
 def padding_waste(corpus: str, batch_size: int) -> dict:
     """Iterate the training BatchIterator composition (no device work) and
-    measure the padded-vs-true sample ratio."""
+    measure the padded-vs-true sample ratio — against the reference's
+    batch-max policy (reference data.py:64-79: shuffled batches, each
+    padded to ITS max length) on the same manifest."""
+    import numpy as np
+
     from pg_asr_tpu.data.bpe import load_tokenizer
     from pg_asr_tpu.data.dataset import BatchIterator, load_manifest
 
@@ -45,11 +49,22 @@ def padding_waste(corpus: str, batch_size: int) -> dict:
     it = BatchIterator(manifest, alphabet, batch_size, shuffle=True, seed=0)
     true_s = padded_s = 0
     n_shapes = set()
+    durations = []
     for b in it:
-        true_s += int(b.num_samples.sum())
+        ns = np.asarray(b.num_samples)
+        durations.extend(int(x) for x in ns)
+        true_s += int(ns.sum())
         padded_s += int(b.wave.shape[0] * b.wave.shape[1])
         n_shapes.add(b.wave.shape)
+    # reference policy on the same utterances: random order, batch-max pad
+    rng = np.random.default_rng(0)
+    d = np.array(durations)
+    rng.shuffle(d)
+    ref_padded = sum(int(d[i:i + batch_size].max()) * len(d[i:i + batch_size])
+                     for i in range(0, len(d), batch_size))
     return {"padding_waste_pct": round(100.0 * (1 - true_s / padded_s), 2),
+            "reference_batch_max_waste_pct": round(
+                100.0 * (1 - true_s / ref_padded), 2),
             "distinct_batch_shapes": len(n_shapes),
             "total_audio_hours": round(true_s / 16000 / 3600.0, 2)}
 
@@ -102,6 +117,21 @@ def main() -> int:
              "/tmp/pgasr_stress_10k_model", "--num_epochs", "2",
              "--batch_size", "64"], timeout=3600)
         steady = epoch_s[-1] if len(epoch_s) >= 2 else None
+        # The steady epoch INSIDE the 2-epoch process is tunnel-poisoned:
+        # after epoch 1's minutes of compiles, that process's device_put
+        # degrades ~70x (the documented axon pathology, bench.py
+        # _device_put_probe) — measured r5: epoch 2 at 21.5 s for 7 500
+        # utts (~350 utts/s) vs the same epoch at full rate from a clean
+        # process. So ALSO measure a fresh-process resumed epoch (the
+        # compile cache makes it compile-free), which is what a real
+        # deployment's long-lived driver on locally attached chips sees.
+        print("[stress] volume: fresh-process resumed epoch ...",
+              file=sys.stderr)
+        dt3, _, epoch3 = run_cli(
+            ["--mode", "train", "--corpus_path", corpus, "--model_path",
+             "/tmp/pgasr_stress_10k_model", "--num_epochs", "3",
+             "--batch_size", "64"], timeout=3600)
+        fresh = epoch3[-1] if epoch3 else None
         results["volume_10k"] = {
             "n_train_utts": n_train, "epochs": 2,
             "wall_s": round(dt, 1),
@@ -109,6 +139,9 @@ def main() -> int:
             "epoch_s": epoch_s,
             "steady_epoch_utts_per_sec": (round(n_train / steady, 1)
                                           if steady else None),
+            "fresh_process_epoch_s": fresh,
+            "fresh_process_utts_per_sec": (round(n_train / fresh, 1)
+                                           if fresh else None),
             "audio_hours_per_hour": round(
                 2 * waste["total_audio_hours"] / (dt / 3600.0), 1),
             **waste,
@@ -133,6 +166,14 @@ def main() -> int:
              "--batch_size", "16", "--model", "conformer", "--remat"],
             timeout=3600)
         steady = epoch_s[-1] if len(epoch_s) >= 2 else None
+        print("[stress] long: fresh-process resumed epoch ...",
+              file=sys.stderr)
+        dt3, _, epoch3 = run_cli(
+            ["--mode", "train", "--corpus_path", corpus, "--model_path",
+             "/tmp/pgasr_stress_long_model", "--num_epochs", "3",
+             "--batch_size", "16", "--model", "conformer", "--remat"],
+            timeout=3600)
+        fresh = epoch3[-1] if epoch3 else None
         results["long_30s"] = {
             "n_train_utts": n_train, "epochs": 2, "batch": 16,
             "model": "conformer+remat",
@@ -141,6 +182,9 @@ def main() -> int:
             "epoch_s": epoch_s,
             "steady_epoch_utts_per_sec": (round(n_train / steady, 2)
                                           if steady else None),
+            "fresh_process_epoch_s": fresh,
+            "fresh_process_utts_per_sec": (round(n_train / fresh, 2)
+                                           if fresh else None),
             "audio_hours_per_hour": round(
                 2 * waste["total_audio_hours"] / (dt / 3600.0), 1),
             **waste,
