@@ -197,3 +197,31 @@ def test_conformer_train_predict_pg(corpus, tmp_path):
     res = finetune_pg(corpus, model_dir, num_steps=2, batch_size=4,
                       config=cfg)
     assert np.isfinite(res["rewards"]).all()
+
+
+def test_attn_softmax_bf16_close_and_roundtrips():
+    """ConformerConfig.attn_softmax_bf16 (r5 perf default): the bf16
+    score/softmax path must stay close to the f32 path on identical
+    params/inputs (the A/B that gates the default measured equal
+    convergence; benchmarks/attn_softmax_convergence.py), and the flag
+    must survive a Config JSON round-trip so checkpointed runs reproduce
+    their own numerics."""
+    mcfg, ccfg = tiny_cfgs()
+    mcfg = ModelConfig(**{**mcfg.__dict__, "dtype": "bfloat16"})
+    params = conformer_ctc.init_params(jax.random.PRNGKey(0), mcfg, ccfg)
+    feats, mask, lens = _inputs()
+    outs = {}
+    for bf16 in (False, True):
+        c = ConformerConfig(**{**ccfg.__dict__, "attn_softmax_bf16": bf16})
+        lp, _, _ = conformer_ctc.apply(params, feats, mask, lens, mcfg, c)
+        outs[bf16] = np.asarray(lp, np.float32)
+    assert not np.array_equal(outs[False], outs[True]), (
+        "bf16 flag had no effect on the computed scores")
+    np.testing.assert_allclose(outs[False], outs[True], atol=0.15), (
+        "bf16 softmax diverged from f32 beyond bf16 noise")
+
+    cfg = tiny_config()
+    cfg = cfg.replace(conformer=ConformerConfig(
+        **{**cfg.conformer.__dict__, "attn_softmax_bf16": False}))
+    back = Config.from_json(cfg.to_json())
+    assert back.conformer.attn_softmax_bf16 is False
