@@ -592,6 +592,46 @@ def _bench_streaming(seconds: float = 20.0, slots: int = 8) -> dict | None:
         ups, xrt = batched_row(slots, decoder="beam", beam_size=8)
         out["batched_stream_beam_utts_per_sec"] = ups
         out["batched_stream_beam_audio_xrt"] = xrt
+
+        # DEVICE COMPUTE per lockstep tick vs slot count (r5): the wall
+        # rows above are bound by S per-slot push RTTs through the tunnel
+        # (docs/PERF.md), so the scaling evidence for "one dispatch per
+        # tick serves S sessions" is the vstep's device time: chain 64
+        # vmapped ticks in one executable and report ms/tick per S.
+        for s_n in (8, 16, 32):
+            srv = BatchedStreamingTranscriber(
+                params, cfg, alphabet, slots=s_n,
+                chunk_frames=chunk_frames, right_context=right)
+            st0 = srv._st[0]
+            wfb = st0.chunk + st0.right
+            wlen_b = (wfb - 1) * hop + 2 * (cfg.features.n_fft // 2)
+            windows = jnp.asarray(
+                (rng.standard_normal((s_n, 1, wlen_b)) * 0.1)
+                .astype(np.float32))
+            nvv = jnp.full((s_n,), wfb, jnp.int32)
+            ncc = jnp.full((s_n,), st0.chunk, jnp.int32)
+
+            @jax.jit
+            def dev_chain_b(stats, carries, windows=windows, nvv=nvv,
+                            ncc=ncc, vstep=srv._vstep):
+                def body(carry, _):
+                    stats, carries = carry
+                    ids, lp, stats, carries = vstep(windows, stats,
+                                                    carries, nvv, ncc)
+                    return (stats, carries), ids[0, -1]
+                (stats, carries), last = jax.lax.scan(
+                    body, (stats, carries), None, length=64)
+                return stats, last[-1]
+
+            s, l = dev_chain_b(srv._stats, srv._carries)  # compile
+            jax.block_until_ready(l)
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.time()
+                s, l = dev_chain_b(srv._stats, srv._carries)
+                jax.block_until_ready(l)
+                best = min(best, time.time() - t0)
+            out[f"batched_stream_dev_tick_ms_s{s_n}"] = 1000.0 * best / 64
         return out
     except Exception as e:
         print(f"[bench] streaming rows failed: {e!r}", file=sys.stderr)
@@ -1098,7 +1138,10 @@ def main() -> int:
               "batched_stream_s32_utts_per_sec",
               "batched_stream_s32_audio_xrt",
               "batched_stream_beam_utts_per_sec",
-              "batched_stream_beam_audio_xrt"):
+              "batched_stream_beam_audio_xrt",
+              "batched_stream_dev_tick_ms_s8",
+              "batched_stream_dev_tick_ms_s16",
+              "batched_stream_dev_tick_ms_s32"):
         if ours.get(k) is not None:
             v = ours[k]
             result[k] = round(v, 5) if isinstance(v, float) else v
