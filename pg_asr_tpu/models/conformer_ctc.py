@@ -25,8 +25,11 @@ TPU-first design decisions (vs a literal Conformer port):
     batch statistics over ragged padded batches couple utterances and make
     train/eval semantics diverge; LN is mask-independent, f32, and fuses.
   * macaron half-step FFNs (0.5x residual weight), pre-LN everywhere,
-    LN/softmax in f32, matmuls in the configured compute dtype (bf16 on
-    TPU).
+    LN in f32, matmuls in the configured compute dtype (bf16 on TPU).
+    Attention scores/softmax default to the compute dtype since r5
+    (ConformerConfig.attn_softmax_bf16 — measured 5.7%/step faster with
+    identical convergence, docs/PERF.md small-shape section; set False
+    for f32-softmax parity with r4 training curves).
 
 Init parity with the framework convention: Xavier-normal weights, bias 0.1
 (reference model.py:19-25).

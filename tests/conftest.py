@@ -42,7 +42,10 @@ _CACHE_DIR = os.environ.get(
                  ".jax_cache"))
 try:
     jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    # threshold 0: cache EVERY compile — a one-core box pays hundreds of
+    # sub-0.5 s compiles per cold run, and they add up to minutes that a
+    # warm run should not repeat (r5 tier re-budget, VERDICT r4 #8)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 except Exception:
     pass
@@ -52,6 +55,11 @@ except Exception:
 #   pytest -m quick        -> the fast core-correctness tier
 #   pytest -m 'not heavy'  -> everything except the compile-bound
 #                             multi-device / end-to-end-driver modules
+# Measured budgets on this one-core box (r5, after the _HEAVY_TESTS
+# re-tier below): not-heavy WARM (persistent .jax_cache populated)
+# 301 tests in 7 m 29 s; not-heavy COLD (fresh cache dir) ~30 m —
+# compile-bound, paid once per checkout; heavy tier 76 tests in ~52 m
+# (green log: docs/ci/heavy_r05.txt).
 # ---------------------------------------------------------------------------
 _QUICK_MODULES = {
     "test_metrics.py", "test_edit_distance.py", "test_text.py",
